@@ -1,0 +1,81 @@
+"""URL canonicalization + stable 64-bit hashing.
+
+New design (SURVEY.md §2.2 M23): the reference never canonicalizes URLs
+(only basename splitting, /root/reference/langscrape/nodes/post_processor.py:71,
+and referer derivation, /root/reference/langscrape/browser/request.py:4-6).
+A frontier at 10^10-URL scale needs one canonical form as the dedup +
+partitioning key; these rules are the contract shared by the oracle and the
+distributed engine.
+
+Canonical form:
+  - scheme lowercased; only http/https are valid
+  - host lowercased, trailing dot stripped; default port (80/443) stripped
+  - fragment dropped
+  - tracking query params dropped (utm_*, fbclid, gclid, igshid, mc_eid);
+    remaining params sorted by (key, value) for stability
+  - empty path -> "/"; trailing slash stripped except on the root path
+Validation failures (semantics of the reference's validate_url,
+/root/reference/langscrape/nodes/url_handler.py:19-23: scheme AND netloc
+required) return None.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+from urllib.parse import parse_qsl, urlencode, urlsplit
+
+_TRACKING_PARAMS = ("fbclid", "gclid", "igshid", "mc_eid")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> Optional[Tuple[str, str]]:
+    """Return (canonical_url, host), or None when the URL is invalid."""
+    if not isinstance(url, str) or not url.strip():
+        return None
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https") or not parts.netloc:
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    try:
+        q = [
+            (k, v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if not k.startswith("utm_") and k not in _TRACKING_PARAMS
+        ]
+    except ValueError:
+        q = []
+    query = urlencode(sorted(q)) if q else ""
+    canon = f"{scheme}://{netloc}{path}"
+    if query:
+        canon += f"?{query}"
+    return canon, host
+
+
+def _h64(data: bytes, *, person: bytes) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8, person=person).digest(), "little"
+    )
+
+
+def url_hash64(canonical_url: str) -> int:
+    """Stable 64-bit hash of a canonical URL (dedup + join key)."""
+    return _h64(canonical_url.encode("utf-8"), person=b"lsr-url!")
+
+
+def host_hash64(host: str) -> int:
+    """Stable 64-bit hash of a host (partitioning key: hash(host) % P)."""
+    return _h64(host.encode("utf-8"), person=b"lsr-host")

@@ -1,0 +1,101 @@
+"""HTML cleaning with the reference's data-plane semantics.
+
+Reference: /root/reference/feilian/soup_tools.py:26-74 (post-order soup clean)
+called from /root/reference/langscrape/html/utils.py:91-103
+(clean_html_for_extraction3: parse -> feilian clean -> serialize -> collapse
+whitespace -> strip).  Element sets from
+/root/reference/feilian/html_constants.py:1-40.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import unquote
+
+from langscrape_ray.kernel.dom import Comment, Node, parse_html
+from langscrape_ray.kernel.textops import collapse_whitespace
+
+# /root/reference/feilian/html_constants.py:1-40 — non-content ("interactive")
+# elements removed wholesale by the cleaner.
+INTERACTIVE_ELEMENTS = frozenset(
+    {
+        "script", "style", "noscript", "svg", "iframe", "video", "audio",
+        "source", "track", "link", "meta", "object", "param",
+        # form elements
+        "input", "label", "select", "textarea", "button", "fieldset",
+        "legend", "datalist", "output", "option", "optgroup",
+        # table layout elements
+        "col", "colgroup",
+        # other
+        "map", "area", "base",
+        # deprecated
+        "embed",
+    }
+)
+
+# /root/reference/feilian/soup_tools.py:56-61 — attribute whitelist.
+KEPT_ATTRS = ("class", "id", "title", "alt", "href", "src")
+
+
+def clean_tree(root: Node) -> Node:
+    """In-place post-order clean of a parsed tree.
+
+    Semantics (/root/reference/feilian/soup_tools.py:26-74), applied children
+    first so emptied parents cascade:
+      1. drop comments;
+      2. drop INTERACTIVE_ELEMENTS subtrees;
+      3. drop elements (except <img>) whose descendant text is empty/blank;
+      4. keep only attrs in {class,id,title,alt,href,src} (in that order);
+      5. drop ``href="javascript:..."``;
+      6. drop ``src`` from <img>.
+    """
+    _clean(root)
+    return root
+
+
+def _clean(node: Node) -> None:
+    for child in list(node.children):
+        if isinstance(child, Comment):
+            node.remove_child(child)
+        elif isinstance(child, Node):
+            _clean(child)
+    if node.tag == "#document":
+        return
+    if node.tag in INTERACTIVE_ELEMENTS:
+        node.detach()
+        return
+    if node.tag != "img" and node.text_content().strip() == "":
+        node.detach()
+        return
+    if node.attrs:
+        node.attrs = {k: node.attrs[k] for k in KEPT_ATTRS if k in node.attrs}
+        href = node.attrs.get("href")
+        if href is not None and href.startswith("javascript:"):
+            del node.attrs["href"]
+        if node.tag == "img" and "src" in node.attrs:
+            del node.attrs["src"]
+
+
+def decode_url_attrs(root: Node) -> Node:
+    """Percent-decode href/src attributes over the whole tree.
+
+    Semantics of /root/reference/feilian/soup_tools.py:13-23 (decode_url).
+    """
+    for node in root.iter():
+        for key in ("href", "src"):
+            val = node.attrs.get(key)
+            if val is not None:
+                node.attrs[key] = unquote(val)
+    return root
+
+
+def clean_html_for_extraction(html_content: str | bytes) -> str:
+    """parse -> clean -> serialize -> collapse whitespace -> strip.
+
+    The effective cleaner of the reference
+    (/root/reference/langscrape/html/utils.py:91-103, the third and live
+    definition of clean_html_for_extraction3). Returns the cleaned,
+    single-space-normalized HTML string that the XPath extractor operates on.
+    """
+    root = parse_html(html_content)
+    clean_tree(root)
+    return collapse_whitespace(root.serialize())

@@ -1,0 +1,242 @@
+"""Lightweight DOM built on stdlib ``html.parser``.
+
+Stands in for the reference's html5lib/BeautifulSoup/lxml trees
+(/root/reference/feilian/etree_tools.py:71-73 parse_html,
+/root/reference/langscrape/html/utils.py:96 BeautifulSoup(html,"html5lib")).
+Those libraries are unavailable in this environment; the kernel defines its own
+deterministic parse + serialize contract, pinned by golden files.
+
+Design notes:
+- Node is a tiny tree: tag, attrs (insertion-ordered dict), children list of
+  Node | str (text) | Comment. Parsing uses ``convert_charrefs=True`` so
+  entities arrive decoded as text (like html5lib's text nodes).
+- Void elements never take children. Unknown/stray end tags are ignored;
+  unclosed elements are auto-closed at EOF or when an ancestor closes
+  (a pragmatic subset of HTML5 tree-building adequacy for crawl data).
+- Serialization escapes ``& < >`` in text and ``& " <`` in attribute values,
+  renders void elements as ``<tag .../>`` (BeautifulSoup-style).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional, Union
+
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Elements that implicitly close an open <p> (subset of the HTML5 spec list).
+_P_CLOSERS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+        "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
+        "main", "nav", "ol", "p", "pre", "section", "table", "ul",
+    }
+)
+
+
+class Comment(str):
+    """A comment node; subclass of str carrying the comment text."""
+
+    __slots__ = ()
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: List[Union["Node", str]] = []
+        self.parent: Optional["Node"] = None
+
+    # -- tree ops -------------------------------------------------------
+    def append(self, child: Union["Node", str]) -> None:
+        if isinstance(child, Node):
+            child.parent = self
+        self.children.append(child)
+
+    def remove_child(self, child: Union["Node", str]) -> None:
+        self.children.remove(child)
+        if isinstance(child, Node):
+            child.parent = None
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    def element_children(self) -> List["Node"]:
+        return [c for c in self.children if isinstance(c, Node)]
+
+    def iter(self) -> Iterator["Node"]:
+        """Pre-order element iteration including self."""
+        yield self
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.iter()
+
+    def iter_post(self) -> Iterator["Node"]:
+        """Post-order element iteration including self (children first).
+
+        Matches the traversal order of the reference cleaner
+        (/root/reference/feilian/soup_tools.py:97-104 deep_first_travel).
+        """
+        for c in list(self.children):
+            if isinstance(c, Node):
+                yield from c.iter_post()
+        yield self
+
+    # -- text -----------------------------------------------------------
+    def text_content(self) -> str:
+        """Concatenated descendant text (lxml ``text_content()`` semantics,
+        used at /root/reference/langscrape/html/xpath_extractor.py:80)."""
+        parts: List[str] = []
+        self._collect_text(parts)
+        return "".join(parts)
+
+    def _collect_text(self, parts: List[str]) -> None:
+        for c in self.children:
+            if isinstance(c, Comment):
+                continue
+            if isinstance(c, Node):
+                c._collect_text(parts)
+            else:
+                parts.append(c)
+
+    def get(self, attr: str) -> Optional[str]:
+        return self.attrs.get(attr)
+
+    # -- serialize ------------------------------------------------------
+    def serialize(self) -> str:
+        out: List[str] = []
+        self._serialize(out)
+        return "".join(out)
+
+    def _serialize(self, out: List[str]) -> None:
+        if self.tag == "#document":
+            for c in self.children:
+                _serialize_child(c, out)
+            return
+        attrs = "".join(
+            f' {k}="{_escape_attr(v)}"' if v is not None else f" {k}"
+            for k, v in self.attrs.items()
+        )
+        if self.tag in VOID_ELEMENTS and not self.children:
+            out.append(f"<{self.tag}{attrs}/>")
+            return
+        out.append(f"<{self.tag}{attrs}>")
+        for c in self.children:
+            _serialize_child(c, out)
+        out.append(f"</{self.tag}>")
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Node {self.tag} attrs={self.attrs} children={len(self.children)}>"
+
+
+def _serialize_child(c: Union[Node, str], out: List[str]) -> None:
+    if isinstance(c, Comment):
+        out.append(f"<!--{c}-->")
+    elif isinstance(c, Node):
+        c._serialize(out)
+    else:
+        out.append(_escape_text(c))
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;").replace("<", "&lt;")
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: List[Node] = [self.root]
+
+    # current open element
+    @property
+    def top(self) -> Node:
+        return self.stack[-1]
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "p" or tag in _P_CLOSERS:
+            # implicit </p>
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag in ("div", "section", "article", "td", "th", "li"):
+                    break
+        node = Node(tag, dict(attrs))
+        self.top.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.top.append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignored
+
+    def handle_data(self, data):
+        if data:
+            self.top.append(data)
+
+    def handle_comment(self, data):
+        self.top.append(Comment(data))
+
+    # declarations / PIs / unknown: dropped (html5lib also drops doctype into
+    # a non-content node)
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+
+def decode_html_bytes(raw: Union[bytes, bytearray, memoryview, str]) -> str:
+    """Decode an ``html: binary`` cell deterministically: UTF-8, else latin-1.
+
+    The reference relies on BeautifulSoup/requests encoding sniffing; this
+    kernel pins a two-step deterministic rule instead.
+    """
+    if isinstance(raw, str):
+        return raw
+    b = bytes(raw)
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def parse_html(html_str: Union[str, bytes]) -> Node:
+    """Parse HTML into a Node tree (stdlib parser; control chars stripped).
+
+    Mirrors /root/reference/feilian/etree_tools.py:71-73 (parse after
+    remove_control_characters) without the html5lib implied-element insertion:
+    the returned root is a ``#document`` node whose children mirror the input
+    markup structure.
+    """
+    from langscrape_ray.kernel.textops import remove_control_characters
+
+    if isinstance(html_str, (bytes, bytearray, memoryview)):
+        html_str = decode_html_bytes(html_str)
+    html_str = remove_control_characters(html_str)
+    builder = _TreeBuilder()
+    builder.feed(html_str)
+    builder.close()
+    return builder.root

@@ -1,0 +1,121 @@
+"""Scalar text operations with reference semantics.
+
+Reference: /root/reference/feilian/text_tools.py:20-48 (normalize_text),
+/root/reference/feilian/etree_tools.py:19-68 (remove_control_characters),
+/root/reference/langscrape/html/utils.py:102 (whitespace collapse),
+/root/reference/langscrape/pdf/pdf_utils.py:7-14 (collapse_dots / normalizer).
+
+All functions are pure, deterministic, and safe to call from inside
+vectorized ``map_batches`` UDFs (compile regexes at module import).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+# Explicit entity replacements applied BEFORE the generic html.unescape pass.
+# Semantics of /root/reference/feilian/text_tools.py:20-44: a fixed table of
+# common (and some malformed, e.g. "&#035;") entities seen in the wild.
+_ENTITY_TABLE: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&#150;", "–"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&#039;", "'"),
+    ("&#34;", '"'),
+    ("&reg;", "®"),
+    ("&rsquo;", "’"),
+    ("&#8226;", "•"),
+    ("&ndash;", "–"),
+    ("&#x27;", "'"),
+    ("&#40;", "("),
+    ("&#41;", ")"),
+    ("&#47;", "/"),
+    ("&#43;", "+"),
+    ("&#035;", "#"),
+    ("&#38;", "&"),
+    ("&eacute;", "é"),
+    ("&frac12;", "½"),
+)
+
+_MULTI_SPACE_RE = re.compile(r"  +")
+_ANY_WS_RE = re.compile(r"\s+")
+_MULTI_DOT_RE = re.compile(r"\.\.+")
+
+# XML 1.0 invalid character ranges (semantics of
+# /root/reference/feilian/etree_tools.py:19-34):
+#   0x0-0x8, 0xB, 0xC, 0xE-0x1F, 0xD800-0xDFFF, 0xFFFE, 0xFFFF
+_ILLEGAL_XML_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+_DEC_REF_RE = re.compile(r"&#(\d+);?")
+_HEX_REF_RE = re.compile(r"&#[xX]([0-9a-fA-F]+);?")
+
+
+def _is_illegal_codepoint(n: int) -> bool:
+    return (
+        n <= 0x8
+        or n in (0xB, 0xC, 0xFFFE, 0xFFFF)
+        or 0xE <= n <= 0x1F
+        or 0xD800 <= n <= 0xDFFF
+    )
+
+
+def remove_control_characters(html_str: str) -> str:
+    """Strip XML-illegal characters, including ones hidden in numeric char refs.
+
+    Mirrors /root/reference/feilian/etree_tools.py:37-68: non-ASCII characters
+    are first escaped to numeric char-refs (so emojis survive), char-refs that
+    denote illegal codepoints are dropped, then raw illegal characters are
+    stripped.  NOTE: like the reference, the output is pure ASCII with
+    ``&#...;`` references for everything non-ASCII.
+    """
+    html_str = html_str.encode("ascii", "xmlcharrefreplace").decode("ascii")
+    html_str = _DEC_REF_RE.sub(
+        lambda m: "" if _is_illegal_codepoint(int(m.group(1))) else m.group(0), html_str
+    )
+    html_str = _HEX_REF_RE.sub(
+        lambda m: "" if _is_illegal_codepoint(int(m.group(1), 16)) else m.group(0),
+        html_str,
+    )
+    return _ILLEGAL_XML_RE.sub("", html_str)
+
+
+def normalize_text(text: str) -> str:
+    """Entity-table normalize + unescape + NBSP/space collapse + strip.
+
+    Semantics of /root/reference/feilian/text_tools.py:20-48: explicit table
+    first, then a generic ``html.unescape``, NBSP to space, runs of 2+ spaces
+    collapsed to one, and a final strip.
+    """
+    for src, dst in _ENTITY_TABLE:
+        if src in text:
+            text = text.replace(src, dst)
+    text = _htmllib.unescape(text)
+    text = text.replace("\xa0", " ")
+    text = _MULTI_SPACE_RE.sub(" ", text)
+    return text.strip()
+
+
+def collapse_whitespace(text: str) -> str:
+    """Collapse ALL whitespace runs to single spaces and strip.
+
+    Semantics of /root/reference/langscrape/html/utils.py:102-103: applied to
+    the serialized cleaned HTML before extraction, so the extractor sees
+    single-space-normalized markup.
+    """
+    return _ANY_WS_RE.sub(" ", text).strip()
+
+
+def collapse_dots(text: str) -> str:
+    """Collapse runs of dots and whitespace; strip.
+
+    Semantics of /root/reference/langscrape/pdf/pdf_utils.py:7-14 (PDF branch
+    text normalizer).
+    """
+    text = _MULTI_DOT_RE.sub(".", text)
+    return _ANY_WS_RE.sub(" ", text).strip()

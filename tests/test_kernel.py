@@ -1,0 +1,136 @@
+"""Extraction-kernel unit tests: reference semantics
+(/root/reference/langscrape/html/xpath_extractor.py:47-87,
+/root/reference/feilian/soup_tools.py:26-74,
+/root/reference/feilian/text_tools.py:20-48)."""
+
+from langscrape_ray.kernel import (
+    SENTINEL_EMPTY,
+    SENTINEL_NO_STORED_VALUE,
+    SENTINEL_NO_XPATH,
+    clean_html_for_extraction,
+    collapse_dots,
+    collapse_whitespace,
+    extract_by_xpath_map,
+    normalize_text,
+    page_text,
+    parse_html,
+    remove_control_characters,
+    xpath_eval,
+)
+from langscrape_ray.kernel.extract import extract_outlinks, fallback_fields
+
+HTML = """<html><head><title>T &amp; t</title>
+<meta name="author" content="Meta Author"><script>bad()</script></head>
+<body><!-- c -->
+<h1 class="headline" data-x="1">Big <em>News</em></h1>
+<span class="author">By Bob</span>
+<time datetime="2024-01-02">2024-01-02</time>
+<div></div><a href="javascript:void(0)">x</a>
+<section class="article-body"><p>One &nbsp; two.</p><p>Three.</p></section>
+</body></html>"""
+
+
+def test_normalize_text_entity_table():
+    assert normalize_text("a &amp; b &nbsp; c  d &eacute;") == "a & b c d é"
+    assert normalize_text("&#8226; x &ndash; y") == "• x – y"
+    # double-escaped entity resolved by the unescape pass
+    assert normalize_text("&amp;amp;") == "&"
+
+
+def test_remove_control_characters():
+    s = "ok\x00\x0b\x1f&#11;&#x0b;&#x1F496;emoji"
+    out = remove_control_characters(s)
+    assert "\x00" not in out and "&#11;" not in out and "&#x0b;" not in out
+    assert "&#x1F496;" in out  # emoji char-ref survives
+
+
+def test_collapse_helpers():
+    assert collapse_whitespace(" a\n\t b ") == "a b"
+    assert collapse_dots("a....b   c") == "a.b c"
+
+
+def test_clean_removes_junk():
+    cleaned = clean_html_for_extraction(HTML)
+    assert "script" not in cleaned and "<!--" not in cleaned
+    assert "data-x" not in cleaned  # attr whitelist
+    assert 'href="javascript' not in cleaned
+    assert "<div></div>" not in cleaned  # empty element dropped
+    assert 'class="headline"' in cleaned  # kept attr
+    assert "  " not in cleaned  # whitespace collapsed
+
+
+def test_extract_sentinels_and_values():
+    cleaned = clean_html_for_extraction(HTML)
+    rules = {
+        "title": {"strategy": "xpath_extractor", "xpath": "//h1"},
+        "author": {"strategy": "xpath_extractor", "xpath": "//span[@class='author']"},
+        "body": {"strategy": "xpath_extractor", "xpath": "//section[@class='article-body']/p"},
+        "none": {"strategy": "xpath_extractor", "xpath": "//article"},
+        "noxp": {"strategy": "xpath_extractor"},
+        "lm_empty": {"strategy": "lm_capabilities"},
+        "lm_vals": {"strategy": "lm_capabilities", "value": [" a ", "", None, "b"]},
+        "bad": {"strategy": "xpath_extractor", "xpath": "//["},
+    }
+    out = extract_by_xpath_map(cleaned, rules)
+    assert out["title"] == ["Big News"]
+    assert out["author"] == ["By Bob"]
+    assert out["body"] == ["One two.", "Three."]
+    assert out["none"] == [SENTINEL_EMPTY]
+    assert out["noxp"] == [SENTINEL_NO_XPATH]
+    assert out["lm_empty"] == [SENTINEL_NO_STORED_VALUE]
+    assert out["lm_vals"] == ["a", "b"]
+    assert out["bad"][0].startswith("Error: ")
+
+
+def test_xpath_features():
+    root = parse_html(
+        "<div><p id='a'>one</p><p class='x y'>two</p><p>three</p></div>"
+        "<div><p>only</p></div>"
+    )
+    assert [n.text_content() for n in xpath_eval(root, "//div/p[1]")] == ["one", "only"]
+    assert [n.text_content() for n in xpath_eval(root, "//p[@class='x y']")] == ["two"]
+    assert [n.text_content() for n in xpath_eval(root, "//p[contains(@class,'x')]")] == ["two"]
+    assert [n.text_content() for n in xpath_eval(root, "//p[last()]")] == ["three", "only"]
+    assert xpath_eval(root, "//p[@id]")[0].text_content() == "one"
+    assert xpath_eval(root, "//p/@id") == ["a"]
+    assert xpath_eval(root, "//div[2]/p/text()") == ["only"]
+    assert [n.text_content() for n in xpath_eval(root, "//p[contains(text(),'thr')]")] == ["three"]
+
+
+def test_page_text_deterministic():
+    t1, t2 = page_text(HTML), page_text(HTML)
+    assert t1 == t2
+    assert "Big News" in t1 and "One two." in t1.replace("\n", " ")
+
+
+def test_outlinks():
+    root = parse_html(
+        '<a href="/rel">r</a><a href="https://x.example/a">a</a>'
+        '<a href="javascript:f()">j</a><a href="#top">t</a><a href="mailto:x@y">m</a>'
+    )
+    assert extract_outlinks(root, "https://base.example/dir/page") == [
+        "https://base.example/rel",
+        "https://x.example/a",
+    ]
+
+
+def test_fallback_fields():
+    raw = parse_html(HTML)
+    extracted = {
+        "article_body": [SENTINEL_EMPTY],
+        "title": [],
+        "author": ["Error: boom"],
+        "datetime": [SENTINEL_NO_XPATH],
+    }
+    out, flags = fallback_fields(raw, extracted)
+    assert set(flags) == {"article_body", "title", "author", "datetime"}
+    assert out["title"] == ["T & t"]
+    assert out["author"] == ["Meta Author"]
+    assert out["datetime"] == ["2024-01-02"]
+    assert "two." in out["article_body"][0]
+
+
+def test_weird_bytes_roundtrip():
+    raw = "<html><body><p>caf\xe9 ok</p></body></html>".encode("latin-1")
+    text = page_text(raw)
+    assert "café ok" in text
