@@ -79,3 +79,19 @@ def url_hash64(canonical_url: str) -> int:
 def host_hash64(host: str) -> int:
     """Stable 64-bit hash of a host (partitioning key: hash(host) % P)."""
     return _h64(host.encode("utf-8"), person=b"lsr-host")
+
+
+def outlink_order_key(parent_order_key: int, pos: int) -> int:
+    """Deterministic order key for the ``pos``-th outlink of a fetched page.
+
+    The frontier's total tie-break order must be computable PER ROW on both
+    the single-process oracle and the distributed engine (no global counter —
+    a counter would serialize the distributed frontier update;
+    SURVEY.md §7.3 "ordering is computed, never observed").  Seeds use their
+    ``seed_order`` directly (reference semantics: input order,
+    /root/reference/scripts/run.py:63); discovered links get a stable 63-bit
+    key derived from (parent key, link position) with the top bit set so
+    discovered URLs always tie-break after seeds.
+    """
+    h = _h64(f"{parent_order_key}:{pos}".encode(), person=b"lsr-okey")
+    return (h & ((1 << 62) - 1)) | (1 << 62)  # bit 62 set; fits in int64

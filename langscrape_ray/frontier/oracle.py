@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional, Tuple
 
-from langscrape_ray.frontier.canonical import canonicalize_url, url_hash64
+from langscrape_ray.frontier.canonical import (
+    canonicalize_url,
+    outlink_order_key,
+    url_hash64,
+)
 from langscrape_ray.frontier.politeness import CrawlPolicy, HostScheduler
 from langscrape_ray.frontier.robots import RobotsRules, parse_robots
 
@@ -64,14 +68,14 @@ def oracle_crawl(
     seen: set = set()
     trace: List[dict] = []
     seq = 0
-    discovery_counter = 0
 
     # (url, priority, order_key) in the NEW queue; carryover holds
-    # already-admitted (host, canon, priority, order_key) rows.
-    new_queue: List[Tuple[str, int, int]] = []
-    for url, priority, seed_order in seeds:
-        new_queue.append((url, int(priority), int(seed_order)))
-        discovery_counter = max(discovery_counter, int(seed_order) + 1)
+    # already-admitted (host, canon, priority, order_key) rows.  Order keys
+    # are seed_order for seeds and outlink_order_key(parent, pos) for
+    # discovered links — per-row computable, identical in the engine.
+    new_queue: List[Tuple[str, int, int]] = [
+        (url, int(priority), int(seed_order)) for url, priority, seed_order in seeds
+    ]
     carryover: List[Tuple[str, str, int, int]] = []
 
     for rnd in range(policy.max_rounds):
@@ -82,25 +86,41 @@ def oracle_crawl(
             per_host.setdefault(host, []).append((canon, prio, okey))
         carryover = []
 
+        # Admission, mirroring the engine exactly: validate/robots-filter each
+        # candidate, then resolve within-round duplicates by MIN order_key
+        # (groupby(url_hash).min semantics — order-independent), then check
+        # the cross-round seen set.
+        from urllib.parse import urlsplit
+
+        kept: Dict[str, List[Tuple[int, int, str]]] = {}
         for url, prio, okey in new_queue:
             res = canonicalize_url(url)
             if res is None:
                 trace.append(_row(-1, url, "", rnd, "rejected", -1, prio, okey))
                 continue
             canon, host = res
-            from urllib.parse import urlsplit
-
             path = urlsplit(canon).path or "/"
             if not host_rules(host).allowed(path):
                 trace.append(_row(-1, canon, host, rnd, "rejected", -1, prio, okey))
                 continue
+            kept.setdefault(canon, []).append((okey, prio, host))
+        new_queue = []
+        for canon, refs in kept.items():
+            refs.sort()
+            okey, prio, host = refs[0]
             h = url_hash64(canon)
             if h in seen:
-                trace.append(_row(-1, canon, host, rnd, "deduped", -1, prio, okey))
+                for l_okey, l_prio, l_host in refs:
+                    trace.append(
+                        _row(-1, canon, l_host, rnd, "deduped", -1, l_prio, l_okey)
+                    )
                 continue
             seen.add(h)
             per_host.setdefault(host, []).append((canon, prio, okey))
-        new_queue = []
+            for l_okey, l_prio, l_host in refs[1:]:
+                trace.append(
+                    _row(-1, canon, l_host, rnd, "deduped", -1, l_prio, l_okey)
+                )
 
         fetched_all: List[Tuple[str, str, int, int, int]] = []
         for host in sorted(per_host):
@@ -119,9 +139,8 @@ def oracle_crawl(
             html = pages.get(url)
             if html is None:
                 continue
-            for link in outlink_fn(url, html):
-                new_queue.append((link, 0, discovery_counter))
-                discovery_counter += 1
+            for pos, link in enumerate(outlink_fn(url, html)):
+                new_queue.append((link, 0, outlink_order_key(okey, pos)))
 
     return trace, seen
 

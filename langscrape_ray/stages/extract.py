@@ -1,0 +1,124 @@
+"""The extraction stage: (url, html) Arrow batches -> text/fields/outlinks.
+
+Replaces the reference's per-URL sequential url_handler -> extraction ->
+feature_binder chain (/root/reference/langscrape/nodes/url_handler.py:28-46,
+feature_binder.py:32-67) with one vectorized Ray Data stage.  Used as a
+callable CLASS in ``map_batches(ExtractPages, concurrency=N)`` so per-host
+rule lookups and compiled state are built once per actor, per the actor-pool
+pattern (SURVEY.md §2.3).
+
+Output schema (html column is dropped — project early, SURVEY.md §7.3
+"keep raw html out of post-extract stages"):
+  url, host, text, article_body/title/author/datetime: list<string>,
+  traditional_flag: list<string>, used_fallback: bool, n_outlinks: int32,
+  outlinks: list<string>, cleaned_len: int32, too_short: bool
+plus any pass-through metadata columns present in the input batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from langscrape_ray.frontier.canonical import canonicalize_url
+from langscrape_ray.kernel.clean import clean_tree
+from langscrape_ray.kernel.dom import parse_html
+from langscrape_ray.kernel.extract import (
+    MIN_HTML_LENGTH,
+    extract_by_xpath_map,
+    extract_outlinks,
+    fallback_fields,
+    html_to_text,
+)
+from langscrape_ray.kernel.textops import collapse_whitespace, normalize_text
+
+FIELDS = ("article_body", "title", "author", "datetime")
+
+
+def extract_one(url: str, html: bytes, rules: Dict[str, dict]) -> dict:
+    """Full per-page extraction (kernel-only; shared by stage and oracle).
+
+    Pipeline per the reference lifecycle (SURVEY.md §3.1 steps 2-4):
+    parse raw DOM (outlinks + fallback source) -> clean -> serialize ->
+    collapse whitespace -> re-parse -> xpath-map extract -> fallbacks ->
+    html-to-text + per-line normalize (the byte-identical ``text``).
+    """
+    raw_root = parse_html(html)
+    outlinks = extract_outlinks(raw_root, url)
+
+    clean_root = parse_html(html)
+    clean_tree(clean_root)
+    cleaned = collapse_whitespace(clean_root.serialize())
+    too_short = len(cleaned) < MIN_HTML_LENGTH
+
+    cleaned_root = parse_html(cleaned)
+    fields = extract_by_xpath_map(cleaned_root, rules)
+    fields, flags = fallback_fields(raw_root, fields)
+
+    text_lines = [normalize_text(ln) for ln in html_to_text(cleaned_root).split("\n")]
+    text = "\n".join(ln for ln in text_lines if ln)
+
+    return {
+        "text": text,
+        "fields": {f: fields.get(f, []) for f in FIELDS},
+        "traditional_flag": flags,
+        "outlinks": outlinks,
+        "cleaned_len": len(cleaned),
+        "too_short": too_short,
+    }
+
+
+class ExtractPages:
+    """Actor-pool batch UDF.  ``rules_by_host`` maps host -> field_state;
+    ``default_rules`` covers unknown hosts.  Both are plain dicts captured in
+    the closure (broadcast-once semantics: Ray serializes the class args once
+    per actor, not per batch)."""
+
+    def __init__(
+        self,
+        default_rules: Dict[str, dict],
+        rules_by_host: Optional[Dict[str, Dict[str, dict]]] = None,
+        keep_html: bool = False,
+    ):
+        self.default_rules = default_rules
+        self.rules_by_host = rules_by_host or {}
+        self.keep_html = keep_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        hosts: List[str] = []
+        texts, flags_col, outlinks_col = [], [], []
+        cleaned_lens, too_shorts = [], []
+        field_cols: Dict[str, List[List[str]]] = {f: [] for f in FIELDS}
+        for url, html in zip(urls, htmls):
+            res = canonicalize_url(url)
+            host = res[1] if res else ""
+            hosts.append(host)
+            rules = self.rules_by_host.get(host, self.default_rules)
+            out = extract_one(url, html, rules)
+            texts.append(out["text"])
+            for f in FIELDS:
+                field_cols[f].append(out["fields"][f])
+            flags_col.append(out["traditional_flag"])
+            outlinks_col.append(out["outlinks"])
+            cleaned_lens.append(out["cleaned_len"])
+            too_shorts.append(out["too_short"])
+
+        cols = {name: batch[name] for name in batch.column_names if name != "html"}
+        if self.keep_html:
+            cols["html"] = batch["html"]
+        cols["host"] = pa.array(hosts, pa.string())
+        cols["text"] = pa.array(texts, pa.string())
+        for f in FIELDS:
+            cols[f] = pa.array(field_cols[f], pa.list_(pa.string()))
+        cols["traditional_flag"] = pa.array(flags_col, pa.list_(pa.string()))
+        cols["used_fallback"] = pa.array(
+            [len(f) > 0 for f in flags_col], pa.bool_()
+        )
+        cols["n_outlinks"] = pa.array([len(o) for o in outlinks_col], pa.int32())
+        cols["outlinks"] = pa.array(outlinks_col, pa.list_(pa.string()))
+        cols["cleaned_len"] = pa.array(cleaned_lens, pa.int32())
+        cols["too_short"] = pa.array(too_shorts, pa.bool_())
+        return pa.table(cols)

@@ -1,0 +1,93 @@
+"""Distributed crawl vs single-process oracle: ordering, seen set, counters,
+resume (SURVEY.md §5 items 3-4)."""
+
+import collections
+
+import pytest
+
+from langscrape_ray.frontier.oracle import oracle_crawl
+from langscrape_ray.frontier.politeness import CrawlPolicy
+from langscrape_ray.sources.fixtures_gen import (
+    field_rules,
+    host_name,
+    pages_dict,
+    robots_dict,
+)
+
+
+def _seedlist(seeds):
+    return list(
+        zip(
+            seeds["url"].to_pylist(),
+            seeds["priority"].to_pylist(),
+            seeds["seed_order"].to_pylist(),
+        )
+    )
+
+
+def _make_crawl(small_cfg, pages, robots, policy, **kw):
+    from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
+
+    rules_by_host = {
+        host_name(small_cfg, h): field_rules(small_cfg, host_name(small_cfg, h))
+        for h in range(small_cfg.n_hosts)
+    }
+    return RayCrawl(
+        PagesStore(table=pages),
+        robots_dict(robots),
+        field_rules(small_cfg),
+        rules_by_host,
+        policy,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_world):
+    pages, seeds, robots = small_world
+    policy = CrawlPolicy(max_rounds=3)
+    trace, seen = oracle_crawl(
+        _seedlist(seeds), pages_dict(pages), robots_dict(robots), policy
+    )
+    return trace, seen
+
+
+def test_crawl_matches_oracle(ray_session, small_cfg, small_world, oracle_result):
+    pages, seeds, robots = small_world
+    otrace, oseen = oracle_result
+    crawl = _make_crawl(small_cfg, pages, robots, CrawlPolicy(max_rounds=3))
+    res = crawl.run(seeds)
+
+    ofetched = [(r["seq"], r["url"]) for r in otrace if r["status"] == "fetched"]
+    rfetched = [(r["seq"], r["url"]) for r in res["trace_fetched"]]
+    assert rfetched == ofetched  # exact crawl-order reproduction
+
+    assert res["seen_size"] == len(oseen)  # final URL-seen set size
+
+    oc = collections.Counter(r["status"] for r in otrace)
+    for key in ("rejected", "deduped", "fetched", "deferred"):
+        assert res["counters"].get(key, 0) == oc.get(key, 0), key
+
+
+def test_crawl_resume_identical(ray_session, small_cfg, small_world, tmp_path_factory):
+    """Kill-after-round-0 then resume == uninterrupted run (BASELINE.md
+    resumability target)."""
+    pages, seeds, robots = small_world
+
+    full = _make_crawl(small_cfg, pages, robots, CrawlPolicy(max_rounds=3))
+    full_res = full.run(seeds)
+
+    ck = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    partial = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=1), ckpt_dir=ck
+    )
+    partial.run(seeds)  # "killed" after round 0 (checkpoint complete)
+
+    resumed = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=3), ckpt_dir=ck
+    )
+    res2 = resumed.run(seeds, resume=True)
+
+    assert res2["trace_fetched"] == full_res["trace_fetched"]
+    assert res2["seen_size"] == full_res["seen_size"]
+    assert res2["counters"] == full_res["counters"]
