@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in langscrape_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship multi-round crawl+extract over a deterministic synthetic
+  Common-Crawl-style pages table (BASELINE.json input_hint shape) at
+  sf0.001-equivalent size; returns the extracted Dataset.
+- queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data operator family); each takes sf_dir.
+- oracle_sql(): DuckDB equivalents with IDENTICAL column names for every
+  SQL-expressible query; non-SQL ops (crawl, minhash/simhash LSH, lang-id,
+  approximate knn) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -18,27 +18,285 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+_WORLD_CACHE: dict = {}
+
+
+def _world(n_pages: int, n_hosts: int, n_seeds: int):
+    """Deterministic synthetic web, cached per size (fixture recipe from
+    langscrape_ray.sources.fixtures_gen; seed fixed at 42)."""
+    key = (n_pages, n_hosts, n_seeds)
+    if key not in _WORLD_CACHE:
+        from langscrape_ray.sources.fixtures_gen import (
+            FixtureConfig,
+            build_pages_table,
+            build_robots_table,
+            build_seeds_table,
+        )
+
+        cfg = FixtureConfig(n_pages=n_pages, n_hosts=n_hosts, n_seeds=n_seeds)
+        _WORLD_CACHE[key] = (
+            cfg,
+            build_pages_table(cfg),
+            build_seeds_table(cfg),
+            build_robots_table(cfg),
+        )
+    return _WORLD_CACHE[key]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    try:
+        return float(m.group(1)) if m else 0.001
+    except ValueError:
+        return 0.001
+
+
+def _crawl_world_size(sf_dir: str):
+    sf = _sf_of(sf_dir)
+    if sf >= 0.1:
+        return (6000, 40, 200)
+    if sf >= 0.01:
+        return (1200, 20, 60)
+    return (300, 10, 30)
+
+
+def _run_crawl(sf_dir: str, max_rounds: int = 3):
+    from langscrape_ray.frontier.politeness import CrawlPolicy
+    from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
+    from langscrape_ray.sources.fixtures_gen import (
+        field_rules,
+        host_name,
+        robots_dict,
+    )
+
+    cfg, pages, seeds, robots = _world(*_crawl_world_size(sf_dir))
+    rules_by_host = {
+        host_name(cfg, h): field_rules(cfg, host_name(cfg, h))
+        for h in range(cfg.n_hosts)
+    }
+    crawl = RayCrawl(
+        PagesStore(table=pages),
+        robots_dict(robots),
+        field_rules(cfg),
+        rules_by_host,
+        CrawlPolicy(max_rounds=max_rounds),
+    )
+    return crawl, seeds
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: seeds -> multi-round frontier
+    (canonicalize, dedup, politeness) -> sim-fetch -> extraction.  Returns
+    the fetched-trace DataFrame joined with extraction counts (>=0 rows,
+    stable schema)."""
+    crawl, seeds = _run_crawl("/root/testdata/sf0.001")
+    res = crawl.run(seeds)
+    df = pd.DataFrame(
+        res["trace_fetched"],
+        columns=["seq", "url", "host", "round", "fetch_ms", "priority", "order_key"],
+    )
+    return df
+
+
+def _crawl_extract(sf_dir: str) -> pd.DataFrame:
+    """Crawl + extraction output (scalar projection of the extracted
+    table; rows-only check — no SQL analog of the crawl)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    crawl, seeds = _run_crawl(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        crawl.out_dir = os.path.join(tmp, "out")
+        crawl.run(seeds)
+        files = sorted(glob.glob(os.path.join(tmp, "out", "**", "*.parquet"),
+                                 recursive=True))
+        if not files:
+            return pd.DataFrame(
+                columns=["url", "host", "seq", "text", "title", "author",
+                         "datetime", "n_outlinks", "used_fallback"]
+            )
+        import pyarrow as pa
+
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas()
+    for col in ("title", "author", "datetime"):
+        df[col] = df[col].map(lambda v: "|".join(v))
+    out = df[["url", "host", "seq", "text", "title", "author", "datetime",
+              "n_outlinks", "used_fallback"]].sort_values("seq")
+    return out.reset_index(drop=True)
+
+
+def _crawl_trace(sf_dir: str) -> pd.DataFrame:
+    crawl, seeds = _run_crawl(sf_dir)
+    res = crawl.run(seeds)
+    return pd.DataFrame(
+        res["trace_fetched"],
+        columns=["seq", "url", "host", "round", "fetch_ms", "priority", "order_key"],
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from langscrape_ray.pipelines import analytics, dedup, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / windowed analytics (SQL-oracled)
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_top_orders": analytics.q3_top_orders,
+        "q_order_priority": analytics.q_order_priority,
+        "q_events_hourly": analytics.q_events_hourly,
+        "q_region_customers": analytics.q_region_customers,
+        "q_sessionize": analytics.q_sessionize,
+        "q_lineitem_stats": analytics.q_lineitem_stats,
+        # text analysis (SQL-oracled)
+        "token_count": textstats.token_count,
+        "fingerprint": textstats.fingerprint,
+        "quality_score": textstats.quality_score,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,          # SQL-oracled
+        "dedup_minhash": dedup.minhash_dedup,      # rows-only (LSH)
+        "dedup_simhash": dedup.simhash_neardup_pairs,  # rows-only
+        "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
+        # similarity search
+        "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
+        "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
+        # language id (rows-only heuristic)
+        "lang_id": textstats.lang_id,
+        "token_histogram": textstats.token_histogram,  # SQL-oracled
+        # flagship crawl (rows-only: no SQL analog)
+        "crawl_trace": _crawl_trace,
+        "crawl_extract": _crawl_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_tokens_sql = "array_length(string_split_regex(trim(text), '\\s+'))"
+    return {
+        # money math in scaled-integer space on both sides: float sums are
+        # order-dependent across engines, integer sums are associative.
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_base_price,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                       AS sum_disc_price,
+                   sum(l_quantity) / count(*) AS avg_qty,
+                   sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*))
+                       AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+                     l_orderkey
+            LIMIT 10
+        """,
+        "q_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_region_customers": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            numbered AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM flagged),
+            per_session AS (
+              SELECT user_id, sess, count(*) AS n FROM numbered GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+            FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        "q_lineitem_stats": """
+            SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / (100.0 * count(*)) AS avg_price,
+                   count(*) AS n_rows
+            FROM lineitem
+        """,
+        "token_count": f"""
+            SELECT doc_id, {n_tokens_sql} AS n_tokens FROM documents ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {n_tokens_sql} AS n_tokens,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 10000
+                       // length(text) AS alpha_per_10k
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY vec_a, vec_b
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < 10),
+            sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                            list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[]) AS c
+                     FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY c DESC, neighbor_id) AS rank
+                       FROM sims)
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "token_histogram": f"""
+            WITH t AS (SELECT {n_tokens_sql} AS n_tokens FROM documents)
+            SELECT n_tokens // 32 * 32 AS token_bin,
+                   count(*) AS n_docs,
+                   sum(n_tokens) * 100 // count(*) AS avg_tokens_e2
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+    }

@@ -1,0 +1,276 @@
+"""Relational analytics pipelines over the testdata tables.
+
+These re-express the reference's offline pandas analytics
+(/root/reference/feilian/statistical_analysis.py groupby/mean/sum patterns,
+SURVEY.md §2.5 A2-A8) as Ray Data groupby/aggregate pipelines, and add the
+standard join/sort/limit shapes a complete engine needs.  Every query here
+has a DuckDB oracle in __ray_entry__.oracle_sql with IDENTICAL column names.
+
+Numeric contract: money/decimal aggregates are computed in scaled INTEGER
+space (cents / e4 / e6) and divided once at the end.  Floating-point sums
+are order-dependent — a distributed engine and a sequential oracle would
+disagree in the last ulp and fail exact value-hash comparison; integer sums
+are associative, so both sides agree bit-for-bit.
+
+Scale notes: aggregates shuffle only projected columns (column pruning at
+the read); joins broadcast the small side via ray.put-captured dicts
+instead of shuffling both sides (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered scan -> groupby 2 keys -> 6 aggregates,
+    money math in integer cents (see module docstring)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        disc_comp_c = pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        disc_price_e4 = pc.multiply(price_c, disc_comp_c)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "price_c": price_c,
+                "disc_c": disc_c,
+                "disc_price_e4": disc_price_e4,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_e4", alias_name="disc_e4"),
+            Sum("disc_c", alias_name="disc_c"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["sum_qty"],  # integral doubles: exact sum
+            "sum_base_price": agg["price_c"] / 100.0,
+            "sum_disc_price": agg["disc_e4"] / 10000.0,
+            "avg_qty": agg["sum_qty"] / agg["count_order"],
+            "avg_disc": agg["disc_c"] / (100.0 * agg["count_order"]),
+            "count_order": agg["count_order"],
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Join shape: broadcast small side (orders) into the lineitem scan,
+    then groupby + top-10 sort (broadcast hash join — no all-to-all)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    odf = orders.to_pandas()
+    odates_ref = ray.put(dict(zip(odf["o_orderkey"], odf["o_orderdate"])))
+
+    class JoinOrders:
+        def __init__(self, ref):
+            self.dates = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_pylist()
+            dates = [self.dates.get(k) for k in keys]
+            mask = pa.array([d is not None for d in dates])
+            rev_e4 = pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+            )
+            t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                    "rev_e4": rev_e4,
+                }
+            )
+            return t.filter(mask)
+
+    out = (
+        lineitem.map_batches(JoinOrders(odates_ref), batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .sort(["rev_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["revenue"] = out["rev_e4"] / 10000.0
+    return out[["l_orderkey", "o_orderdate", "revenue"]]
+
+
+def q_order_priority(sf_dir: str) -> pd.DataFrame:
+    """groupby + count + order (reference A6 match-count aggregation shape,
+    /root/reference/feilian/statistical_analysis.py:286-294)."""
+    return (
+        _read(sf_dir, "orders", columns=["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+        .to_pandas()
+    )
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type (SURVEY.md §2.10: derived
+    window-start column + groupby; oracle uses date_trunc).  sum over
+    e6-quantized values (exact); max is order-independent (raw double)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_e6": pc.cast(
+                    pc.round(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64()
+                ),
+                "value": t["value"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_e6", alias_name="sum_e6"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["sum_e6"] / 1e6
+    out = agg[["event_type", "window_start", "n_events", "sum_value", "max_value"]]
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_region_customers(sf_dir: str) -> pd.DataFrame:
+    """3-way dimension join via broadcast lookups (region/nation are tiny):
+    count customers per region name."""
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
+
+    class Tag:
+        def __init__(self, ref):
+            self.lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lut.get(k) for k in t["c_nationkey"].to_pylist()]
+            return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(Tag(lookup_ref), batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .sort("r_name")
+        .to_pandas()
+    )
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user (30-min inactivity gap): per-key sorted
+    map_groups — the streaming-shaped pattern (partition by key, order by
+    ts within group)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        new_session = (ts.diff() > gap).cumsum()
+        sizes = new_session.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sizes.shape[0])],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .sort("user_id")
+        .to_pandas()
+    )
+
+
+def q_lineitem_stats(sf_dir: str) -> pd.DataFrame:
+    """Global min/max/mean/count (reference A7 corpus means shape).
+    avg over integer cents for exactness."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_quantity": t["l_quantity"],
+                "price_c": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    row = (
+        _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .aggregate(
+            Min("l_quantity", alias_name="min_qty"),
+            Max("l_quantity", alias_name="max_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return pd.DataFrame(
+        [
+            {
+                "min_qty": row["min_qty"],
+                "max_qty": row["max_qty"],
+                "avg_price": row["price_c"] / (100.0 * row["n_rows"]),
+                "n_rows": row["n_rows"],
+            }
+        ]
+    )
+
+
+# re-exported for callers that want plain means on clean integral columns
+__all__ = [
+    "q1_pricing_summary", "q3_top_orders", "q_order_priority",
+    "q_events_hourly", "q_region_customers", "q_sessionize",
+    "q_lineitem_stats", "Mean",
+]

@@ -1,0 +1,152 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Training-data-pipeline operators the engine adds beyond the reference
+(task brief): token counting, quality scoring, document fingerprinting,
+language-ID.  All are stateless vectorized ``map_batches`` stages; compiled
+regexes live at module import (reference analog: the per-page token/byte
+stats of /root/reference/feilian/statistical_analysis.py:31-79).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"\S+")
+_ALPHA_RE = re.compile(r"[^a-zA-Z]")
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "del"},
+    "fr": {"le", "la", "de", "et", "un", "une", "les", "des", "du", "est"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "mit"},
+}
+
+
+def _read_docs(sf_dir: str, columns) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_count(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_tokens): whitespace tokenization, oracle-matched to
+    DuckDB's regexp split."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def fingerprint(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, fp): md5 content fingerprint — matches DuckDB md5()."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def quality_score(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_chars, n_tokens, alpha_per_10k): cheap quality signals for
+    corpus filtering.  alpha_per_10k uses integer arithmetic
+    (n_alpha*10000 // n_chars) so the SQL oracle matches bit-exactly —
+    float round() is rounding-mode-ambiguous across engines."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_chars = [len(x) for x in texts]
+        n_tokens = [len(_TOKEN_RE.findall(x)) for x in texts]
+        alpha = [
+            (len(_ALPHA_RE.sub("", x)) * 10000) // len(x) if x else 0 for x in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "alpha_per_10k": pa.array(alpha, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+class LangId:
+    """Stopword-overlap language-ID (actor-pool stage: sets built once).
+
+    No SQL oracle (heuristic scoring) — driver records rows-only."""
+
+    def __init__(self):
+        self.langs = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t["text"].to_pylist():
+            toks = set(w.lower() for w in _TOKEN_RE.findall(text)[:200])
+            best, best_n = "und", 0
+            for lang, stops in sorted(self.langs.items()):
+                n = len(toks & stops)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> "rd.Dataset":
+    return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+def token_histogram(sf_dir: str, bin_size: int = 32) -> pd.DataFrame:
+    """Binned token-count histogram (reference A5 shape,
+    /root/reference/feilian/statistical_analysis.py:55-79: bin = n//k*k,
+    then grouped aggregation)."""
+    from ray.data.aggregate import Count, Mean
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
+        bins = [x // bin_size * bin_size for x in n]
+        return pa.table(
+            {
+                "token_bin": pa.array(bins, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("token_bin")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens"))
+        .sort("token_bin")
+        .to_pandas()
+    )
+    # integer mean (x100) — exact across engines, unlike float round()
+    out["avg_tokens_e2"] = (out["sum_tokens"] * 100) // out["n_docs"]
+    return out[["token_bin", "n_docs", "avg_tokens_e2"]]

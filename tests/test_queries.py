@@ -1,0 +1,123 @@
+"""Query-layer tests: mini replica of the driver's DuckDB correctness gate
+at sf0.001, plus internal consistency checks for the approximate operators."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(x):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        return x.to_pandas()
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    return x
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q_events_hourly",
+        "q_sessionize",
+        "token_count",
+        "dedup_exact",
+        "knn_cosine",
+    ],
+)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as entrymod
+
+    rdf = _norm(_to_df(entrymod.queries()[name](SF)))
+    odf = _norm(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(rdf.columns) == list(odf.columns)
+    assert len(rdf) == len(odf)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False, check_exact=True)
+
+
+def test_minhash_candidates_cover_bruteforce(ray_session):
+    """LSH candidate generation must surface every truly-similar pair that
+    brute-force n-gram Jaccard finds (at jaccard >= 0.5, 64 perms / 16
+    bands the single-band hit probability is ~1-(1-0.5^4)^16 ≈ 0.64 per
+    band config; we assert coverage on the actually-found pairs)."""
+    import pyarrow.parquet as pq
+
+    from langscrape_ray.pipelines.dedup import (
+        minhash_candidate_pairs,
+        minhash_dedup,
+        ngram_jaccard,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ids = sorted(texts)[:120]  # bounded brute force
+    truth = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ngram_jaccard(texts[a], texts[b]) >= 0.7
+    ]
+    cand = minhash_candidate_pairs(SF)
+    cand_set = set(zip(cand["doc_a"], cand["doc_b"]))
+    missed = [p for p in truth if p not in cand_set]
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+    verified = minhash_dedup(SF, threshold=0.5)
+    assert (verified["jaccard"] >= 0.5).all()
+    assert (verified["doc_a"] < verified["doc_b"]).all()
+
+
+def test_exact_dedup_partition(ray_session):
+    from langscrape_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(SF)
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert out["n_dups"].sum() == total  # groups partition the corpus
+    assert out["doc_id"].is_unique
+
+
+def test_simhash_pairs_sane(ray_session):
+    from langscrape_ray.pipelines.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(SF, max_hamming=3)
+    assert (out["hamming"] <= 3).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+
+
+def test_knn_lsh_shape_and_validity(ray_session):
+    from langscrape_ray.pipelines.similarity import knn_cosine_topk, lsh_bucketed_topk
+
+    approx = lsh_bucketed_topk(SF, n_queries=5, k=5)
+    assert list(approx.columns) == ["query_id", "neighbor_id", "rank"]
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    # ranks are contiguous from 1 per query
+    for _qid, g in approx.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    exact = knn_cosine_topk(SF, n_queries=5, k=5)
+    assert len(exact) == 25
