@@ -1,0 +1,201 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+  python bench.py                 # headline crawl + query timings at $GRAFT_SF_DIR
+  python bench.py --headline-only # crawl benchmark only (used by --scaling)
+  python bench.py --scaling       # same job at num_cpus=8 and 32 in fresh
+                                  # processes; reports throughputs + efficiency
+
+Headline metric (BASELINE.json): frontier throughput — URLs/sec
+fetched+deduped through the full multi-round pipeline (canonicalize, dedup,
+politeness, sim-fetch, extract, frontier update) over a deterministic
+synthetic Common-Crawl-style pages table.  The pages parquet is cached under
+/tmp and byte-identical across CPU counts, so scaling runs measure the
+pipeline, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_world(sf: float):
+    from langscrape_ray.sources.fixtures_gen import FixtureConfig
+
+    # sf0.1 -> 51,200 pages / 512 hosts; scales linearly with sf.  Sized so
+    # extraction compute dominates the per-round pipeline overhead — the
+    # scaling measurement is meaningless on an overhead-bound toy job.
+    n_pages = max(1280, int(512_000 * sf))
+    n_hosts = max(16, int(5120 * sf))
+    return FixtureConfig(seed=42, n_pages=n_pages, n_hosts=n_hosts,
+                         n_seeds=max(64, n_pages // 25))
+
+
+def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
+    from langscrape_ray.frontier.politeness import CrawlPolicy
+    from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
+    from langscrape_ray.sources.fixtures_gen import (
+        build_robots_table,
+        build_seeds_table,
+        field_rules,
+        robots_dict,
+    )
+    from langscrape_ray.sources.pages_cache import build_pages_parquet
+
+    cfg = bench_world(_sf_of(sf_dir))
+    pages_path = build_pages_parquet(cfg)  # cached; untimed
+    seeds = build_seeds_table(cfg)
+    robots = build_robots_table(cfg)
+    policy = CrawlPolicy(max_per_host_per_round=40, max_rounds=3)
+
+    # load the simulated web once (untimed) — the timed loop then measures
+    # the pipeline, not three re-scans of the same parquet.  The parquet
+    # path (filtered read) stays the store's scale configuration.
+    import pyarrow.parquet as pq
+
+    pages_tbl = pq.read_table(pages_path)
+
+    # untimed warm-up: spin up the Ray worker pool + import the library in
+    # every worker on a tiny world, so the timed run measures the pipeline
+    from langscrape_ray.sources.fixtures_gen import FixtureConfig
+
+    warm_cfg = FixtureConfig(n_pages=200, n_hosts=8, n_seeds=16)
+    from langscrape_ray.sources.fixtures_gen import (
+        build_pages_table as _bpt,
+        build_seeds_table as _bst,
+    )
+
+    RayCrawl(
+        PagesStore(table=_bpt(warm_cfg)), {}, field_rules(warm_cfg), None,
+        CrawlPolicy(max_per_host_per_round=20, max_rounds=2),
+    ).run(_bst(warm_cfg))
+
+    store = PagesStore(table=pages_tbl)
+    store._shard_refs()  # broadcast the simulated web untimed (setup, not pipeline)
+
+    crawl = RayCrawl(
+        store,
+        robots_dict(robots),
+        field_rules(cfg),
+        None,  # uniform rules: bench measures throughput, not rule dispatch
+        policy,
+        num_shards=max(4, num_cpus // 4),
+        out_dir="/tmp/bench_crawl_out",
+    )
+    t0 = time.perf_counter()
+    res = crawl.run(seeds)
+    dt = time.perf_counter() - t0
+    processed = res["counters"].get("fetched", 0) + res["counters"].get("deduped", 0)
+    return {
+        "crawl_sec": round(dt, 3),
+        "urls_processed": processed,
+        "urls_per_sec": round(processed / dt, 1),
+        "counters": res["counters"],
+        "rounds": res["rounds"],
+        "n_pages": cfg.n_pages,
+        "n_hosts": cfg.n_hosts,
+    }
+
+
+def run_query_bench(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    names = [
+        "q1_pricing_summary", "q3_top_orders", "q_events_hourly",
+        "q_sessionize", "dedup_exact", "dedup_minhash", "dedup_simhash",
+        "knn_cosine", "token_count", "quality_score",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets so timing covers execution
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    headline_only = "--headline-only" in sys.argv
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    crawl = run_crawl_bench(sf_dir, num_cpus)
+    queries = {} if headline_only else run_query_bench(sf_dir)
+
+    total = crawl["crawl_sec"] + sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_crawl_plus_queries_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(sf_dir),
+                "num_cpus": num_cpus,
+                "crawl": crawl,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)  # warm the pages cache + OS page cache (untimed)
+    lo, hi = run(8), run(32)
+    tl, th = lo["crawl"]["urls_per_sec"], hi["crawl"]["urls_per_sec"]
+    eff = (th / tl) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "urls_per_sec_8cpu": tl,
+                "urls_per_sec_32cpu": th,
+                "crawl_sec_8cpu": lo["crawl"]["crawl_sec"],
+                "crawl_sec_32cpu": hi["crawl"]["crawl_sec"],
+                "sf": lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -99,17 +99,28 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     lineitem = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    odf = orders.to_pandas()
-    odates_ref = ray.put(dict(zip(odf["o_orderkey"], odf["o_orderdate"])))
+    odf = orders.to_pandas().sort_values("o_orderkey")
+    import numpy as np
+
+    odates_ref = ray.put(
+        (
+            odf["o_orderkey"].to_numpy(),
+            odf["o_orderdate"].to_numpy(),  # datetime64[us] array
+        )
+    )
 
     class JoinOrders:
+        """Vectorized broadcast join: np.searchsorted against the sorted
+        key array instead of a per-row dict lookup (SURVEY.md §2.4)."""
+
         def __init__(self, ref):
-            self.dates = ray.get(ref)
+            self.keys, self.dates = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_orderkey"].to_pylist()
-            dates = [self.dates.get(k) for k in keys]
-            mask = pa.array([d is not None for d in dates])
+            lk = np.asarray(t["l_orderkey"])
+            pos = np.searchsorted(self.keys, lk)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == lk
             rev_e4 = pc.multiply(
                 _cents(t["l_extendedprice"]),
                 pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
@@ -117,11 +128,11 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
             t = pa.table(
                 {
                     "l_orderkey": t["l_orderkey"],
-                    "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                    "o_orderdate": pa.array(self.dates[pos_c], pa.timestamp("us")),
                     "rev_e4": rev_e4,
                 }
             )
-            return t.filter(mask)
+            return t.filter(pa.array(hit))
 
     out = (
         lineitem.map_batches(JoinOrders(odates_ref), batch_format="pyarrow")

@@ -5,13 +5,16 @@ round is one Ray Data pipeline pass (the reference's analog is the
 sequential per-URL loop, /root/reference/scripts/run.py:63-98):
 
     R1 canonicalize + robots     map_batches (stateless, Arrow)
-    R2 within-round dedup        groupby(url_hash) min-order-key (the one
-                                 required shuffle) + seen-shard actor query
+    R2 within-round dedup        propose/admit protocol on host-sharded seen
+                                 actors (min order_key wins; associative +
+                                 idempotent, so retry- and order-safe) — no
+                                 groupby(url_hash) all-to-all
     R3 politeness scheduling     groupby(host) map_groups with virtual-time
-                                 host clocks (politeness.py contract)
-    R4 fetch (simulated)         filtered read of the pages table on the
-                                 round's bounded fetch list
-    R5 extract                   map_batches(ExtractPages) actor pool
+                                 host clocks (politeness.py contract) — THE
+                                 one shuffle per round
+    R4 fetch (simulated)         shard-partitioned broadcast lookup against
+                                 the pages store (or filtered parquet read)
+    R5 extract                   vectorized stateless map_batches tasks
     R6 frontier update           outlink explode with per-row order keys
     R7 sinks + checkpoint        write_parquet per round + manifest
 
@@ -33,14 +36,12 @@ import ray
 import ray.data as rd
 
 from langscrape_ray.frontier.canonical import outlink_order_key
-from langscrape_ray.frontier.politeness import CrawlPolicy, schedule_host_round
+from langscrape_ray.frontier.politeness import CrawlPolicy
 from langscrape_ray.frontier.robots import DEFAULT_CRAWL_DELAY_MS, parse_robots
 from langscrape_ray.stages.extract import ExtractPages
 from langscrape_ray.stages.frontier_stages import (
-    STATUS_OK,
-    CanonicalizeBatch,
-    SeenAddBatch,
-    SeenCheckBatch,
+    CanonProposeBatch,
+    EnqueueBatch,
     SeenShard,
 )
 from langscrape_ray.state.checkpoint import (
@@ -62,21 +63,113 @@ class PagesStore:
     url_hash; the in-memory variant serves tests.
     """
 
-    def __init__(self, path: Optional[str] = None, table: Optional[pa.Table] = None):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        table: Optional[pa.Table] = None,
+        num_shards: int = 64,
+    ):
         assert (path is None) != (table is None)
         self.path = path
         self.table = table
+        self.num_shards = num_shards
+        self._refs = None  # lazy (ray may not be initialised yet)
 
-    def fetch(self, urls: List[str]) -> rd.Dataset:
+    def _shard_refs(self):
+        """Broadcast the pages table ONCE, sharded by hash(url): each shard
+        (rows + its url->row index) is a separate object-store entry, so a
+        lookup task only ever touches its own 1/K slice — a full-table
+        broadcast makes every task page through the whole store and
+        anti-scales with worker count."""
+        if self._refs is None:
+            from langscrape_ray.frontier.canonical import url_hash64
+
+            tbl = self.table.select(["url", "html", "warc_ts"])
+            urls = tbl["url"].to_pylist()
+            K = self.num_shards
+            by_shard: List[List[int]] = [[] for _ in range(K)]
+            for i, u in enumerate(urls):
+                by_shard[url_hash64(u) % K].append(i)
+            refs = []
+            for rows in by_shard:
+                shard = tbl.take(pa.array(rows, pa.int64())).combine_chunks()
+                index = {u: j for j, u in enumerate(shard["url"].to_pylist())}
+                refs.append((ray.put(shard), ray.put(index)))
+            self._refs = refs
+        return self._refs
+
+    def fetch_with_meta(self, meta_tbl: pa.Table, chunk_rows: int = 256) -> rd.Dataset:
+        """meta_tbl: (url, seq, round, priority, order_key, fetch_ms) for
+        the round's fetch list.  Returns a Dataset of meta + (html, warc_ts)
+        for the urls present in the store (misses dropped).
+
+        In-memory store: shard-partitioned broadcast lookup (the J5 hash
+        join; meta rows are grouped by their url-hash shard, so each task
+        reads exactly one shard zero-copy).  Parquet store: a filtered read
+        joined to the (bounded) meta — the at-scale configuration where the
+        pages table exceeds memory.
+        """
         if self.path is not None:
+            urls = meta_tbl["url"].to_pylist()
+            meta_ref = ray.put(meta_tbl)
+
+            def attach(batch: pa.Table) -> pa.Table:
+                m = ray.get(meta_ref)
+                idx = {u: i for i, u in enumerate(m["url"].to_pylist())}
+                rows = [idx[u] for u in batch["url"].to_pylist()]
+                sub = m.take(rows)
+                for name in sub.column_names:
+                    if name != "url":
+                        batch = batch.append_column(name, sub[name])
+                return batch
+
             return rd.read_parquet(
                 self.path,
                 columns=["url", "html", "warc_ts"],
                 filter=pc.field("url").isin(urls),
-            )
-        tbl = self.table.select(["url", "html", "warc_ts"])
-        mask = pc.is_in(tbl["url"], value_set=pa.array(urls, pa.string()))
-        return rd.from_arrow(tbl.filter(mask))
+            ).map_batches(attach, batch_format="pyarrow")
+
+        from langscrape_ray.frontier.canonical import url_hash64
+
+        refs = self._shard_refs()
+        K = self.num_shards
+        sids = [url_hash64(u) % K for u in meta_tbl["url"].to_pylist()]
+        order: List[List[int]] = [[] for _ in range(K)]
+        for i, s in enumerate(sids):
+            order[s].append(i)
+        chunks: List[pa.Table] = []
+        chunk_sids: List[int] = []
+        for s in range(K):
+            if not order[s]:
+                continue
+            part = meta_tbl.take(order[s])
+            for off in range(0, part.num_rows, chunk_rows):
+                chunks.append(part.slice(off, chunk_rows))
+                chunk_sids.append(s)
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                batch = batch.append_column("html", pa.array([], pa.binary()))
+                return batch.append_column("warc_ts", pa.array([], pa.timestamp("us")))
+            # every row in this chunk belongs to one shard by construction
+            sid = url_hash64(batch["url"][0].as_py()) % K
+            shard_ref, idx_ref = refs[sid]
+            tbl = ray.get(shard_ref)  # zero-copy arrow slice from plasma
+            idx = ray.get(idx_ref)
+            rows = [idx.get(u, -1) for u in batch["url"].to_pylist()]
+            keep = [i for i, r in enumerate(rows) if r >= 0]
+            if not keep:
+                empty = batch.slice(0, 0)
+                empty = empty.append_column("html", pa.array([], pa.binary()))
+                return empty.append_column("warc_ts", pa.array([], pa.timestamp("us")))
+            sub = tbl.take([rows[i] for i in keep])
+            out = batch.take(keep)
+            out = out.append_column("html", sub["html"])
+            return out.append_column("warc_ts", sub["warc_ts"])
+
+        if not chunks:
+            chunks = [meta_tbl.slice(0, 0)]
+        return rd.from_arrow(chunks).map_batches(lookup, batch_format="pyarrow")
 
 
 class RayCrawl:
@@ -108,34 +201,47 @@ class RayCrawl:
             h: (r.disallow, r.crawl_delay_ms)
             for h, r in ((h, parse_robots(t)) for h, t in robots_txt_by_host.items())
         }
+        delays = {h: r[1] for h, r in self.robots_rules.items()}
         self.num_shards = num_shards
+        # FrontierShard actors: URL-seen membership (bloom+cuckoo[+exact])
+        # AND the per-host politeness queues + virtual clocks.  Host-affine
+        # routing (host_hash % K) keeps each host's state on one actor.
         self.shards = [
-            SeenShard.remote(i, seen_capacity, exact_audit) for i in range(num_shards)
+            SeenShard.remote(
+                i,
+                seen_capacity,
+                exact_audit,
+                delays_by_host=delays,
+                max_per_host_per_round=self.policy.max_per_host_per_round,
+                default_delay_ms=DEFAULT_CRAWL_DELAY_MS,
+            )
+            for i in range(num_shards)
         ]
-        self.host_clocks: Dict[str, int] = {}
         self.counters: Dict[str, int] = {}
         self.trace_fetched: List[dict] = []
         self._seq = 0
+        self._frontier_rows = 0  # rows in the current round's new frontier
+        self.phase_sec: Dict[str, float] = {}
+
+    def _tick(self, phase: str, t0: float) -> float:
+        import time as _time
+
+        now = _time.perf_counter()
+        self.phase_sec[phase] = self.phase_sec.get(phase, 0.0) + (now - t0)
+        return now
 
     # ------------------------------------------------------------------
     def _bump(self, key: str, n: int) -> None:
         self.counters[key] = self.counters.get(key, 0) + int(n)
 
-    def _delay_for(self, host: str) -> int:
-        rules = self.robots_rules.get(host)
-        return rules[1] if rules else DEFAULT_CRAWL_DELAY_MS
-
     # ------------------------------------------------------------------
-    def run(
-        self, seeds: pa.Table, resume: bool = False
-    ) -> Dict[str, object]:
+    def run(self, seeds: pa.Table, resume: bool = False) -> Dict[str, object]:
         """Run the crawl to completion (or policy.max_rounds).
 
-        ``seeds``: table (url, seed_order, priority).  Returns a summary dict
-        with counters, the ordered fetched trace, and rounds executed.
-        """
+        ``seeds``: table (url, seed_order, priority).  Returns a summary
+        dict with counters, the ordered fetched trace, and rounds run."""
         start_round = 0
-        carryover: Optional[pa.Table] = None
+        self._frontier_rows = seeds.num_rows
         frontier: Optional[rd.Dataset] = rd.from_arrow(
             pa.table(
                 {
@@ -148,15 +254,13 @@ class RayCrawl:
         if resume and self.ckpt_dir:
             last = last_complete_round(self.ckpt_dir)
             if last is not None:
-                manifest, carryover, shard_states = read_round_checkpoint(
+                manifest, _carry, shard_states = read_round_checkpoint(
                     self.ckpt_dir, last
                 )
-                self.host_clocks = {
-                    k: int(v) for k, v in manifest["host_clocks"].items()
-                }
                 self.counters = {k: int(v) for k, v in manifest["counters"].items()}
                 self.trace_fetched = manifest["trace_fetched"]
                 self._seq = int(manifest["next_seq"])
+                self._frontier_rows = int(manifest.get("next_frontier_rows", 0))
                 if shard_states:
                     ray.get(
                         [
@@ -170,9 +274,11 @@ class RayCrawl:
 
         rnd = start_round
         while rnd < self.policy.max_rounds:
-            if (frontier is None) and (carryover is None or carryover.num_rows == 0):
-                break
-            frontier, carryover = self._run_round(rnd, frontier, carryover)
+            if frontier is None:
+                backlog = sum(ray.get([s.backlog_size.remote() for s in self.shards]))
+                if backlog == 0:
+                    break
+            frontier = self._run_round(rnd, frontier)
             rnd += 1
 
         return {
@@ -185,166 +291,118 @@ class RayCrawl:
 
     # ------------------------------------------------------------------
     def _run_round(
-        self, rnd: int, frontier: Optional[rd.Dataset], carryover: Optional[pa.Table]
-    ) -> Tuple[Optional[rd.Dataset], Optional[pa.Table]]:
-        # ---- R1/R2: canonicalize + robots + dedup + seen-filter ----------
-        admitted_tbl = pa.table(
-            {
-                "canon_url": pa.array([], pa.string()),
-                "host": pa.array([], pa.string()),
-                "priority": pa.array([], pa.int64()),
-                "order_key": pa.array([], pa.int64()),
-                "url_hash": pa.array([], pa.int64()),
-            }
-        )
+        self, rnd: int, frontier: Optional[rd.Dataset]
+    ) -> Optional[rd.Dataset]:
+        import time as _time
+
+        _t = _time.perf_counter()
+        # ---- R1/R2a: canonicalize + robots + propose (fused, 1 launch) ---
+        n_ok = 0
         if frontier is not None:
-            canon = frontier.map_batches(
-                CanonicalizeBatch(self.robots_rules), batch_format="pyarrow"
-            ).materialize()
-            n_total = canon.count()
-            ok = canon.map_batches(
-                lambda t: t.filter(pc.equal(t["status"], STATUS_OK)),
+            canonprop = frontier.map_batches(
+                CanonProposeBatch(self.robots_rules, self.shards),
                 batch_format="pyarrow",
-            )
-            n_ok = ok.count()
-            self._bump("rejected", n_total - n_ok)
+            ).materialize()  # barrier: every proposal is registered
+            n_ok = canonprop.count()  # metadata only — stage emits ok rows
+            self._bump("rejected", self._frontier_rows - n_ok)
+            _t = self._tick("canonicalize", _t)
+            # ---- R2b: admit winners + enqueue into shard backlogs --------
+            canonprop.map_batches(
+                EnqueueBatch(self.shards), batch_format="pyarrow"
+            ).count()
+            _t = self._tick("enqueue", _t)
 
-            # within-round dedup: min order_key per url_hash (order-free).
-            def _min_okey(g: pd.DataFrame) -> pd.DataFrame:
-                return g.nsmallest(1, "order_key")
-
-            winners = ok.groupby("url_hash").map_groups(
-                _min_okey, batch_format="pandas"
-            )
-            checked = winners.map_batches(
-                SeenCheckBatch(self.shards), batch_format="pyarrow"
-            ).materialize()
-            n_winners = checked.count()
-            new = checked.map_batches(
-                lambda t: t.filter(pc.invert(t["seen"])), batch_format="pyarrow"
-            ).materialize()
-            n_new = new.count()
-            # record admissions idempotently AFTER the admission set is fixed
-            new.map_batches(SeenAddBatch(self.shards), batch_format="pyarrow").count()
-            self._bump("deduped", (n_ok - n_winners) + (n_winners - n_new))
-
-            if n_new:
-                admitted_tbl = _to_table(new).select(
-                    ["canon_url", "host", "priority", "order_key", "url_hash"]
-                )
-
-        if carryover is not None and carryover.num_rows:
-            admitted_tbl = pa.concat_tables(
-                [admitted_tbl, carryover.select(admitted_tbl.column_names)]
-            )
-
-        if admitted_tbl.num_rows == 0:
-            self._checkpoint(rnd, None, None)
-            return None, None
-
-        # ---- R3: politeness scheduling (groupby host — the shuffle) ------
-        clocks = dict(self.host_clocks)
-        delays = {h: self._delay_for(h) for h in set(admitted_tbl["host"].to_pylist())}
-        policy = self.policy
-
-        def _schedule(g: pd.DataFrame) -> pd.DataFrame:
-            host = g["host"].iloc[0]
-            cands = list(zip(g["canon_url"], g["priority"], g["order_key"]))
-            fetched, deferred, _free = schedule_host_round(
-                clocks.get(host, 0), delays.get(host, DEFAULT_CRAWL_DELAY_MS),
-                [(u, int(p), int(o)) for u, p, o in cands], policy,
-            )
-            rows = [
-                {"canon_url": u, "host": host, "priority": p, "order_key": o,
-                 "fetch_ms": ms, "kind": "fetch"}
-                for u, p, o, ms in fetched
-            ] + [
-                {"canon_url": u, "host": host, "priority": p, "order_key": o,
-                 "fetch_ms": -1, "kind": "defer"}
-                for u, p, o in deferred
-            ]
-            return pd.DataFrame(rows)
-
-        sched_ds = (
-            rd.from_arrow(admitted_tbl)
-            .groupby("host")
-            .map_groups(_schedule, batch_format="pandas")
-            .materialize()
-        )
-        sched = _to_table(sched_ds)
-        fetch_tbl = sched.filter(pc.equal(sched["kind"], "fetch"))
-        defer_tbl = sched.filter(pc.equal(sched["kind"], "defer"))
-        self._bump("deferred", defer_tbl.num_rows)
-        self._bump("fetched", fetch_tbl.num_rows)
-
-        # advance host clocks from fetch counts (driver-side; the per-host
-        # clock table is tiny relative to the frontier)
-        hosts_fetched = fetch_tbl["host"].to_pylist()
-        for host in hosts_fetched:
-            self.host_clocks[host] = self.host_clocks.get(host, 0) + self._delay_for(host)
-
-        # global crawl order: (fetch_ms, -priority, order_key) — computed
-        fetch_pd = fetch_tbl.to_pandas().sort_values(
-            ["fetch_ms", "priority", "order_key"], ascending=[True, False, True]
-        )
-        meta: Dict[str, dict] = {}
-        for _i, row in fetch_pd.iterrows():
-            meta[row["canon_url"]] = {
-                "seq": self._seq,
-                "round": rnd,
-                "priority": int(row["priority"]),
-                "order_key": int(row["order_key"]),
-                "fetch_ms": int(row["fetch_ms"]),
-            }
-            self.trace_fetched.append(
+        # ---- R3: politeness scheduling inside the host-affine shards -----
+        results = ray.get([s.schedule_round.remote() for s in self.shards])
+        ray.get([s.end_round.remote() for s in self.shards])
+        fetched_tbls = [r[0] for r in results if r[0].num_rows]
+        n_deferred = sum(r[1] for r in results)
+        n_admitted = sum(r[2] for r in results)
+        self._bump("deferred", n_deferred)
+        if frontier is not None:
+            self._bump("deduped", n_ok - n_admitted)
+        fetch_tbl = (
+            pa.concat_tables(fetched_tbls)
+            if fetched_tbls
+            else pa.table(
                 {
-                    "seq": self._seq,
-                    "url": row["canon_url"],
-                    "host": row["host"],
-                    "round": rnd,
-                    "fetch_ms": int(row["fetch_ms"]),
-                    "priority": int(row["priority"]),
-                    "order_key": int(row["order_key"]),
+                    "canon_url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.int64()),
+                    "order_key": pa.array([], pa.int64()),
+                    "fetch_ms": pa.array([], pa.int64()),
                 }
             )
-            self._seq += 1
+        )
+        self._bump("fetched", fetch_tbl.num_rows)
+        if fetch_tbl.num_rows == 0:
+            self._checkpoint(rnd, None)
+            return None
+
+        # global crawl order: (fetch_ms, -priority, order_key) — computed.
+        fetch_pd = fetch_tbl.to_pandas().sort_values(
+            ["fetch_ms", "priority", "order_key"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        n_fetch = len(fetch_pd)
+        seqs = list(range(self._seq, self._seq + n_fetch))
+        self._seq += n_fetch
+        self.trace_fetched.extend(
+            {
+                "seq": s,
+                "url": u,
+                "host": h,
+                "round": rnd,
+                "fetch_ms": int(ms),
+                "priority": int(p),
+                "order_key": int(o),
+            }
+            for s, u, h, ms, p, o in zip(
+                seqs, fetch_pd["canon_url"], fetch_pd["host"],
+                fetch_pd["fetch_ms"], fetch_pd["priority"], fetch_pd["order_key"],
+            )
+        )
+        _t = self._tick("schedule", _t)
 
         # ---- R4/R5: fetch + extract --------------------------------------
-        urls = fetch_pd["canon_url"].tolist()
-        pages_ds = self.pages.fetch(urls)
-        meta_ref = ray.put(meta)
+        meta_tbl = pa.table(
+            {
+                "url": pa.array(fetch_pd["canon_url"].tolist(), pa.string()),
+                "seq": pa.array(seqs, pa.int64()),
+                "round": pa.array([rnd] * n_fetch, pa.int64()),
+                "priority": pa.array(fetch_pd["priority"].astype("int64")),
+                "order_key": pa.array(fetch_pd["order_key"].astype("int64")),
+                "fetch_ms": pa.array(fetch_pd["fetch_ms"].astype("int64")),
+            }
+        )
+        pages_ds = self.pages.fetch_with_meta(meta_tbl)
+        _t = self._tick("fetch_prep", _t)
 
-        class AttachMeta:
-            def __init__(self, ref):
-                self.meta = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                m = [self.meta[u] for u in batch["url"].to_pylist()]
-                for key in ("seq", "round", "priority", "order_key", "fetch_ms"):
-                    batch = batch.append_column(
-                        key, pa.array([x[key] for x in m], pa.int64())
-                    )
-                return batch
-
-        map_kwargs = {}
+        # Extraction runs as STATELESS tasks by default: the rule dicts are
+        # cheap to ship, and tasks reuse warm workers across rounds instead
+        # of paying actor-pool ramp-up per round.  extract_concurrency opts
+        # into a bounded actor pool (the right mode once the stage holds
+        # heavy state, e.g. a model).
+        ext = ExtractPages(self.default_rules, self.rules_by_host)
         if self.extract_concurrency:
-            map_kwargs["concurrency"] = self.extract_concurrency
-        extracted = (
-            pages_ds.map_batches(AttachMeta(meta_ref), batch_format="pyarrow")
-            .map_batches(
-                ExtractPages(self.default_rules, self.rules_by_host),
+            extracted = pages_ds.map_batches(
+                ExtractPages,
+                fn_constructor_args=(self.default_rules, self.rules_by_host),
                 batch_format="pyarrow",
                 batch_size=64,
-                **map_kwargs,
-            )
-            .materialize()
-        )
+                concurrency=self.extract_concurrency,
+            ).materialize()
+        else:
+            extracted = pages_ds.map_batches(
+                lambda t, _e=ext: _e(t), batch_format="pyarrow", batch_size=64
+            ).materialize()
+        _t = self._tick("fetch_extract", _t)
         n_matched = extracted.count()
         self._bump("fetch_miss", fetch_tbl.num_rows - n_matched)
 
         if self.out_dir:
             out = os.path.join(self.out_dir, f"round={rnd:04d}")
             extracted.drop_columns(["outlinks"]).write_parquet(out)
+        _t = self._tick("write_out", _t)
 
         # ---- R6: frontier update (outlink explode, per-row order keys) ---
         def _explode(batch: pa.Table) -> pa.Table:
@@ -367,36 +425,17 @@ class RayCrawl:
         next_frontier = extracted.select_columns(["order_key", "outlinks"]).map_batches(
             _explode, batch_format="pyarrow"
         ).materialize()
-        if next_frontier.count() == 0:
+        self._frontier_rows = next_frontier.count()
+        if self._frontier_rows == 0:
             next_frontier = None
+        _t = self._tick("outlinks", _t)
 
-        carry_out = None
-        if defer_tbl.num_rows:
-            from langscrape_ray.frontier.canonical import url_hash64
-
-            carry_out = defer_tbl.select(
-                ["canon_url", "host", "priority", "order_key"]
-            ).append_column(
-                "url_hash",
-                pa.array(
-                    [
-                        np.uint64(url_hash64(u)).astype(np.int64).item()
-                        for u in defer_tbl["canon_url"].to_pylist()
-                    ],
-                    pa.int64(),
-                ),
-            )
-
-        self._checkpoint(rnd, carry_out, next_frontier)
-        return next_frontier, carry_out
+        self._checkpoint(rnd, next_frontier)
+        self._tick("checkpoint", _t)
+        return next_frontier
 
     # ------------------------------------------------------------------
-    def _checkpoint(
-        self,
-        rnd: int,
-        carryover: Optional[pa.Table],
-        next_frontier: Optional[rd.Dataset],
-    ) -> None:
+    def _checkpoint(self, rnd: int, next_frontier: Optional[rd.Dataset]) -> None:
         if not self.ckpt_dir:
             return
         nf_path = None
@@ -407,16 +446,16 @@ class RayCrawl:
         manifest = {
             "round": rnd,
             "counters": dict(self.counters),
-            "host_clocks": dict(self.host_clocks),
             "trace_fetched": list(self.trace_fetched),
             "next_seq": self._seq,
             "next_frontier_path": nf_path,
+            "next_frontier_rows": self._frontier_rows,
             "policy": {
                 "max_per_host_per_round": self.policy.max_per_host_per_round,
                 "max_rounds": self.policy.max_rounds,
             },
         }
-        write_round_checkpoint(self.ckpt_dir, rnd, manifest, carryover, shard_states)
+        write_round_checkpoint(self.ckpt_dir, rnd, manifest, None, shard_states)
 
 
 def _to_table(ds: rd.Dataset) -> pa.Table:

@@ -8,11 +8,12 @@ reproduces the oracle's crawl order and seen set exactly.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from langscrape_ray.frontier.bloom import BloomFilter
@@ -91,11 +92,31 @@ class SeenShard:
     the upstream groupby(url_hash) dedup.
     """
 
-    def __init__(self, shard_id: int, capacity: int, exact_audit: bool = True):
+    def __init__(
+        self,
+        shard_id: int,
+        capacity: int,
+        exact_audit: bool = True,
+        delays_by_host: Optional[dict] = None,
+        max_per_host_per_round: int = 8,
+        default_delay_ms: int = 1000,
+    ):
         self.shard_id = shard_id
         self.bloom = BloomFilter(capacity=capacity, fp_rate=0.01)
         self.cuckoo = CuckooFilter(capacity=capacity)
         self.exact = set() if exact_audit else None
+        # per-round admission state (propose/admit protocol)
+        self.proposals: dict = {}
+        self.round_admitted: set = set()
+        # politeness state (host-affine: shard = host_hash % K, so every URL
+        # of a host lands here) — the per-host priority queue + virtual
+        # clock live IN the actor, per the frontier design (backlog never
+        # round-trips through the driver)
+        self.backlog: dict = {}  # host -> list[(url, priority, order_key)]
+        self.clocks: dict = {}  # host -> next_free_ms
+        self.delays = delays_by_host or {}
+        self.max_per_host = max_per_host_per_round
+        self.default_delay_ms = default_delay_ms
 
     def query(self, keys: List[int]) -> List[bool]:
         """Membership only — NO mutation, so Ray task retries that re-send a
@@ -138,6 +159,128 @@ class SeenShard:
         self.add(keys)
         return seen
 
+    # -- propose/admit: within-round dedup WITHOUT a groupby shuffle -------
+    # Phase 1 (propose) streams every candidate; each shard keeps the MIN
+    # order_key per url_hash — min is associative/idempotent, so concurrent
+    # batches and Ray task retries are all safe.  Phase 2 (admit), after the
+    # propose barrier, admits exactly the min-okey proposer that is not
+    # already in the cross-round seen set; the decision is deterministic, so
+    # admit retries return the same answer (round_admitted memo).
+    def propose(self, keys: List[int], okeys: List[int]) -> int:
+        p = self.proposals
+        for k, o in zip(keys, okeys):
+            cur = p.get(k)
+            if cur is None or o < cur:
+                p[k] = o
+        return len(p)
+
+    def admit(self, keys: List[int], okeys: List[int]) -> List[bool]:
+        out: List[bool] = []
+        ukeys = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        for (k, o, uk) in zip(keys, okeys, ukeys.tolist()):
+            if self.proposals.get(k) != o:
+                out.append(False)  # within-round duplicate (lost min-okey)
+                continue
+            if uk in self.round_admitted:
+                out.append(True)  # task retry of the winner
+                continue
+            if self.exact is not None:
+                seen_before = uk in self.exact
+            else:
+                seen_before = self.cuckoo.contains(uk)
+            if seen_before:
+                out.append(False)  # cross-round duplicate
+                continue
+            self.round_admitted.add(uk)
+            if self.exact is not None:
+                self.exact.add(uk)
+            self.cuckoo.add(uk)
+            self.bloom.add(np.asarray([uk], dtype=np.uint64))
+            out.append(True)
+        return out
+
+    def end_round(self) -> None:
+        self.proposals = {}
+        self.round_admitted = set()
+
+    # -- admit + enqueue into the politeness backlog -----------------------
+    def enqueue_admitted(
+        self,
+        keys: List[int],
+        okeys: List[int],
+        urls: List[str],
+        hosts: List[str],
+        priorities: List[int],
+    ) -> int:
+        """Admit propose-phase winners that are not yet seen, pushing them
+        into this shard's per-host backlog.  Idempotent (round_admitted
+        memo), so Ray task retries cannot double-enqueue.  Returns rows
+        processed (informational)."""
+        ukeys = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        for k, o, u, h, p, uk in zip(
+            keys, okeys, urls, hosts, priorities, ukeys.tolist()
+        ):
+            if self.proposals.get(k) != o:
+                continue  # within-round duplicate (lost min-okey)
+            if uk in self.round_admitted:
+                continue  # retry of an already-enqueued winner
+            if self.exact is not None:
+                if uk in self.exact:
+                    continue
+            elif self.cuckoo.contains(uk):
+                continue
+            self.round_admitted.add(uk)
+            if self.exact is not None:
+                self.exact.add(uk)
+            self.cuckoo.add(uk)
+            self.bloom.add(np.asarray([uk], dtype=np.uint64))
+            self.backlog.setdefault(h, []).append((u, int(p), int(o)))
+        return len(self.round_admitted)
+
+    def schedule_round(self) -> tuple:
+        """Schedule every backlogged host for one round (politeness.py
+        contract: order by (-priority, order_key), take the per-host budget,
+        stamp virtual fetch times, advance the host clock).  Returns
+        (fetched_table, n_deferred, n_admitted_this_round)."""
+        from langscrape_ray.frontier.politeness import (
+            CrawlPolicy,
+            schedule_host_round,
+        )
+
+        policy = CrawlPolicy(max_per_host_per_round=self.max_per_host)
+        out_url, out_host, out_prio, out_okey, out_ms = [], [], [], [], []
+        n_deferred = 0
+        for host in sorted(self.backlog):
+            cands = self.backlog[host]
+            if not cands:
+                continue
+            delay = self.delays.get(host, self.default_delay_ms)
+            fetched, deferred, new_free = schedule_host_round(
+                self.clocks.get(host, 0), delay, cands, policy
+            )
+            self.clocks[host] = new_free
+            self.backlog[host] = deferred
+            n_deferred += len(deferred)
+            for u, p, o, ms in fetched:
+                out_url.append(u)
+                out_host.append(host)
+                out_prio.append(p)
+                out_okey.append(o)
+                out_ms.append(ms)
+        tbl = pa.table(
+            {
+                "canon_url": pa.array(out_url, pa.string()),
+                "host": pa.array(out_host, pa.string()),
+                "priority": pa.array(out_prio, pa.int64()),
+                "order_key": pa.array(out_okey, pa.int64()),
+                "fetch_ms": pa.array(out_ms, pa.int64()),
+            }
+        )
+        return tbl, n_deferred, len(self.round_admitted)
+
+    def backlog_size(self) -> int:
+        return sum(len(v) for v in self.backlog.values())
+
     def size(self) -> int:
         return len(self.exact) if self.exact is not None else self.cuckoo.count
 
@@ -149,6 +292,8 @@ class SeenShard:
             "exact": np.fromiter(self.exact, dtype=np.uint64)
             if self.exact is not None
             else None,
+            "backlog": {h: list(v) for h, v in self.backlog.items() if v},
+            "clocks": dict(self.clocks),
         }
 
     def restore(self, state: dict) -> None:
@@ -160,6 +305,10 @@ class SeenShard:
             if state["exact"] is not None
             else None
         )
+        self.backlog = {
+            h: [tuple(c) for c in v] for h, v in state.get("backlog", {}).items()
+        }
+        self.clocks = dict(state.get("clocks", {}))
 
 
 def _shard_route(batch: pa.Table, num_shards: int):
@@ -208,5 +357,121 @@ class SeenAddBatch:
             for sid in np.unique(shard_ids):
                 idx = np.nonzero(shard_ids == sid)[0]
                 futs.append(self.shards[int(sid)].add.remote([uh[i] for i in idx]))
+            ray.get(futs)
+        return batch
+
+
+class CanonProposeBatch:
+    """Fused R1+R2-phase-1: canonicalize + robots-filter + propose, one
+    pipeline launch.  Emits ONLY the surviving (status ok) rows — the driver
+    computes rejected = n_input - n_output from block metadata, so no extra
+    counting pass is needed."""
+
+    def __init__(self, robots_rules: Dict[str, tuple],
+                 shards: List["ray.actor.ActorHandle"]):
+        self.canon = CanonicalizeBatch(robots_rules)
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.canon(batch)
+        out = out.filter(pc.equal(out["status"], STATUS_OK))
+        if out.num_rows:
+            uh = out["url_hash"].to_pylist()
+            ok = out["order_key"].to_pylist()
+            shard_ids = _shard_route(out, len(self.shards))
+            futs = []
+            for sid in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == sid)[0]
+                futs.append(
+                    self.shards[int(sid)].propose.remote(
+                        [uh[i] for i in idx], [ok[i] for i in idx]
+                    )
+                )
+            ray.get(futs)
+        return out
+
+
+class ProposeBatch:
+    """Phase-1 UDF of the propose/admit dedup: stream (url_hash, order_key)
+    to the host-routed shard; batch passes through unchanged."""
+
+    def __init__(self, shards: List["ray.actor.ActorHandle"]):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            uh = batch["url_hash"].to_pylist()
+            ok = batch["order_key"].to_pylist()
+            shard_ids = _shard_route(batch, len(self.shards))
+            futs = []
+            for sid in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == sid)[0]
+                futs.append(
+                    self.shards[int(sid)].propose.remote(
+                        [uh[i] for i in idx], [ok[i] for i in idx]
+                    )
+                )
+            ray.get(futs)
+        return batch
+
+
+class AdmitBatch:
+    """Phase-2 UDF: adds an ``admitted`` bool column (deterministic winner
+    decision; idempotent under task retries)."""
+
+    def __init__(self, shards: List["ray.actor.ActorHandle"]):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("admitted", pa.array([], pa.bool_()))
+        uh = batch["url_hash"].to_pylist()
+        ok = batch["order_key"].to_pylist()
+        shard_ids = _shard_route(batch, len(self.shards))
+        admitted = np.zeros(n, dtype=bool)
+        futures = {}
+        for sid in np.unique(shard_ids):
+            idx = np.nonzero(shard_ids == sid)[0]
+            futures[int(sid)] = (
+                idx,
+                self.shards[int(sid)].admit.remote(
+                    [uh[i] for i in idx], [ok[i] for i in idx]
+                ),
+            )
+        for _sid, (idx, fut) in futures.items():
+            admitted[idx] = ray.get(fut)
+        return batch.append_column("admitted", pa.array(admitted.tolist(), pa.bool_()))
+
+
+class EnqueueBatch:
+    """Phase-2 UDF of the actor-resident frontier: route each candidate to
+    its host-affine shard for admit+enqueue.  Batch passes through (the
+    driver only needs the pipeline to RUN; admitted rows live in the
+    shards' backlogs afterwards)."""
+
+    def __init__(self, shards: List["ray.actor.ActorHandle"]):
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            uh = batch["url_hash"].to_pylist()
+            ok = batch["order_key"].to_pylist()
+            urls = batch["canon_url"].to_pylist()
+            hosts = batch["host"].to_pylist()
+            prios = batch["priority"].to_pylist()
+            shard_ids = _shard_route(batch, len(self.shards))
+            futs = []
+            for sid in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == sid)[0]
+                futs.append(
+                    self.shards[int(sid)].enqueue_admitted.remote(
+                        [uh[i] for i in idx],
+                        [ok[i] for i in idx],
+                        [urls[i] for i in idx],
+                        [hosts[i] for i in idx],
+                        [prios[i] for i in idx],
+                    )
+                )
             ray.get(futs)
         return batch
