@@ -133,6 +133,42 @@ def _crawl_extract(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _crawl_records(sf_dir: str) -> pd.DataFrame:
+    """Crawl -> extraction -> deterministic summarize/collate/validate tail
+    (reference lifecycle steps 5-7; rows-only)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from langscrape_ray.stages.extract import SummarizeRecords
+
+    crawl, seeds = _run_crawl(sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        crawl.out_dir = os.path.join(tmp, "out")
+        crawl.run(seeds)
+        files = sorted(
+            glob.glob(os.path.join(tmp, "out", "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return pd.DataFrame(columns=["url", "is_valid_scheme", "summary_json"])
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+    chunks = [t.slice(off, 512) for off in range(0, t.num_rows, 512)]
+    out = (
+        rd.from_arrow(chunks)
+        .map_batches(SummarizeRecords, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    return (
+        out[["url", "seq", "is_valid_scheme", "summary_json"]]
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+
+
 def _crawl_trace(sf_dir: str) -> pd.DataFrame:
     crawl, seeds = _run_crawl(sf_dir)
     res = crawl.run(seeds)
@@ -154,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_customers": analytics.q_region_customers,
         "q_sessionize": analytics.q_sessionize,
         "q_lineitem_stats": analytics.q_lineitem_stats,
+        "q_grouped_sample": analytics.q_grouped_sample,
+        "q_distinct_union": analytics.q_distinct_union,
+        "q_supplier_balance": analytics.q_supplier_balance_by_nation,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
         "fingerprint": textstats.fingerprint,
@@ -172,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship crawl (rows-only: no SQL analog)
         "crawl_trace": _crawl_trace,
         "crawl_extract": _crawl_extract,
+        "crawl_records": _crawl_records,
     }
 
 
@@ -250,6 +290,25 @@ def oracle_sql() -> dict[str, str]:
                        / (100.0 * count(*)) AS avg_price,
                    count(*) AS n_rows
             FROM lineitem
+        """,
+        "q_grouped_sample": """
+            SELECT o_orderpriority, count(*) AS n_sample
+            FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '28'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_distinct_union": """
+            SELECT DISTINCT o_orderpriority AS v FROM orders
+            UNION
+            SELECT DISTINCT l_returnflag AS v FROM lineitem
+            ORDER BY v
+        """,
+        "q_supplier_balance": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+                       AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "token_count": f"""
             SELECT doc_id, {n_tokens_sql} AS n_tokens FROM documents ORDER BY doc_id

@@ -285,3 +285,69 @@ __all__ = [
     "q_events_hourly", "q_region_customers", "q_sessionize",
     "q_lineitem_stats", "Mean",
 ]
+
+
+def q_grouped_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based grouped sampling (reference A4 shape,
+    /root/reference/feilian/datasets/dataset.py:98-135 grouped .sample —
+    but seeded by KEY HASH, not RNG state, so any engine reproduces it:
+    keep rows whose md5(o_orderkey) hex starts below '28' (~15.6%))."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        keep = [
+            hashlib.md5(str(k).encode()).hexdigest()[:2] < "28" for k in keys
+        ]
+        return t.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_sample"))
+        .sort("o_orderpriority")
+        .to_pandas()
+    )
+
+
+def q_distinct_union(sf_dir: str) -> pd.DataFrame:
+    """Distinct + ordered union (reference A8/D6 shapes: drop_duplicates and
+    dict.fromkeys ordered-unique merges): the union of orders priorities and
+    lineitem return flags as one deduplicated value list."""
+    a = _read(sf_dir, "orders", columns=["o_orderpriority"]).unique("o_orderpriority")
+    b = _read(sf_dir, "lineitem", columns=["l_returnflag"]).unique("l_returnflag")
+    vals = sorted(set(a) | set(b))
+    return pd.DataFrame({"v": vals})
+
+
+def q_supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Dimension join + integer-exact money mean: supplier account balance
+    stats per nation name."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    lut_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class Tag:
+        def __init__(self, ref):
+            self.lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lut.get(k) for k in t["s_nationkey"].to_pylist()]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "bal_c": _cents(t["s_acctbal"]),
+                }
+            )
+
+    agg = (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(Tag(lut_ref), batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("bal_c", alias_name="bal_c"), Count(alias_name="n_suppliers"))
+        .sort("n_name")
+        .to_pandas()
+    )
+    agg["total_acctbal"] = agg["bal_c"] / 100.0
+    return agg[["n_name", "n_suppliers", "total_acctbal"]]

@@ -85,6 +85,13 @@ class PagesStore:
             from langscrape_ray.frontier.canonical import url_hash64
 
             tbl = self.table.select(["url", "html", "warc_ts"])
+            # 64-bit offsets: take() concatenates chunks, and a >2 GiB
+            # binary column overflows 32-bit offsets otherwise
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("html"),
+                "html",
+                tbl["html"].cast(pa.large_binary()),
+            )
             urls = tbl["url"].to_pylist()
             K = self.num_shards
             by_shard: List[List[int]] = [[] for _ in range(K)]
@@ -297,19 +304,24 @@ class RayCrawl:
 
         _t = _time.perf_counter()
         # ---- R1/R2a: canonicalize + robots + propose (fused, 1 launch) ---
+        # ``frontier`` may be a LAZY chain ending in the previous round's
+        # outlink explode — it fuses into this launch (no materialized
+        # intermediate frontier).
         n_ok = 0
+        n_total = 0
         if frontier is not None:
             canonprop = frontier.map_batches(
                 CanonProposeBatch(self.robots_rules, self.shards),
                 batch_format="pyarrow",
             ).materialize()  # barrier: every proposal is registered
-            n_ok = canonprop.count()  # metadata only — stage emits ok rows
-            self._bump("rejected", self._frontier_rows - n_ok)
+            n_total = canonprop.count()  # free (metadata)
             _t = self._tick("canonicalize", _t)
             # ---- R2b: admit winners + enqueue into shard backlogs --------
-            canonprop.map_batches(
+            # EnqueueBatch drops rejected rows, so its output count IS n_ok.
+            n_ok = canonprop.map_batches(
                 EnqueueBatch(self.shards), batch_format="pyarrow"
             ).count()
+            self._bump("rejected", n_total - n_ok)
             _t = self._tick("enqueue", _t)
 
         # ---- R3: politeness scheduling inside the host-affine shards -----
@@ -422,12 +434,14 @@ class RayCrawl:
                 }
             )
 
-        next_frontier = extracted.select_columns(["order_key", "outlinks"]).map_batches(
-            _explode, batch_format="pyarrow"
-        ).materialize()
-        self._frontier_rows = next_frontier.count()
-        if self._frontier_rows == 0:
-            next_frontier = None
+        # LAZY: the explode fuses into the next round's canonicalize launch
+        next_frontier = (
+            extracted.select_columns(["order_key", "outlinks"]).map_batches(
+                _explode, batch_format="pyarrow"
+            )
+            if n_matched
+            else None
+        )
         _t = self._tick("outlinks", _t)
 
         self._checkpoint(rnd, next_frontier)

@@ -53,6 +53,7 @@ class FixtureConfig:
     weird_bytes_every: int = 31  # every k-th page gets latin-1 + control chars
     n_seeds: int = 100
     outlinks_per_page: int = 6
+    body_scale: float = 1.0  # multiplies paragraph count+length (bench knob)
 
 
 def host_name(cfg: FixtureConfig, h: int) -> str:
@@ -98,8 +99,8 @@ def build_page_html(cfg: FixtureConfig, h: int, i: int, urls: List[str]) -> byte
     author = f"{_words(cfg, h, i, 'author', 2).title()}"
     date = (_BASE_EPOCH + timedelta(days=r % 365)).strftime("%Y-%m-%d")
     short = (i % cfg.short_page_every) == cfg.short_page_every - 1
-    n_paras = 2 if short else 6 + r % 6
-    para_len = 8 if short else 40 + r % 30
+    n_paras = 2 if short else int((6 + r % 6) * cfg.body_scale)
+    para_len = 8 if short else int((40 + r % 30) * cfg.body_scale)
 
     paras = "".join(
         f"<p>{_words(cfg, h, i, f'p{j}', para_len)} &amp; more &nbsp; "

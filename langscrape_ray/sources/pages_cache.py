@@ -21,7 +21,7 @@ from langscrape_ray.sources.fixtures_gen import (
 
 
 def cache_path(cfg: FixtureConfig, base: str = "/tmp/langscrape_ray_cache") -> str:
-    tag = f"pages_s{cfg.seed}_p{cfg.n_pages}_h{cfg.n_hosts}"
+    tag = f"pages_s{cfg.seed}_p{cfg.n_pages}_h{cfg.n_hosts}_b{cfg.body_scale}"
     return os.path.join(base, tag)
 
 

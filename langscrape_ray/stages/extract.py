@@ -36,6 +36,40 @@ from langscrape_ray.kernel.textops import collapse_whitespace, normalize_text
 FIELDS = ("article_body", "title", "author", "datetime")
 
 
+def is_pdf_url(url: str) -> bool:
+    """Reference M2 predicate (/root/reference/langscrape/nodes/
+    url_handler.py:25-26): suffix test on the lowered url."""
+    return url.lower().endswith(".pdf")
+
+
+def extract_one_pdf(url: str, data: bytes) -> dict:
+    """PDF branch (S5/M14): the reference downloads bytes and extracts page
+    text with pymupdf, then normalizes (collapse dots + whitespace,
+    /root/reference/langscrape/pdf/pdf_utils.py:7-34).  pymupdf is not
+    available here, so the byte->text step is a deterministic stand-in
+    (strip a %PDF header if present, decode text); the normalization and
+    the pipeline plumbing (branching, schema, flags) are real.
+    """
+    from langscrape_ray.kernel.dom import decode_html_bytes
+    from langscrape_ray.kernel.textops import collapse_dots
+
+    raw = bytes(data or b"")
+    if raw.startswith(b"%PDF"):
+        raw = raw.split(b"\n", 1)[1] if b"\n" in raw else b""
+    text = collapse_dots(decode_html_bytes(raw))
+    fields = {f: ["(Empty Result)"] for f in FIELDS}
+    if text:
+        fields["article_body"] = [text]
+    return {
+        "text": text,
+        "fields": fields,
+        "traditional_flag": ["pdf"],
+        "outlinks": [],
+        "cleaned_len": len(text),
+        "too_short": len(text) < MIN_HTML_LENGTH,
+    }
+
+
 def extract_one(url: str, html: bytes, rules: Dict[str, dict]) -> dict:
     """Full per-page extraction (kernel-only; shared by stage and oracle).
 
@@ -96,8 +130,11 @@ class ExtractPages:
             res = canonicalize_url(url)
             host = res[1] if res else ""
             hosts.append(host)
-            rules = self.rules_by_host.get(host, self.default_rules)
-            out = extract_one(url, html, rules)
+            if is_pdf_url(url):
+                out = extract_one_pdf(url, html)
+            else:
+                rules = self.rules_by_host.get(host, self.default_rules)
+                out = extract_one(url, html, rules)
             texts.append(out["text"])
             for f in FIELDS:
                 field_cols[f].append(out["fields"][f])
@@ -121,4 +158,49 @@ class ExtractPages:
         cols["outlinks"] = pa.array(outlinks_col, pa.list_(pa.string()))
         cols["cleaned_len"] = pa.array(cleaned_lens, pa.int32())
         cols["too_short"] = pa.array(too_shorts, pa.bool_())
+        return pa.table(cols)
+
+
+class SummarizeRecords:
+    """Stage: extracted rows -> final nested document records.
+
+    The reference tail (summarizer -> data_collator -> post_processor,
+    SURVEY.md §3.1 steps 5-7) with the LLM summarizer replaced by the
+    deterministic kernel summary (kernel/summary.py).  Output adds:
+    summary_json (the 16-key scheme as JSON), record_json (the full
+    {meta_data, extraction, summary} document), is_valid_scheme.
+    Nested structs are serialized to JSON strings for parquet/driver
+    friendliness (pa.struct columns work too; strings keep the driver's
+    value-hash simple)."""
+
+    def __init__(self, vocabs: Optional[Dict[str, frozenset]] = None):
+        self.vocabs = vocabs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import json as _json
+
+        from langscrape_ray.kernel.summary import build_summary, collate_record
+
+        summaries, records, valids = [], [], []
+        for i in range(batch.num_rows):
+            url = batch["url"][i].as_py()
+            host = batch["host"][i].as_py() if "host" in batch.column_names else ""
+            fields = {f: batch[f][i].as_py() for f in FIELDS}
+            text = batch["text"][i].as_py()
+            flags = (
+                batch["traditional_flag"][i].as_py()
+                if "traditional_flag" in batch.column_names
+                else []
+            )
+            summary = build_summary(url, host, fields, text, vocabs=self.vocabs)
+            doc_id = hashlib.md5(url.encode()).hexdigest()
+            record = collate_record(url, doc_id, fields, summary, flags)
+            summaries.append(_json.dumps(summary, sort_keys=True))
+            records.append(_json.dumps(record, sort_keys=True))
+            valids.append(bool(record["meta_data"]["is_valid_scheme"]))
+        cols = {n: batch[n] for n in batch.column_names}
+        cols["summary_json"] = pa.array(summaries, pa.string())
+        cols["record_json"] = pa.array(records, pa.string())
+        cols["is_valid_scheme"] = pa.array(valids, pa.bool_())
         return pa.table(cols)

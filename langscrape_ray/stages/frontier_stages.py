@@ -363,9 +363,8 @@ class SeenAddBatch:
 
 class CanonProposeBatch:
     """Fused R1+R2-phase-1: canonicalize + robots-filter + propose, one
-    pipeline launch.  Emits ONLY the surviving (status ok) rows — the driver
-    computes rejected = n_input - n_output from block metadata, so no extra
-    counting pass is needed."""
+    pipeline launch.  Emits ALL rows with a status column (the downstream
+    EnqueueBatch drops rejects and its count() yields n_ok for free)."""
 
     def __init__(self, robots_rules: Dict[str, tuple],
                  shards: List["ray.actor.ActorHandle"]):
@@ -374,11 +373,11 @@ class CanonProposeBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.canon(batch)
-        out = out.filter(pc.equal(out["status"], STATUS_OK))
-        if out.num_rows:
-            uh = out["url_hash"].to_pylist()
-            ok = out["order_key"].to_pylist()
-            shard_ids = _shard_route(out, len(self.shards))
+        ok_rows = out.filter(pc.equal(out["status"], STATUS_OK))
+        if ok_rows.num_rows:
+            uh = ok_rows["url_hash"].to_pylist()
+            ok = ok_rows["order_key"].to_pylist()
+            shard_ids = _shard_route(ok_rows, len(self.shards))
             futs = []
             for sid in np.unique(shard_ids):
                 idx = np.nonzero(shard_ids == sid)[0]
@@ -454,6 +453,8 @@ class EnqueueBatch:
         self.shards = shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "status" in batch.column_names:
+            batch = batch.filter(pc.equal(batch["status"], STATUS_OK))
         if batch.num_rows:
             uh = batch["url_hash"].to_pylist()
             ok = batch["order_key"].to_pylist()
@@ -474,4 +475,4 @@ class EnqueueBatch:
                     )
                 )
             ray.get(futs)
-        return batch
+        return batch.select(["canon_url"])

@@ -1,0 +1,140 @@
+"""Tests for the summary/collation tail and the tree-operator family."""
+
+from langscrape_ray.kernel.dom import parse_html
+from langscrape_ray.kernel.summary import (
+    SCHEME_KEYS,
+    build_summary,
+    clean_tags,
+    collate_record,
+    extract_json_block,
+    validate_scheme,
+)
+from langscrape_ray.kernel.treeops import (
+    deduplicate_to_prune,
+    default_token_count,
+    find_most_repeated_subsequence,
+    gen_xpath_by_text,
+    get_xpath,
+    keep_unique_structure,
+    prune_by_tokens,
+    prune_by_xpath,
+    prune_to_text,
+    remove_by_xpath,
+)
+from langscrape_ray.kernel.xpath import xpath_eval
+
+
+def test_extract_json_block_ladder():
+    assert extract_json_block('```json\n{"a": 1}\n```') == {"a": 1}
+    assert extract_json_block('noise {"b": 2} trailing') == {"b": 2}
+    assert extract_json_block('{"c": 3}') == {"c": 3}
+    assert extract_json_block("not json at all") == {}
+    assert extract_json_block(None) == {}
+
+
+def test_clean_tags_semi_join():
+    out = clean_tags(
+        {"theme_tags": ["Crawl", "NotAllowed", "Robots"], "location_tags": "bad"}
+    )
+    assert out["theme_tags"] == ["Crawl", "Robots"]
+    assert out["location_tags"] == []  # non-list coerced to empty
+
+
+def test_validate_scheme_keysets():
+    good = {k: "" for k in SCHEME_KEYS}
+    ok, report = validate_scheme(good)
+    assert ok and report["keys_missing"] == [] and report["keys_to_remove"] == []
+    bad = dict(good)
+    bad.pop("title")
+    bad["extra"] = 1
+    ok, report = validate_scheme(bad)
+    assert not ok
+    assert report["keys_missing"] == ["title"]
+    assert report["keys_to_remove"] == ["extra"]
+
+
+def test_build_summary_and_collate():
+    fields = {
+        "title": ["Big News"],
+        "author": ["(Empty Result)", "Jane"],
+        "datetime": ["2024-03-04"],
+        "article_body": ["Crawl frontier text."],
+    }
+    s = build_summary(
+        "https://h.example/a", "h.example", fields, "Crawl frontier text.\nmore", "en"
+    )
+    assert set(s.keys()) == set(SCHEME_KEYS)
+    assert s["title"] == "Big News"
+    assert s["author"] == "Jane"  # sentinel values skipped
+    assert s["publication_date"] == "2024-03-04"
+    assert s["platform"] == "h.example"
+    assert "Crawl" in s["theme_tags"] and "Frontier" in s["theme_tags"]
+    rec = collate_record("https://h.example/a", "id1", fields, s, ["author"])
+    assert rec["meta_data"]["is_valid_scheme"]
+    assert rec["extraction"]["title"] == ["Big News"]
+
+
+HTML = (
+    "<html><body><div id='a'><p>one two three</p><p>four five</p></div>"
+    "<div><ul><li class='x'><a href='/1'>l1</a></li><li class='x'><a href='/2'>l2</a></li>"
+    "<li class='x'><a href='/3'>l3</a></li><li class='x'><a href='/4'>l4</a></li></ul></div>"
+    "<table><tr><td><b>cell</b></td></tr></table></body></html>"
+)
+
+
+def test_get_xpath_roundtrip():
+    root = parse_html(HTML)
+    p2 = xpath_eval(root, "//div[1]/p[2]")[0]
+    xp = get_xpath(p2)
+    assert xp == "/html/body/div[1]/p[2]"
+    assert xpath_eval(root, xp) == [p2]
+
+
+def test_gen_xpath_by_text():
+    root = parse_html(HTML)
+    xps = gen_xpath_by_text(root, "four five")
+    assert xps and xps[0] == "/html/body/div[1]/p[2]"
+
+
+def test_prune_by_tokens():
+    root = parse_html(HTML)
+    prune_by_tokens(root, 5)
+    total = default_token_count(root.text_content())
+    assert total <= 5
+    assert "one two three" in root.text_content()  # leftmost kept
+
+
+def test_prune_by_xpath_keeps_subtree_and_elides():
+    root = parse_html(HTML)
+    prune_by_xpath(root, ["//div[@id='a']"])
+    assert "one two three" in root.text_content()
+    assert "l1" not in root.text_content()
+    assert "..." in root.text_content()
+
+
+def test_remove_by_xpath():
+    root = parse_html(HTML)
+    remove_by_xpath(root, ["//ul"])
+    assert "l1" not in root.text_content()
+
+
+def test_prune_to_text_preserves_table_shape():
+    root = parse_html(HTML)
+    body = xpath_eval(root, "//body")[0]
+    prune_to_text(body)
+    assert xpath_eval(root, "//table//td")  # skeleton kept
+    assert not xpath_eval(root, "//b")  # inner markup collapsed
+    assert "cell" in root.text_content()
+
+
+def test_deduplicate_to_prune():
+    xps = ["/a/b", "/a/b/c", "/a/b[2]", "/a/x", "/a/xy"]
+    assert deduplicate_to_prune(xps) == ["/a/b", "/a/x", "/a/xy"]
+
+
+def test_repeated_subsequence_and_unique_structure():
+    assert find_most_repeated_subsequence(["a", "b", "a", "b", "c"])[2] >= 2
+    root = parse_html(HTML)
+    keep_unique_structure(root)
+    lis = xpath_eval(root, "//li")
+    assert len(lis) == 1  # repeated card structure collapsed to first
