@@ -149,3 +149,48 @@ def test_rule_eval_ranking(ray_session):
     assert len(best) == 1
     assert best.iloc[0]["xpath"] == "//h1"
     assert best.iloc[0]["f1"] == 1.0
+
+
+def test_csv_and_parquet_seed_readers(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from langscrape_ray.sources.readers import read_seeds_csv, read_seeds_parquet
+
+    csv_path = tmp_path / "seeds.csv"
+    csv_path.write_text(
+        "url,junk\nhttps://a.example/x,1\nhttps://b.example/d.PDF,2\n"
+        "https://c.example/y.pdf,3\n"
+    )
+    tbl = read_seeds_csv(str(csv_path))
+    assert tbl.column_names == ["url", "seed_order", "priority"]
+    assert tbl["seed_order"].to_pylist() == [0, 1, 2]
+    pdfs = read_seeds_csv(str(csv_path), pdf_only=True)
+    assert pdfs["url"].to_pylist() == [
+        "https://b.example/d.PDF",
+        "https://c.example/y.pdf",
+    ]
+
+    pq_path = tmp_path / "seeds.parquet"
+    pq.write_table(
+        pa.table({"url": ["https://z.example/1"], "priority": [3]}), str(pq_path)
+    )
+    t2 = read_seeds_parquet(str(pq_path))
+    assert t2["priority"].to_pylist() == [3]
+
+
+def test_reducers_semantics():
+    from langscrape_ray.kernel.reducers import (
+        merge_operators,
+        replace_with_id,
+        unique_merge,
+    )
+
+    left = [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    right = [{"id": 2, "v": "B"}, {"id": 3, "v": "c"}]
+    merged = replace_with_id(left, right)
+    assert merged == [{"id": 1, "v": "a"}, {"id": 2, "v": "B"}, {"id": 3, "v": "c"}]
+    ops = merge_operators(
+        [{"xpath": "/a", "op": "PRUNE"}], [{"xpath": "/a", "op": "EXTRACT"}]
+    )
+    assert ops == [{"xpath": "/a", "op": "EXTRACT"}]
+    assert unique_merge([1, 2], [2, 3, 1]) == [1, 2, 3]
