@@ -70,11 +70,14 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
 
 class MinHashSignatures:
     """k-permutation MinHash over word shingles (actor-pool stage: the
-    permutation coefficients are built once per actor).
+    permutation seeds are built once per actor).
 
-    Signature: s_i = min over shingles of (a_i * h(sh) + b_i) mod M; bands
-    of ``rows_per_band`` hashed to one bucket key each (Broder's minhash /
-    Indyk-Motwani LSH, standard construction)."""
+    Permutation i is a fixed 64-bit mixing function (splitmix-style avalanche
+    seeded per i) instead of the classical (a*h+b) mod prime — identical
+    collision behaviour for LSH purposes and fully vectorizable in uint64
+    (one (k, n_shingles) matrix min per doc; no Python bigint math).
+    Bands of ``num_perm // bands`` rows hash to one bucket key each
+    (Broder's minhash / banding LSH, standard construction)."""
 
     def __init__(self, num_perm: int = 64, shingle_len: int = 3, bands: int = 16):
         assert num_perm % bands == 0
@@ -82,8 +85,7 @@ class MinHashSignatures:
         self.shingle_len = shingle_len
         self.bands = bands
         rng = np.random.RandomState(0xC0FFEE)  # fixed — deterministic engine
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.seeds = rng.randint(1, 2**63 - 1, size=num_perm).astype(np.uint64)
 
     def shingles(self, text: str) -> List[int]:
         toks = _TOKEN_RE.findall(text.lower())
@@ -95,12 +97,13 @@ class MinHashSignatures:
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
         if not sh:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        hs = np.array(sh, dtype=object)  # python ints: exact mod-prime math
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            sig[i] = int(np.min((self.a[i] * hs + self.b[i]) % _MERSENNE))
-        return sig
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        hs = np.asarray(sh, dtype=np.uint64)[None, :]  # (1, n)
+        x = hs + self.seeds[:, None]  # (k, n) — uint64 wraps mod 2^64
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         """Emit (band_id, band_hash, doc_id) rows — the LSH explode."""
