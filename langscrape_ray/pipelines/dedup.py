@@ -135,17 +135,29 @@ def ngram_jaccard(text_a: str, text_b: str, shingle_len: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16) -> pd.DataFrame:
-    """LSH candidate pairs: shingle -> minhash -> band -> bucket groupby ->
-    within-bucket pairs, deduped.  Returns (doc_a, doc_b) with doc_a < doc_b."""
+def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                            n_parts: int = 64) -> pd.DataFrame:
+    """LSH candidate pairs: shingle -> minhash -> band -> bucket-hash
+    partition -> within-bucket pairs, deduped.  Buckets are co-located by
+    ``hash(band) % n_parts`` so the shuffle has n_parts coarse groups (one
+    vectorized pandas groupby each) instead of one task per bucket — Ray's
+    per-group map_groups overhead dominates otherwise.  Returns
+    (doc_a, doc_b) with doc_a < doc_b."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = [
+            int(h, 16) % n_parts for h in t["band_hash"].to_pylist()
+        ]
+        return t.append_column("bucket_part", pa.array(parts, pa.int32()))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"]):
+            ids = sorted(set(int(x) for x in grp["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
     cand = (
@@ -156,7 +168,8 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16) ->
             batch_format="pyarrow",
             concurrency=2,
         )
-        .groupby(["band_id", "band_hash"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("bucket_part")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
@@ -250,42 +263,49 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via 4-band bucketing
     (pigeonhole: <=3 differing bits leave one 16-bit band intact)."""
 
+    n_parts = 32
+
     def explode(t: pa.Table) -> pa.Table:
-        band_ids, band_vals, doc_ids, sims = [], [], [], []
+        band_ids, band_vals, doc_ids, sims, parts = [], [], [], [], []
         for doc_id, sig in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
             u = sig & 0xFFFFFFFFFFFFFFFF
             for b in range(4):
+                v = (u >> (16 * b)) & 0xFFFF
                 band_ids.append(b)
-                band_vals.append((u >> (16 * b)) & 0xFFFF)
+                band_vals.append(v)
                 doc_ids.append(doc_id)
                 sims.append(sig)
+                parts.append((b * 65536 + v) % n_parts)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_val": pa.array(band_vals, pa.int32()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "simhash": pa.array(sims, pa.int64()),
+                "bucket_part": pa.array(parts, pa.int32()),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(
-            set(zip((int(x) for x in g["doc_id"]), (int(s) for s in g["simhash"])))
-        )
         out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
+        for (_bid, _bv), grp in g.groupby(["band_id", "band_val"]):
+            rows = sorted(
+                set(zip((int(x) for x in grp["doc_id"]),
+                        (int(s) for s in grp["simhash"])))
+            )
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if d <= max_hamming:
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+                        out_d.append(d)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
 
     out = (
         simhash_signatures(sf_dir)
         .map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
+        .groupby("bucket_part")
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
