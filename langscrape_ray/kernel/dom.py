@@ -111,6 +111,17 @@ class Node:
     def get(self, attr: str) -> Optional[str]:
         return self.attrs.get(attr)
 
+    def copy_tree(self) -> "Node":
+        """Deep copy of this subtree (~10x cheaper than re-parsing the
+        serialized HTML with the pure-Python parser)."""
+        clone = Node(self.tag, dict(self.attrs))
+        for c in self.children:
+            if isinstance(c, Node):
+                clone.append(c.copy_tree())
+            else:
+                clone.children.append(c)  # str/Comment are immutable
+        return clone
+
     # -- serialize ------------------------------------------------------
     def serialize(self) -> str:
         out: List[str] = []

@@ -152,12 +152,14 @@ def _render(node: Node, parts: List[str]) -> None:
 def page_text(html_content: str | bytes) -> str:
     """The pages-table ``text`` column contract (the per-row invariant).
 
-    clean (M4/M5) -> html->text (M12) -> normalize per line (M13), newlines
-    preserved.  Byte-identical output is asserted by golden tests; both the
-    Ray engine and the oracle call this exact function.
+    clean (M4/M5, in-tree whitespace collapse) -> html->text (M12) ->
+    normalize per line (M13), newlines preserved.  Byte-identical output is
+    asserted by golden tests; both the Ray engine and the oracle call this
+    exact function.
     """
-    cleaned = clean_html_for_extraction(html_content)
-    text = html_to_text(cleaned)
+    from langscrape_ray.kernel.clean import cleaned_tree
+
+    text = html_to_text(cleaned_tree(html_content))
     lines = [normalize_text(ln) for ln in text.split("\n")]
     return "\n".join(ln for ln in lines if ln)
 

@@ -78,8 +78,18 @@ Step = Tuple[str, str, str, list]
 
 
 def compile_xpath(expr: str) -> List[Step]:
+    """Parse an xpath into steps.  Memoized (hot stages evaluate the same
+    four field xpaths for every page)."""
     if not isinstance(expr, str) or not expr.strip():
         raise XPathError("empty xpath")
+    return _compile_cached(expr)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=4096)
+def _compile_cached(expr: str) -> List[Step]:
     src = expr.strip()
     if not src.startswith("/"):
         src = "//" + src  # relative path == search from root (lxml-on-fragment analog)

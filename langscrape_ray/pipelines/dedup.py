@@ -229,18 +229,18 @@ class SimHashSignatures:
     4 x 16-bit bands (Hamming distance <= 3 guarantee)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        shifts = np.arange(64, dtype=np.uint64)
         sigs = []
         for text in t["text"].to_pylist():
             toks = _TOKEN_RE.findall(text.lower())
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = _h64(tok)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), 1, -1)
-            sig = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    sig |= 1 << bit
+            if not toks:
+                sigs.append(0)
+                continue
+            hs = np.fromiter((_h64(tok) for tok in toks), dtype=np.uint64)
+            # (n_toks, 64) bit matrix -> per-bit +-1 sums, fully vectorized
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             sigs.append(sig)
         out = pa.table(
             {
