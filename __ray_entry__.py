@@ -105,26 +105,12 @@ def entry() -> Any:
 def _crawl_extract(sf_dir: str) -> pd.DataFrame:
     """Crawl + extraction output (scalar projection of the extracted
     table; rows-only check — no SQL analog of the crawl)."""
-    import glob
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pq
-
-    crawl, seeds = _run_crawl(sf_dir)
-    with tempfile.TemporaryDirectory() as tmp:
-        crawl.out_dir = os.path.join(tmp, "out")
-        crawl.run(seeds)
-        files = sorted(glob.glob(os.path.join(tmp, "out", "**", "*.parquet"),
-                                 recursive=True))
-        if not files:
-            return pd.DataFrame(
-                columns=["url", "host", "seq", "text", "title", "author",
-                         "datetime", "n_outlinks", "used_fallback"]
-            )
-        import pyarrow as pa
-
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+    _res, t = _crawl_result(sf_dir)
+    if t is None:
+        return pd.DataFrame(
+            columns=["url", "host", "seq", "text", "title", "author",
+                     "datetime", "n_outlinks", "used_fallback"]
+        )
     df = t.to_pandas()
     for col in ("title", "author", "datetime"):
         df[col] = df[col].map(lambda v: "|".join(v))
@@ -133,29 +119,44 @@ def _crawl_extract(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _crawl_records(sf_dir: str) -> pd.DataFrame:
-    """Crawl -> extraction -> deterministic summarize/collate/validate tail
-    (reference lifecycle steps 5-7; rows-only)."""
-    import glob
-    import os
-    import tempfile
+_CRAWL_CACHE: dict = {}
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    import ray.data as rd
-    from langscrape_ray.stages.extract import SummarizeRecords
+def _crawl_result(sf_dir: str):
+    """Run the crawl once per sf_dir per process; the three crawl_* queries
+    share the result (trace + extracted parquet table)."""
+    key = _crawl_world_size(sf_dir)
+    if key not in _CRAWL_CACHE:
+        import glob
+        import os
+        import tempfile
 
-    crawl, seeds = _run_crawl(sf_dir)
-    with tempfile.TemporaryDirectory() as tmp:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        crawl, seeds = _run_crawl(sf_dir)
+        tmp = tempfile.mkdtemp(prefix="lsr_crawl_")
         crawl.out_dir = os.path.join(tmp, "out")
-        crawl.run(seeds)
+        res = crawl.run(seeds)
         files = sorted(
             glob.glob(os.path.join(tmp, "out", "**", "*.parquet"), recursive=True)
         )
-        if not files:
-            return pd.DataFrame(columns=["url", "is_valid_scheme", "summary_json"])
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+        extracted = (
+            pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+        )
+        _CRAWL_CACHE[key] = (res, extracted)
+    return _CRAWL_CACHE[key]
+
+
+def _crawl_records(sf_dir: str) -> pd.DataFrame:
+    """Crawl -> extraction -> deterministic summarize/collate/validate tail
+    (reference lifecycle steps 5-7; rows-only)."""
+    import ray.data as rd
+    from langscrape_ray.stages.extract import SummarizeRecords
+
+    _res, t = _crawl_result(sf_dir)
+    if t is None:
+        return pd.DataFrame(columns=["url", "is_valid_scheme", "summary_json"])
     chunks = [t.slice(off, 512) for off in range(0, t.num_rows, 512)]
     out = (
         rd.from_arrow(chunks)
@@ -170,8 +171,7 @@ def _crawl_records(sf_dir: str) -> pd.DataFrame:
 
 
 def _crawl_trace(sf_dir: str) -> pd.DataFrame:
-    crawl, seeds = _run_crawl(sf_dir)
-    res = crawl.run(seeds)
+    res, _t = _crawl_result(sf_dir)
     return pd.DataFrame(
         res["trace_fetched"],
         columns=["seq", "url", "host", "round", "fetch_ms", "priority", "order_key"],

@@ -97,12 +97,24 @@ class PagesStore:
             by_shard: List[List[int]] = [[] for _ in range(K)]
             for i, u in enumerate(urls):
                 by_shard[url_hash64(u) % K].append(i)
-            refs = []
-            for rows in by_shard:
-                shard = tbl.take(pa.array(rows, pa.int64())).combine_chunks()
+
+            # build shards in parallel Ray tasks (a serial driver-side
+            # build of a multi-GB store took minutes); the task RETURN
+            # values live in the object store and serve as the broadcast
+            # refs directly
+            tbl_ref = ray.put(tbl)
+
+            @ray.remote
+            def build_shard(rows):
+                t = ray.get(tbl_ref)
+                shard = t.take(pa.array(rows, pa.int64())).combine_chunks()
                 index = {u: j for j, u in enumerate(shard["url"].to_pylist())}
-                refs.append((ray.put(shard), ray.put(index)))
-            self._refs = refs
+                return shard, index
+
+            # the task-return ObjectRefs ARE the broadcast handles (driver
+            # owns them; nothing is pulled back to the driver)
+            self._refs = [build_shard.remote(rows) for rows in by_shard]
+            ray.wait(self._refs, num_returns=len(self._refs))
         return self._refs
 
     def fetch_with_meta(self, meta_tbl: pa.Table, chunk_rows: int = 256) -> rd.Dataset:
@@ -160,9 +172,7 @@ class PagesStore:
                 return batch.append_column("warc_ts", pa.array([], pa.timestamp("us")))
             # every row in this chunk belongs to one shard by construction
             sid = url_hash64(batch["url"][0].as_py()) % K
-            shard_ref, idx_ref = refs[sid]
-            tbl = ray.get(shard_ref)  # zero-copy arrow slice from plasma
-            idx = ray.get(idx_ref)
+            tbl, idx = ray.get(refs[sid])  # arrow slice: zero-copy from plasma
             rows = [idx.get(u, -1) for u in batch["url"].to_pylist()]
             keep = [i for i, r in enumerate(rows) if r >= 0]
             if not keep:

@@ -31,7 +31,7 @@ from langscrape_ray.kernel.extract import (
     fallback_fields,
     html_to_text,
 )
-from langscrape_ray.kernel.textops import collapse_whitespace, normalize_text
+from langscrape_ray.kernel.textops import normalize_text
 
 FIELDS = ("article_body", "title", "author", "datetime")
 
