@@ -75,6 +75,41 @@ def _clean(node: Node) -> None:
             del node.attrs["src"]
 
 
+def clean_tree_deep(root: Node, deep: bool = False) -> Node:
+    """The etree-variant cleaner (SURVEY.md §2.2 M6,
+    /root/reference/feilian/etree_tools.py:174-236): in addition to the
+    soup-variant rules it removes <head>/<title> wholesale and any element
+    whose inline style contains display:none; the attr whitelist narrows to
+    {class, id}.  With ``deep=True`` it also drops <img> elements, empty
+    nodes, and ALL attributes.  In-place."""
+    for node in list(root.iter_post()):
+        if node.tag == "#document":
+            continue
+        if node.tag in INTERACTIVE_ELEMENTS or node.tag in ("head", "title"):
+            node.detach()
+            continue
+        style = node.attrs.get("style") or ""
+        if "display:none" in style.replace(" ", ""):
+            node.detach()
+            continue
+        if deep and node.tag == "img":
+            node.detach()
+            continue
+        if node.tag != "img" and node.text_content().strip() == "":
+            node.detach()
+            continue
+        if deep:
+            node.attrs = {}
+        elif node.attrs:
+            node.attrs = {k: node.attrs[k] for k in ("class", "id") if k in node.attrs}
+    # comments
+    for node in root.iter():
+        for child in list(node.children):
+            if isinstance(child, Comment):
+                node.remove_child(child)
+    return root
+
+
 def decode_url_attrs(root: Node) -> Node:
     """Percent-decode href/src attributes over the whole tree.
 

@@ -91,3 +91,53 @@ def test_crawl_resume_identical(ray_session, small_cfg, small_world, tmp_path_fa
     assert res2["trace_fetched"] == full_res["trace_fetched"]
     assert res2["seen_size"] == full_res["seen_size"]
     assert res2["counters"] == full_res["counters"]
+
+
+def test_crawl_matches_oracle_deferred_heavy(ray_session, small_cfg, small_world):
+    """Tight politeness budget (2/host/round, 5 rounds): the deferred
+    backlog dominates — exercises the actor-resident queue ordering across
+    rounds against the oracle."""
+    pages, seeds, robots = small_world
+    policy = CrawlPolicy(max_per_host_per_round=2, max_rounds=5)
+    otrace, oseen = oracle_crawl(
+        _seedlist(seeds), pages_dict(pages), robots_dict(robots), policy
+    )
+    crawl = _make_crawl(small_cfg, pages, robots, policy)
+    res = crawl.run(seeds)
+    ofetched = [(r["seq"], r["url"]) for r in otrace if r["status"] == "fetched"]
+    rfetched = [(r["seq"], r["url"]) for r in res["trace_fetched"]]
+    assert rfetched == ofetched
+    assert res["seen_size"] == len(oseen)
+    oc = collections.Counter(r["status"] for r in otrace)
+    for key in ("rejected", "deduped", "fetched", "deferred"):
+        assert res["counters"].get(key, 0) == oc.get(key, 0), key
+
+
+def test_resume_ignores_incomplete_round_dir(ray_session, small_cfg, small_world,
+                                             tmp_path_factory):
+    """An interrupted round (dir without the _COMPLETE sentinel) must be
+    ignored: resume restarts from the last COMPLETE round and still produces
+    the uninterrupted result."""
+    import os
+    import shutil
+
+    pages, seeds, robots = small_world
+    full = _make_crawl(small_cfg, pages, robots, CrawlPolicy(max_rounds=3))
+    full_res = full.run(seeds)
+
+    ck = str(tmp_path_factory.mktemp("crawl_ckpt2"))
+    partial = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=1), ckpt_dir=ck
+    )
+    partial.run(seeds)
+    # simulate a crash mid-round-1: a round dir exists but no _COMPLETE
+    crashed = os.path.join(ck, "round=0001")
+    shutil.copytree(os.path.join(ck, "round=0000"), crashed)
+    os.remove(os.path.join(crashed, "_COMPLETE"))
+
+    resumed = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=3), ckpt_dir=ck
+    )
+    res2 = resumed.run(seeds, resume=True)
+    assert res2["trace_fetched"] == full_res["trace_fetched"]
+    assert res2["counters"] == full_res["counters"]

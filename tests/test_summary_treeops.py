@@ -138,3 +138,46 @@ def test_repeated_subsequence_and_unique_structure():
     keep_unique_structure(root)
     lis = xpath_eval(root, "//li")
     assert len(lis) == 1  # repeated card structure collapsed to first
+
+
+def test_css_selectors():
+    from langscrape_ray.kernel.css import CssError, extract_text_by_css, select
+
+    root = parse_html(
+        "<div id='main' class='wrap outer'><p class='lead big'>Hello</p>"
+        "<p>world</p></div><div class='wrap'><span class='lead'>x</span></div>"
+    )
+    assert [n.text_content() for n in select(root, "p")] == ["Hello", "world"]
+    assert [n.text_content() for n in select(root, ".lead")] == ["Hello", "x"]
+    assert [n.text_content() for n in select(root, "p.lead")] == ["Hello"]
+    assert [n.text_content() for n in select(root, "#main p")] == ["Hello", "world"]
+    assert [n.text_content() for n in select(root, "div.wrap span.lead")] == ["x"]
+    assert select(root, "#nope") == []
+    assert extract_text_by_css(root, "#main") == ["Hello\nworld"]
+    import pytest as _pytest
+
+    with _pytest.raises(CssError):
+        select(root, "p > span")  # child combinator unsupported
+
+
+def test_clean_tree_deep_variant():
+    from langscrape_ray.kernel.clean import clean_tree_deep
+
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<div style='display: none'>hidden</div>"
+        "<p class='x' data-z='1' id='p1'>keep</p><img src='x' alt='a'>"
+        "<div></div></body></html>"
+    )
+    root = parse_html(html)
+    clean_tree_deep(root)
+    assert "hidden" not in root.text_content()
+    assert "T" not in root.text_content()  # head/title removed (etree variant)
+    p = xpath_eval(root, "//p")[0]
+    assert set(p.attrs) == {"class", "id"}  # narrowed whitelist
+    assert xpath_eval(root, "//img")  # img kept when deep=False
+
+    root2 = parse_html(html)
+    clean_tree_deep(root2, deep=True)
+    assert not xpath_eval(root2, "//img")
+    assert xpath_eval(root2, "//p")[0].attrs == {}
