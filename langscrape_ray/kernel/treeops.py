@@ -284,3 +284,123 @@ def keep_unique_structure(node: Node) -> Node:
     for c in node.element_children():
         keep_unique_structure(c)
     return node
+
+
+# ---------------------------------------------------------------------------
+# F7: token-tree weighted fragment mining
+# ---------------------------------------------------------------------------
+
+_F7_CONTAINER = frozenset({"table", "ul", "ol", "section", "article"})
+_F7_INLINE = frozenset(
+    {
+        "a", "abbr", "b", "bdo", "big", "br", "button", "cite", "code", "dfn",
+        "em", "i", "img", "input", "kbd", "label", "q", "samp", "small",
+        "span", "strong", "sub", "sup", "textarea", "time", "tt", "var",
+    }
+)
+
+
+class TokenTreeNode:
+    """Per-element token stats (SURVEY.md §2.9 F7; semantics of the
+    reference's token tree, /root/reference/feilian/etree_token_stats.py:
+    build_token_tree:177-192, reweighing:83-123).
+
+    weight = depth/max_depth + tanh(tokens/total_tokens) + width/max_width
+             + element_weight(tag-class rules); zeroed outside the
+             [min_tokens, max_tokens] band."""
+
+    __slots__ = ("node", "depth", "text_tokens", "width", "weight", "children")
+
+    def __init__(self, node: Node, depth: int,
+                 token_count: Callable[[str], int] = default_token_count):
+        self.node = node
+        self.depth = depth
+        self.width = len(node.element_children())
+        self.text_tokens = token_count(node.text_content())
+        self.weight = 0.0
+        self.children = [
+            TokenTreeNode(c, depth + 1, token_count)
+            for c in node.element_children()
+        ]
+
+    def iter(self):
+        yield self
+        for c in self.children:
+            yield from c.iter()
+
+    def reweigh(self, max_depth: int, max_width: int, total_tokens: int,
+                max_tokens: int, min_tokens: int) -> None:
+        import math
+
+        tag = self.node.tag.lower()
+        has_class = bool(self.node.attrs.get("class"))
+        element_weight = 0.6
+        if tag in _F7_INLINE:
+            element_weight = 0.7 if has_class else 0.4
+        elif tag in _F7_CONTAINER:
+            element_weight = 1.0 if has_class else 0.9
+        elif tag == "div" and has_class:
+            element_weight = 0.8
+        weight = (
+            self.depth / max(1, max_depth)
+            + math.tanh(self.text_tokens / max(1, total_tokens))
+            + self.width / max(1, max_width)
+            + element_weight
+        )
+        if self.text_tokens < min_tokens or self.text_tokens > max_tokens:
+            weight = 0.0
+        self.weight = weight
+        for c in self.children:
+            c.reweigh(max_depth, max_width, total_tokens, max_tokens, min_tokens)
+
+
+def build_token_tree(root: Node,
+                     token_count: Callable[[str], int] = default_token_count
+                     ) -> TokenTreeNode:
+    return TokenTreeNode(root, 0, token_count)
+
+
+def extract_fragments_by_weight(
+    root: Node,
+    max_fragments: int = 4,
+    max_tokens: int = 512,
+    min_tokens: int = 16,
+    token_count: Callable[[str], int] = default_token_count,
+) -> List[str]:
+    """Iterative heaviest-fragment extraction (reference
+    extract_fragments_by_weight:238-268): reweigh, take the heaviest node's
+    xpath, zero its subtree (and ancestors' token credit), repeat.  Returns
+    fragment xpaths in extraction order."""
+    tree = build_token_tree(root, token_count)
+    nodes = list(tree.iter())
+    if not nodes:
+        return []
+    max_depth = max(n.depth for n in nodes)
+    max_width = max(n.width for n in nodes)
+    total = max(1, tree.text_tokens)
+    tree.reweigh(max_depth, max_width, total, max_tokens, min_tokens)
+
+    taken: List[str] = []
+    taken_ids: set = set()
+    for _ in range(max_fragments):
+        best = None
+        for n in tree.iter():
+            if id(n.node) in taken_ids or n.weight <= 0:
+                continue
+            # skip nodes inside an already-taken fragment
+            cur = n.node.parent
+            inside = False
+            while cur is not None:
+                if id(cur) in taken_ids:
+                    inside = True
+                    break
+                cur = cur.parent
+            if inside:
+                continue
+            if best is None or n.weight > best.weight:
+                best = n
+        if best is None:
+            break
+        taken.append(get_xpath(best.node))
+        taken_ids.add(id(best.node))
+    return taken

@@ -9,9 +9,10 @@ sequential per-URL loop, /root/reference/scripts/run.py:63-98):
                                  actors (min order_key wins; associative +
                                  idempotent, so retry- and order-safe) — no
                                  groupby(url_hash) all-to-all
-    R3 politeness scheduling     groupby(host) map_groups with virtual-time
-                                 host clocks (politeness.py contract) — THE
-                                 one shuffle per round
+    R3 politeness scheduling     INSIDE the host-affine shard actors: the
+                                 per-host priority queues + virtual clocks
+                                 live with the seen-set; the actor routing
+                                 is the (only) data exchange per round
     R4 fetch (simulated)         shard-partitioned broadcast lookup against
                                  the pages store (or filtered parquet read)
     R5 extract                   vectorized stateless map_batches tasks
@@ -481,11 +482,3 @@ class RayCrawl:
         }
         write_round_checkpoint(self.ckpt_dir, rnd, manifest, None, shard_states)
 
-
-def _to_table(ds: rd.Dataset) -> pa.Table:
-    """Materialize a (small, bounded) dataset to one Arrow table."""
-    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
-    nonempty = [t for t in tables if t.num_rows]
-    if not nonempty:
-        return tables[0] if tables else pa.table({})
-    return pa.concat_tables(nonempty, promote_options="default")

@@ -181,3 +181,34 @@ def test_clean_tree_deep_variant():
     clean_tree_deep(root2, deep=True)
     assert not xpath_eval(root2, "//img")
     assert xpath_eval(root2, "//p")[0].attrs == {}
+
+
+def test_token_tree_fragment_mining():
+    from langscrape_ray.kernel.treeops import (
+        build_token_tree,
+        extract_fragments_by_weight,
+    )
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/'>home</a></nav>"
+        "<section class='article-body'>"
+        + "".join(f"<p>{'word ' * 30}p{i}</p>" for i in range(4))
+        + "</section>"
+        "<ul class='cards'>" + "".join(f"<li>item {i} text here</li>" for i in range(6))
+        + "</ul>"
+        "<footer><span>tiny</span></footer>"
+        "</body></html>"
+    )
+    root = parse_html(html)
+    tree = build_token_tree(root)
+    assert tree.text_tokens > 100
+    frags = extract_fragments_by_weight(root, max_fragments=2, max_tokens=200,
+                                        min_tokens=10)
+    assert 1 <= len(frags) <= 2
+    # the heavy classed container (article body) should be mined first
+    assert any("section" in f or "ul" in f for f in frags)
+    # fragments must not nest inside each other
+    for i, a in enumerate(frags):
+        for b in frags[i + 1 :]:
+            assert not b.startswith(a) and not a.startswith(b)
