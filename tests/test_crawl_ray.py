@@ -141,3 +141,20 @@ def test_resume_ignores_incomplete_round_dir(ray_session, small_cfg, small_world
     res2 = resumed.run(seeds, resume=True)
     assert res2["trace_fetched"] == full_res["trace_fetched"]
     assert res2["counters"] == full_res["counters"]
+
+
+def test_crawl_cuckoo_only_mode(ray_session, small_cfg, small_world):
+    """exact_audit=False: membership is the cuckoo filter alone (the
+    10^10-scale memory configuration).  With its ~1e-4 FP rate the result
+    should still match the oracle at this scale; allow a tiny FP budget so
+    the test is not flaky by construction."""
+    pages, seeds, robots = small_world
+    policy = CrawlPolicy(max_rounds=3)
+    otrace, oseen = oracle_crawl(
+        _seedlist(seeds), pages_dict(pages), robots_dict(robots), policy
+    )
+    crawl = _make_crawl(small_cfg, pages, robots, policy, exact_audit=False)
+    res = crawl.run(seeds)
+    n_oracle = sum(1 for r in otrace if r["status"] == "fetched")
+    assert abs(res["counters"]["fetched"] - n_oracle) <= 2
+    assert abs(res["seen_size"] - len(oseen)) <= 2
