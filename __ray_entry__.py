@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_sample": analytics.q_grouped_sample,
         "q_distinct_union": analytics.q_distinct_union,
         "q_supplier_balance": analytics.q_supplier_balance_by_nation,
+        "q_event_users": analytics.q_event_users,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
         "fingerprint": textstats.fingerprint,
@@ -205,7 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
         "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
-        # language id (rows-only heuristic)
+        # language id (stopword-overlap heuristic — SQL-oracled: the
+        # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
         "token_histogram": textstats.token_histogram,  # SQL-oracled
         # flagship crawl (rows-only: no SQL analog)
@@ -350,6 +352,32 @@ def oracle_sql() -> dict[str, str]:
                        FROM sims)
             SELECT query_id, neighbor_id, rank FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q_event_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_distinct(array_slice(
+                       string_split_regex(lower(trim(text)), '\\s+'), 1, 200))
+                       AS ws
+              FROM documents),
+            counts AS (
+              SELECT doc_id, lang,
+                len(list_filter(ws, w -> w IN ('der','die','das','und','ein','eine','zu','den','von','mit'))) AS c_de,
+                len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','for','on'))) AS c_en,
+                len(list_filter(ws, w -> w IN ('el','la','de','que','y','en','un','una','los','del'))) AS c_es,
+                len(list_filter(ws, w -> w IN ('le','la','de','et','un','une','les','des','du','est'))) AS c_fr
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                        WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                        WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM counts ORDER BY doc_id
         """,
         "token_histogram": f"""
             WITH t AS (SELECT {n_tokens_sql} AS n_tokens FROM documents)

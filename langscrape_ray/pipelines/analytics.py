@@ -351,3 +351,20 @@ def q_supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     )
     agg["total_acctbal"] = agg["bal_c"] / 100.0
     return agg[["n_name", "n_suppliers", "total_acctbal"]]
+
+
+def q_event_users(sf_dir: str) -> pd.DataFrame:
+    """Count-distinct shape: distinct users per event_type — implemented as
+    two grouped passes (pair-dedup groupby, then count per type); Ray Data
+    has no count-distinct aggregate, this IS the scale pattern."""
+    pairs = (
+        _read(sf_dir, "events", columns=["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("event_type")
+        .to_pandas()
+    )
