@@ -133,9 +133,16 @@ def collapse_tree_whitespace(root: Node) -> Node:
     import re as _re
 
     ws = _re.compile(r"\s+")
+    # only rewrite nodes that actually need it: a run of 2+ whitespace, or
+    # any whitespace character that isn't a plain space
+    needs = _re.compile(r"\s{2,}|[^\S ]")
     for node in root.iter():
         for i, c in enumerate(node.children):
-            if isinstance(c, str) and not isinstance(c, Comment):
+            if (
+                isinstance(c, str)
+                and not isinstance(c, Comment)
+                and needs.search(c) is not None
+            ):
                 node.children[i] = ws.sub(" ", c)
     return root
 
