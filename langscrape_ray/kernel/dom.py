@@ -74,11 +74,15 @@ class Node:
         return [c for c in self.children if isinstance(c, Node)]
 
     def iter(self) -> Iterator["Node"]:
-        """Pre-order element iteration including self."""
-        yield self
-        for c in self.children:
-            if isinstance(c, Node):
-                yield from c.iter()
+        """Pre-order element iteration including self (iterative: recursion
+        via generators showed up in kernel profiles)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(
+                c for c in reversed(node.children) if isinstance(c, Node)
+            )
 
     def iter_post(self) -> Iterator["Node"]:
         """Post-order element iteration including self (children first).
@@ -94,19 +98,19 @@ class Node:
     # -- text -----------------------------------------------------------
     def text_content(self) -> str:
         """Concatenated descendant text (lxml ``text_content()`` semantics,
-        used at /root/reference/langscrape/html/xpath_extractor.py:80)."""
+        used at /root/reference/langscrape/html/xpath_extractor.py:80).
+        Iterative: this is the kernel's hottest call."""
         parts: List[str] = []
-        self._collect_text(parts)
-        return "".join(parts)
-
-    def _collect_text(self, parts: List[str]) -> None:
-        for c in self.children:
-            if isinstance(c, Comment):
+        stack: List[object] = [self]
+        while stack:
+            item = stack.pop()
+            if isinstance(item, str):
+                if not isinstance(item, Comment):
+                    parts.append(item)
                 continue
-            if isinstance(c, Node):
-                c._collect_text(parts)
-            else:
-                parts.append(c)
+            # Node: push children reversed so pops come in document order
+            stack.extend(reversed(item.children))
+        return "".join(parts)
 
     def get(self, attr: str) -> Optional[str]:
         return self.attrs.get(attr)
