@@ -179,7 +179,13 @@ def _crawl_trace(sf_dir: str) -> pd.DataFrame:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from langscrape_ray.pipelines import analytics, dedup, similarity, textstats
+    from langscrape_ray.pipelines import (
+        analytics,
+        dedup,
+        similarity,
+        tables,
+        textstats,
+    )
 
     return {
         # relational / windowed analytics (SQL-oracled)
@@ -203,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_dedup,      # rows-only (LSH)
         "dedup_simhash": dedup.simhash_neardup_pairs,  # rows-only
         "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
+        "dedup_embedding_lsh": dedup.embedding_neardup_lsh,  # rows-only (LSH scale path)
         # similarity search
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
         "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
@@ -210,6 +217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
         "token_histogram": textstats.token_histogram,  # SQL-oracled
+        # F9 table extraction shape stats (SQL-oracled closed form over the
+        # deterministic planted-table rule; the Ray side runs the real
+        # parse + extract_tables_recursive kernel)
+        "table_stats": tables.table_stats,
         # flagship crawl (rows-only: no SQL analog)
         "crawl_trace": _crawl_trace,
         "crawl_extract": _crawl_extract,
@@ -379,11 +390,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS pred_lang
             FROM counts ORDER BY doc_id
         """,
+        "table_stats": """
+            WITH tops AS (
+              SELECT d.doc_id, t.j, 2 * ((d.doc_id + t.j) % 2) AS c,
+                     CASE WHEN (d.doc_id + t.j) % 3 != 0 THEN 1 ELSE 0 END
+                         AS has_cap
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS j) t
+            )
+            SELECT doc_id,
+                   count(*) AS n_top,
+                   CAST(sum(c) AS BIGINT) AS n_nested,
+                   CAST(CASE WHEN max(c) > 0 THEN 2 ELSE 1 END AS BIGINT)
+                       AS depth,
+                   CAST(sum(CASE WHEN c > 0 THEN c ELSE 1 END) AS BIGINT)
+                       AS n_leaves,
+                   CAST(sum(has_cap) AS BIGINT) AS n_caps
+            FROM tops GROUP BY doc_id ORDER BY doc_id
+        """,
         "token_histogram": f"""
             WITH t AS (SELECT {n_tokens_sql} AS n_tokens FROM documents)
             SELECT n_tokens // 32 * 32 AS token_bin,
                    count(*) AS n_docs,
-                   sum(n_tokens) * 100 // count(*) AS avg_tokens_e2
+                   CAST(sum(n_tokens) * 100 // count(*) AS BIGINT) AS avg_tokens_e2
             FROM t GROUP BY 1 ORDER BY 1
         """,
     }

@@ -92,52 +92,53 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Join shape: broadcast small side (orders) into the lineitem scan,
-    then groupby + top-10 sort (broadcast hash join — no all-to-all)."""
+def q3_top_orders(sf_dir: str, n_parts: int = None) -> pd.DataFrame:
+    """Top-10 orders by revenue — reduced-side hash join.
+
+    Scale shape: lineitem is pre-aggregated per l_orderkey inside the scan
+    (partial Sum combines per block before the shuffle), shrinking the big
+    side to one row per order BEFORE joining; the join is then a
+    co-partitioned ``Dataset.join`` of two order-cardinality sides — no
+    side is broadcast or pulled to the driver (round 1 shipped the whole
+    orders table via ray.put; at 100x that side is not broadcastable).
+    After the join each block keeps only its local top-10 so the global
+    sort sees ~10 x n_blocks rows."""
+    if n_parts is None:
+        from langscrape_ray.pipelines.dedup import _join_parts
+
+        n_parts = _join_parts(8)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
     lineitem = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    odf = orders.to_pandas().sort_values("o_orderkey")
-    import numpy as np
 
-    odates_ref = ray.put(
-        (
-            odf["o_orderkey"].to_numpy(),
-            odf["o_orderdate"].to_numpy(),  # datetime64[us] array
+    def prep(t: pa.Table) -> pa.Table:
+        rev_e4 = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
         )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+
+    per_order = (
+        lineitem.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
     )
 
-    class JoinOrders:
-        """Vectorized broadcast join: np.searchsorted against the sorted
-        key array instead of a per-row dict lookup (SURVEY.md §2.4)."""
-
-        def __init__(self, ref):
-            self.keys, self.dates = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lk = np.asarray(t["l_orderkey"])
-            pos = np.searchsorted(self.keys, lk)
-            pos_c = np.clip(pos, 0, len(self.keys) - 1)
-            hit = self.keys[pos_c] == lk
-            rev_e4 = pc.multiply(
-                _cents(t["l_extendedprice"]),
-                pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
-            )
-            t = pa.table(
-                {
-                    "l_orderkey": t["l_orderkey"],
-                    "o_orderdate": pa.array(self.dates[pos_c], pa.timestamp("us")),
-                    "rev_e4": rev_e4,
-                }
-            )
-            return t.filter(pa.array(hit))
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(10, t.num_rows),
+            sort_keys=[("rev_e4", "descending"), ("l_orderkey", "ascending")],
+        )
+        return t.take(idx)
 
     out = (
-        lineitem.map_batches(JoinOrders(odates_ref), batch_format="pyarrow")
-        .groupby(["l_orderkey", "o_orderdate"])
-        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        joined.map_batches(local_top, batch_format="pyarrow")
         .sort(["rev_e4", "l_orderkey"], descending=[True, False])
         .limit(10)
         .to_pandas()

@@ -204,6 +204,7 @@ class RayCrawl:
         ckpt_dir: Optional[str] = None,
         exact_audit: bool = True,
         extract_concurrency: Optional[int] = None,
+        trace_dir: Optional[str] = None,
     ):
         self.pages = pages
         self.policy = policy or CrawlPolicy()
@@ -236,7 +237,21 @@ class RayCrawl:
             for i in range(num_shards)
         ]
         self.counters: Dict[str, int] = {}
-        self.trace_fetched: List[dict] = []
+        # Append-only per-round trace parquet (replaces the round-1
+        # driver-resident trace list + its re-serialization into every
+        # manifest: O(total_urls) driver state and O(rounds x total)
+        # checkpoint bytes — the one genuine scale-killer in the flagship).
+        # Driver state is now counters + next_seq only; the full trace is
+        # assembled from the round files only when a caller asks for it.
+        if trace_dir is None:
+            if ckpt_dir:
+                trace_dir = os.path.join(ckpt_dir, "trace")
+            else:
+                import tempfile
+
+                trace_dir = tempfile.mkdtemp(prefix="lsr_trace_")
+        self.trace_dir = trace_dir
+        os.makedirs(self.trace_dir, exist_ok=True)
         self._seq = 0
         self._frontier_rows = 0  # rows in the current round's new frontier
         self.phase_sec: Dict[str, float] = {}
@@ -276,7 +291,6 @@ class RayCrawl:
                     self.ckpt_dir, last
                 )
                 self.counters = {k: int(v) for k, v in manifest["counters"].items()}
-                self.trace_fetched = manifest["trace_fetched"]
                 self._seq = int(manifest["next_seq"])
                 self._frontier_rows = int(manifest.get("next_frontier_rows", 0))
                 if shard_states:
@@ -289,6 +303,16 @@ class RayCrawl:
                 start_round = last + 1
                 nf_path = manifest.get("next_frontier_path")
                 frontier = rd.read_parquet(nf_path) if nf_path else None
+                # drop any trace file an interrupted round left behind —
+                # the re-run rewrites it (deterministically identical), but
+                # a round that re-runs to zero fetches writes nothing and
+                # a stale file would corrupt the assembled trace
+                for name in os.listdir(self.trace_dir):
+                    if (
+                        name.startswith("round=")
+                        and int(name.split("=")[1].split(".")[0]) >= start_round
+                    ):
+                        os.unlink(os.path.join(self.trace_dir, name))
 
         rnd = start_round
         while rnd < self.policy.max_rounds:
@@ -302,10 +326,52 @@ class RayCrawl:
         return {
             "rounds": rnd,
             "counters": dict(self.counters),
-            "trace_fetched": list(self.trace_fetched),
+            # assembled lazily from the per-round parquet files; the crawl
+            # loop itself never holds the trace in driver memory
+            "trace_fetched": self.read_trace(),
+            "trace_dir": self.trace_dir,
             "seen_size": sum(ray.get([s.size.remote() for s in self.shards])),
             "out_dir": self.out_dir,
         }
+
+    # ------------------------------------------------------------------
+    def _write_round_trace(self, rnd: int, fetch_pd: pd.DataFrame,
+                           seqs: List[int]) -> None:
+        """Append the round's (small, budget-bounded) trace as one parquet
+        file, atomically (tmp + rename) so interrupted-round re-runs
+        overwrite cleanly."""
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "url": pa.array(fetch_pd["canon_url"].tolist(), pa.string()),
+                "host": pa.array(fetch_pd["host"].tolist(), pa.string()),
+                "round": pa.array([rnd] * len(seqs), pa.int64()),
+                "fetch_ms": pa.array(fetch_pd["fetch_ms"].astype("int64")),
+                "priority": pa.array(fetch_pd["priority"].astype("int64")),
+                "order_key": pa.array(fetch_pd["order_key"].astype("int64")),
+            }
+        )
+        path = os.path.join(self.trace_dir, f"round={rnd:04d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    def read_trace(self) -> List[dict]:
+        """Read the full fetched trace back from the round files (small
+        result at test scale; at 10^10-URL scale callers read the parquet
+        directory as a Dataset instead of this list-of-dicts view)."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            os.path.join(self.trace_dir, f)
+            for f in os.listdir(self.trace_dir)
+            if f.startswith("round=") and f.endswith(".parquet")
+        )
+        if not files:
+            return []
+        return pa.concat_tables([pq.read_table(f) for f in files]).to_pylist()
 
     # ------------------------------------------------------------------
     def _run_round(
@@ -369,21 +435,7 @@ class RayCrawl:
         n_fetch = len(fetch_pd)
         seqs = list(range(self._seq, self._seq + n_fetch))
         self._seq += n_fetch
-        self.trace_fetched.extend(
-            {
-                "seq": s,
-                "url": u,
-                "host": h,
-                "round": rnd,
-                "fetch_ms": int(ms),
-                "priority": int(p),
-                "order_key": int(o),
-            }
-            for s, u, h, ms, p, o in zip(
-                seqs, fetch_pd["canon_url"], fetch_pd["host"],
-                fetch_pd["fetch_ms"], fetch_pd["priority"], fetch_pd["order_key"],
-            )
-        )
+        self._write_round_trace(rnd, fetch_pd, seqs)
         _t = self._tick("schedule", _t)
 
         # ---- R4/R5: fetch + extract --------------------------------------
@@ -468,10 +520,12 @@ class RayCrawl:
             nf_path = os.path.join(self.ckpt_dir, f"frontier_round={rnd + 1:04d}")
             next_frontier.write_parquet(nf_path)
         shard_states = ray.get([s.snapshot.remote() for s in self.shards])
+        # counters + next_seq + lineage only — NO trace payload: the trace
+        # lives in append-only per-round parquet, so manifest size is O(1)
+        # per round instead of O(total urls crawled so far)
         manifest = {
             "round": rnd,
             "counters": dict(self.counters),
-            "trace_fetched": list(self.trace_fetched),
             "next_seq": self._seq,
             "next_frontier_path": nf_path,
             "next_frontier_rows": self._frontier_rows,

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -40,8 +40,14 @@ def _h64(s: str) -> int:
 
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Representative per exact-text group: (doc_id=min, n_dups) —
-    hash-partition on content hash + per-group first (SURVEY.md §2.7 D1 →
-    groupby(hash).first).  SQL oracle: GROUP BY text."""
+    hash-partition on content hash + vectorized shuffle aggregate
+    (SURVEY.md §2.7 D1).  SQL oracle: GROUP BY text.
+
+    Scale note: ``groupby(hash).aggregate(Min, Count)`` — NOT map_groups —
+    because at corpus scale every distinct document is its own group and
+    per-group Python callbacks dominate; Min/Count combine inside each
+    block before the shuffle, so only (hash, min, count) partials move."""
+    from ray.data.aggregate import Count, Min
 
     def add_hash(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
@@ -49,18 +55,20 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
             {"doc_id": t["doc_id"], "text_hash": pa.array(hs, pa.string())}
         )
 
-    def rep(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].min())], "n_dups": [int(len(g))]}
-        )
-
-    return (
+    out = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_hash")
-        .map_groups(rep, batch_format="pandas")
-        .sort("doc_id")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+        )
         .to_pandas()
+    )
+    return (
+        out[["doc_id", "n_dups"]]
+        .astype({"doc_id": "int64", "n_dups": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
 
 
@@ -135,14 +143,19 @@ def ngram_jaccard(text_a: str, text_b: str, shingle_len: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                            n_parts: int = 64) -> pd.DataFrame:
-    """LSH candidate pairs: shingle -> minhash -> band -> bucket-hash
-    partition -> within-bucket pairs, deduped.  Buckets are co-located by
-    ``hash(band) % n_parts`` so the shuffle has n_parts coarse groups (one
-    vectorized pandas groupby each) instead of one task per bucket — Ray's
-    per-group map_groups overhead dominates otherwise.  Returns
-    (doc_a, doc_b) with doc_a < doc_b."""
+def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                               n_parts: int = 64) -> rd.Dataset:
+    """LSH candidate pairs as a Dataset: shingle -> minhash -> band ->
+    bucket-hash partition -> within-bucket pairs -> pair-key dedup.
+
+    Buckets are co-located by ``hash(band) % n_parts`` so the shuffle has
+    n_parts coarse groups (one vectorized pandas groupby each) instead of
+    one task per bucket — Ray's per-group map_groups overhead dominates
+    otherwise.  Cross-bucket duplicate pairs (two bands colliding for the
+    same pair) are removed with a vectorized ``groupby(pair).aggregate``
+    shuffle, NOT a driver drop_duplicates — the pair set never lands on
+    the driver.  Rows: (doc_a, doc_b) with doc_a < doc_b."""
+    from ray.data.aggregate import Count
 
     def add_part(t: pa.Table) -> pa.Table:
         parts = [
@@ -158,9 +171,14 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
 
-    cand = (
+    return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(
             MinHashSignatures,
@@ -171,52 +189,87 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
+
+
+def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                            n_parts: int = 64) -> pd.DataFrame:
+    """Driver-side view of the deduped candidate pairs (small result)."""
+    cand = minhash_candidate_pairs_ds(sf_dir, num_perm, bands, n_parts).to_pandas()
     if cand.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
     return (
-        cand.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        cand.astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """Near-dup pairs verified by exact n-gram Jaccard >= threshold.
-
-    Candidate generation is distributed; verification joins the candidate
-    pairs (small) against the texts via a broadcast lookup — at larger
-    candidate volume this becomes a bucketed self-join on doc_id."""
+def _join_parts(requested: int = 16) -> int:
+    """Join partition count bounded by cluster CPUs: each hash-join
+    partition is an aggregator actor, and requesting more actors than the
+    cluster has CPUs deadlocks the streaming executor on small clusters."""
     import ray
 
-    pairs = minhash_candidate_pairs(sf_dir)
-    if pairs.empty:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(requested, cpus // 2))
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.5,
+                  n_parts: Optional[int] = None) -> pd.DataFrame:
+    """Near-dup pairs verified by exact n-gram Jaccard >= threshold.
+
+    Scale shape end-to-end: candidate generation is the banded-LSH shuffle;
+    verification fetches each pair's two texts via TWO co-partitioned hash
+    joins on doc_id (``Dataset.join``), so only candidate-relevant texts
+    move and nothing is broadcast or driver-materialized — the round-1
+    corpus-as-dict broadcast is gone."""
+    if n_parts is None:
+        n_parts = _join_parts()
+    # materialize the (small) candidate-pair set: it ends the signature
+    # actor-pool stage, releasing those CPUs before the join aggregator
+    # actors start — chaining an actor pool into two hash joins in one
+    # streaming pipeline can reserve every core on a small cluster and
+    # deadlock.  Pairs are the reduced intermediate (bounded by LSH
+    # collision volume), not the corpus.
+    pairs = minhash_candidate_pairs_ds(sf_dir).materialize()
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    agg_args = {"num_cpus": 0.25}
+
+    joined = pairs.join(
+        docs, join_type="inner", num_partitions=n_parts,
+        on=("doc_a",), right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"text": "text_a"})
+    joined = joined.join(
+        docs, join_type="inner", num_partitions=n_parts,
+        on=("doc_b",), right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"text": "text_b"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = [
+            round(ngram_jaccard(a, b), 4)
+            for a, b in zip(batch["text_a"], batch["text_b"])
+        ]
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),
              "doc_b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
-    texts = (
-        _read_docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    return (
+        out.astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
-    texts_ref = ray.put(texts.to_dict())
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(texts_ref)
-        jac = [
-            round(ngram_jaccard(lut[a], lut[b]), 4)
-            for a, b in zip(batch["doc_a"], batch["doc_b"])
-        ]
-        batch = batch.copy()
-        batch["jaccard"] = jac
-        return batch[batch["jaccard"] >= threshold]
-
-    out = (
-        rd.from_pandas(pairs)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -371,3 +424,105 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
 
     out = emb.map_batches(Block(mat_ref), batch_format="pyarrow").to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.4, bands: int = 16, bits_per_band: int = 4,
+    seed: int = 1337, n_parts: int = 32,
+) -> pd.DataFrame:
+    """Bucketed (scale-path) embedding near-dup: random-hyperplane LSH.
+
+    ``bands`` independent signatures of ``bits_per_band`` hyperplane sign
+    bits each; a pair collides in a band with prob (1 - theta/pi)^bits, so
+    multiple narrow bands give high recall at cosine >= threshold while
+    bucketing keeps every comparison local: vectors explode to (band,
+    bucket) keys, ONE groupby shuffle co-locates each bucket, the
+    within-bucket exact-cosine verify is a small matmul, and cross-band
+    duplicate pairs are removed by a vectorized pair-key aggregate.  The
+    corpus matrix is never broadcast or driver-materialized — this is the
+    10^9-vector shape; ``embedding_neardup_pairs`` stays as the exactness
+    oracle at test scale.  Same output schema as the exact variant;
+    recall < 1.0 by construction (rows-only; recall asserted in tests)."""
+    from ray.data.aggregate import Count, Min
+
+    rng = np.random.RandomState(seed)
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # plane count fixed by config; dim discovered from the first row only.
+    dim = len(emb.take(1)[0]["embedding"])
+    planes = rng.standard_normal((bands * bits_per_band, dim))
+
+    def explode(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        vecs = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+        )
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        bits = (vecs @ planes.T) > 0  # (n, bands*bits)
+        weights = 1 << np.arange(bits_per_band)
+        out_band, out_bucket, out_vid, out_part, out_vec = [], [], [], [], []
+        for b in range(bands):
+            seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            buckets = (seg * weights).sum(axis=1).astype(np.int64)
+            out_band.extend([b] * len(vids))
+            out_bucket.extend(buckets.tolist())
+            out_vid.extend(vids.tolist())
+            out_part.extend(((b * (1 << bits_per_band) + buckets) % n_parts).tolist())
+            out_vec.extend(vecs.tolist())
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "vec_id": pa.array(out_vid, pa.int64()),
+                "bucket_part": pa.array(out_part, pa.int32()),
+                "nvec": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for (_b, _bk), grp in g.groupby(["band_id", "bucket"]):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy()
+            mat = np.stack(grp["nvec"].to_numpy())
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            out_a.extend(ids[iu[hit]].tolist())
+            out_b.extend(ids[ju[hit]].tolist())
+            out_s.extend(
+                [int(round(s * 10000)) for s in sims[iu[hit], ju[hit]]]
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(out_a, dtype="int64"),
+                "vec_b": pd.Series(out_b, dtype="int64"),
+                "cos_e4": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    out = (
+        emb.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Min("cos_e4", alias_name="cos_e4"), Count(alias_name="_n"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    out = out.astype({"vec_a": "int64", "vec_b": "int64"})
+    out["cosine"] = out["cos_e4"] / 10000.0
+    return (
+        out[["vec_a", "vec_b", "cosine"]]
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )

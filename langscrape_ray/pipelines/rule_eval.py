@@ -54,11 +54,16 @@ def evaluate_candidates(
     pages: rd.Dataset,
     candidates: Dict[str, List[str]],
     truth_col_of: Dict[str, str],
+    operator_plan: List[Dict] | None = None,
 ) -> pd.DataFrame:
     """Score every (field, candidate_xpath) against ground-truth columns.
 
     pages: Dataset with columns ``html`` (binary) plus one truth column per
     field (list<string>).  candidates: field -> list of candidate xpaths.
+    operator_plan: optional F6 PRUNE/EXTRACT plan replayed on each page's
+    DOM before scoring — the reference applies mined operator plans to
+    snippets ahead of extraction (/root/reference/feilian/agents/
+    fragments_detection.py:73-92 run_operators).
     Returns per-(field, xpath) summed tp/fp/fn + n_extracted + P/R/F1.
     """
     cand_items = [
@@ -67,11 +72,14 @@ def evaluate_candidates(
 
     def score_batch(batch: pa.Table) -> pa.Table:
         from langscrape_ray.kernel.dom import parse_html
+        from langscrape_ray.kernel.structure import run_operators
 
         rows = {"field_name": [], "xpath": [], "tp": [], "fp": [], "fn": [],
                 "n_extracted": []}
         for i in range(batch.num_rows):
             root = parse_html(batch["html"][i].as_py())
+            if operator_plan:
+                run_operators(root, operator_plan)
             for field, xp in cand_items:
                 pred = extract_by_xpath_map(
                     root, {field: {"strategy": "xpath_extractor", "xpath": xp}}

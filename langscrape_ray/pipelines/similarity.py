@@ -115,45 +115,63 @@ def lsh_bucketed_topk(
         if multiprobe >= 1:
             probes |= {int(b) ^ (1 << i) for i in range(n_planes)}
         probe_sets.append(probes)
-    wanted = set().union(*probe_sets) if probe_sets else set()
-    q_ref = ray.put((qids, qmat, probe_sets))
+    q_ref = ray.put((qids, qmat, [sorted(p) for p in probe_sets]))
 
-    def tag(t: pa.Table) -> pa.Table:
-        vecs = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-        )
-        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-        b = bucket_of(vecs)
-        keep = np.array([int(x) in wanted for x in b])
-        return pa.table(
-            {
-                "vec_id": pa.array(np.asarray(t["vec_id"])[keep].tolist(), pa.int64()),
-                "bucket": pa.array(b[keep].tolist(), pa.int64()),
-                "embedding": pa.array(
-                    [t["embedding"][i].as_py() for i in np.nonzero(keep)[0]],
-                    pa.list_(pa.float32()),
-                ),
-            }
-        )
+    class BucketedPartialTopK:
+        """One fused stage: bucket each batch row, and for every query
+        compute cosine only against the rows landing in that query's probe
+        set, emitting per-batch top-k partials.  The candidate set never
+        leaves the workers (round 1 pulled it to the driver and ranked it
+        in a pandas loop); the driver merge sees <= k x n_queries x
+        n_blocks tiny rows — same tail shape as knn_cosine_topk."""
 
-    cand = (
+        def __init__(self, ref):
+            self.qids, self.qmat, probe_lists = ray.get(ref)
+            self.probes = [np.asarray(p, dtype=np.int64) for p in probe_lists]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = np.asarray(t["vec_id"], dtype=np.int64)
+            vecs = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+            )
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            buckets = bucket_of(vecs)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(buckets, self.probes[qi]) & (vids != qid)
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                sims = vecs[cand_idx] @ self.qmat[qi]
+                take = min(k, cand_idx.size)
+                # lexsort keeps the (cosine desc, vec_id asc) tie-break
+                # exact at the partial boundary (argpartition would not)
+                top = np.lexsort((vids[cand_idx], -sims))[:take]
+                out_q.extend([int(qid)] * take)
+                out_n.extend(vids[cand_idx[top]].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(BucketedPartialTopK(q_ref), batch_format="pyarrow")
         .to_pandas()
     )
-    out_rows = []
-    for qi, qid in enumerate(qids):
-        sub = cand[cand["bucket"].isin(probe_sets[qi]) & (cand["vec_id"] != qid)]
-        if sub.empty:
-            continue
-        vecs = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
-        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = vecs @ qmat[qi]
-        sub = sub.assign(cosine=sims).sort_values(
-            ["cosine", "vec_id"], ascending=[False, True]
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
         )
-        for rank, (_, row) in enumerate(sub.head(k).iterrows(), 1):
-            out_rows.append(
-                {"query_id": int(qid), "neighbor_id": int(row["vec_id"]), "rank": rank}
-            )
-    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", as_index=False).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

@@ -1,0 +1,287 @@
+"""Round-2 coverage: widened mini-XPath grammar, F6 operator plans,
+F8 structure skeletons, F9 table extraction + stats, and the rule_eval
+operator-plan replay."""
+
+import pyarrow as pa
+import pytest
+
+from langscrape_ray.kernel.clean import clean_tree
+from langscrape_ray.kernel.dom import parse_html
+from langscrape_ray.kernel.structure import (
+    clear_node,
+    collapse_repeated,
+    extract_structure_skeleton,
+    extract_tables,
+    extract_tables_recursive,
+    get_structure,
+    get_table_title,
+    get_tables_count,
+    get_tables_depth,
+    get_tables_max_width,
+    get_tables_width,
+    prune_by_structure,
+    run_operators,
+)
+from langscrape_ray.kernel.xpath import XPathError, xpath_eval
+
+HTML = """<html><body>
+<div id="a"><p class="x y" id="p1">one</p><p>two</p><p>three</p></div>
+<div id="b"><p>only</p><a href="/shop/item?q=1">buy</a><span>Price: $42.99</span></div>
+<h1>Big Title</h1><h2>Sub</h2>
+</body></html>"""
+
+
+@pytest.fixture()
+def root():
+    return parse_html(HTML)
+
+
+def _texts(hits):
+    return [n.text_content() if hasattr(n, "text_content") else n for n in hits]
+
+
+# ---------------------------------------------------------------------------
+# widened mini-XPath
+# ---------------------------------------------------------------------------
+
+def test_xpath_union_document_order(root):
+    assert _texts(xpath_eval(root, "//h1|//h2")) == ["Big Title", "Sub"]
+    # branch order does not matter: results merge in document order
+    assert _texts(xpath_eval(root, "//h2 | //h1")) == ["Big Title", "Sub"]
+
+
+def test_xpath_retest_exslt(root):
+    assert _texts(xpath_eval(root, r"//span[re:test(., '\$[0-9]+\.[0-9]{2}')]")) == [
+        "Price: $42.99"
+    ]
+    # flags arg ('i') and text() target
+    assert _texts(xpath_eval(root, "//p[re:test(text(), '^ON', 'i')]")) == [
+        "one", "only",
+    ]
+    assert _texts(xpath_eval(root, "//a[re:test(@href, '^/shop/')]")) == ["buy"]
+    # char class brackets inside the predicate parse correctly
+    assert _texts(xpath_eval(root, "//span[re:test(., '[0-9]+')]")) == [
+        "Price: $42.99"
+    ]
+
+
+def test_xpath_starts_with_and_contains(root):
+    assert _texts(xpath_eval(root, "//p[starts-with(text(), 'thr')]")) == ["three"]
+    assert _texts(xpath_eval(root, "//a[starts-with(@href, '/shop')]")) == ["buy"]
+    # slash inside the quoted string must not split the path
+    assert _texts(xpath_eval(root, "//a[contains(@href,'/shop/')]")) == ["buy"]
+    # contains on the element string-value ('.')
+    hits = xpath_eval(root, "//div[contains(., '42.99')]")
+    assert [n.attrs.get("id") for n in hits] == ["b"]
+
+
+def test_xpath_position_and_last(root):
+    assert _texts(xpath_eval(root, "//div[1]/p[position()>1]")) == ["two", "three"]
+    assert _texts(xpath_eval(root, "//div[1]/p[position()<=2]")) == ["one", "two"]
+    assert _texts(xpath_eval(root, "//div[1]/p[last()-1]")) == ["two"]
+
+
+def test_xpath_parent_self_not(root):
+    assert xpath_eval(root, "//p[@id='p1']/..")[0].attrs.get("id") == "a"
+    assert _texts(xpath_eval(root, "//div[1]/p[not(@class)]")) == ["two", "three"]
+    same = xpath_eval(root, "//div[2]/.")
+    assert [n.attrs.get("id") for n in same] == ["b"]
+
+
+def test_xpath_errors_still_sentinel():
+    r = parse_html(HTML)
+    for bad in ["//p[foo()]", "", "//p[position()=x]", "//p[re:test(., '[')]"]:
+        with pytest.raises(XPathError):
+            xpath_eval(r, bad)
+
+
+# ---------------------------------------------------------------------------
+# F6: run_operators
+# ---------------------------------------------------------------------------
+
+def test_run_operators_prune_clears_in_place():
+    r = parse_html(HTML)
+    run_operators(r, [{"xpath": "//div[@id='a']", "operator_type": "prune"}])
+    div = xpath_eval(r, "//div")[0]
+    assert div.children == [] and div.attrs == {}
+    assert _texts(xpath_eval(r, "//h1")) == ["Big Title"]  # untouched
+
+
+def test_run_operators_prune_then_extract():
+    r = parse_html(HTML)
+    run_operators(
+        r,
+        [
+            {"xpath": "//div[@id='a']", "operator_type": "prune"},
+            {"xpath": "//span", "operator_type": "extract"},
+        ],
+    )
+    assert _texts(xpath_eval(r, "//span")) == ["Price: $42.99"]
+    assert not xpath_eval(r, "//h1")  # pruned by extract-keep
+
+
+def test_clear_node():
+    r = parse_html("<div class='z'><p>x</p>tail</div>")
+    d = xpath_eval(r, "//div")[0]
+    clear_node(d)
+    assert d.children == [] and d.attrs == {} and d.tag == "div"
+
+
+# ---------------------------------------------------------------------------
+# F8: skeleton + structure-guided pruning
+# ---------------------------------------------------------------------------
+
+REPEATED = (
+    '<html><body><div class="w">'
+    + "".join(
+        f'<div class="card"><h4>t{i}</h4><p>b{i}</p></div>' for i in range(5)
+    )
+    + '<div class="other"><p>x</p></div></div></body></html>'
+)
+
+
+def test_skeleton_strips_inline_text_and_attrs():
+    r = parse_html(
+        '<html><body><div class="k" id="i"><span>s</span><b>b</b>text</div>'
+        "</body></html>"
+    )
+    extract_structure_skeleton(r)
+    s = r.serialize()
+    assert s == '<html><body><div class="k"></div></body></html>'
+
+
+def test_get_structure_collapses_repeats():
+    sk = get_structure(REPEATED)
+    # backward-scan keeps the first occurrence (+ untouched index 0)
+    assert len(xpath_eval(sk, "//div[@class='card']")) == 2
+    assert len(xpath_eval(sk, "//div[@class='other']")) == 1
+    assert "t0" not in sk.serialize()  # no text in a skeleton
+
+
+def test_get_structure_ul_li_collapse():
+    html = (
+        '<html><body><ul class="l"><li class="i">1</li><li class="i">2</li>'
+        '<li class="i">3</li></ul></body></html>'
+    )
+    sk = get_structure(html)
+    assert len(xpath_eval(sk, "//li")) == 1
+
+
+def test_prune_by_structure_aligns():
+    sk = get_structure(REPEATED)
+    origin = parse_html(REPEATED)
+    clean_tree(origin)
+    prune_by_structure(origin, sk)
+    assert len(xpath_eval(origin, "//div[@class='card']")) == 2
+    # origin keeps its text (structure pruning drops shape, not content)
+    assert "t0" in origin.serialize()
+
+
+def test_collapse_repeated_keeps_table_row_shape():
+    html = (
+        "<html><body><table><tr><td>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td></tr></table></body></html>"
+    )
+    r = parse_html(html)
+    extract_structure_skeleton(r)
+    collapse_repeated(r)
+    # table keeps only first tr; tr keeps its td children (reference rule)
+    assert len(xpath_eval(r, "//tr")) == 1
+    assert len(xpath_eval(r, "//td")) == 2
+
+
+# ---------------------------------------------------------------------------
+# F9: table extraction + shape stats
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "<html><body><h3>Numbers</h3>"
+    "<table><caption>Main</caption><tr><td>a</td><td>"
+    "<table><tr><td>inner</td></tr></table></td></tr></table>"
+    "<p>tail</p><table><tr><td>flat</td></tr></table>"
+    "</body></html>"
+)
+
+
+def test_extract_tables_one_layer():
+    tabs = extract_tables(parse_html(TABLES))
+    assert len(tabs) == 2
+    assert all(t["children"] == [] for t in tabs)
+    assert tabs[0]["title"] == "Main"  # caption wins
+    assert tabs[1]["title"] == "tail"  # previous-sibling fallback
+
+
+def test_extract_tables_recursive_and_stats():
+    tabs = extract_tables_recursive(parse_html(TABLES))
+    assert len(tabs) == 2
+    assert len(tabs[0]["children"]) == 1
+    assert tabs[0]["children"][0]["title"] is None  # td has no prev sibling
+    assert get_tables_depth(tabs) == 2
+    assert get_tables_count(tabs) == 2  # leaves: inner + flat
+    assert get_tables_width(tabs) == 2
+    assert get_tables_max_width(tabs) == 1
+
+
+def test_get_table_title_none_without_siblings():
+    r = parse_html("<html><body><table><tr><td>x</td></tr></table></body></html>")
+    t = xpath_eval(r, "//table")[0]
+    assert get_table_title(t) is None
+
+
+def test_table_stats_pipeline_matches_closed_form(ray_session):
+    from langscrape_ray.pipelines.tables import table_stats
+
+    df = table_stats("/root/testdata/sf0.001")
+    assert len(df) == 500
+    # spot-check closed form for a few ids
+    for _, row in df.head(20).iterrows():
+        d = int(row["doc_id"])
+        n_top = 1 + d % 3
+        cs = [2 * ((d + j) % 2) for j in range(n_top)]
+        assert row["n_top"] == n_top
+        assert row["n_nested"] == sum(cs)
+        assert row["depth"] == (2 if any(cs) else 1)
+        assert row["n_leaves"] == sum(c if c else 1 for c in cs)
+        assert row["n_caps"] == sum(1 for j in range(n_top) if (d + j) % 3 != 0)
+
+
+# ---------------------------------------------------------------------------
+# rule_eval replays an operator plan (F6 wiring)
+# ---------------------------------------------------------------------------
+
+def test_rule_eval_with_operator_plan(ray_session):
+    import ray.data as rd
+
+    from langscrape_ray.pipelines.rule_eval import (
+        evaluate_candidates,
+        rank_best_xpath,
+    )
+
+    pages = []
+    for i in range(8):
+        pages.append(
+            {
+                "html": (
+                    f"<html><body><div class='ad'><p>SPAM</p></div>"
+                    f"<article><p class='t'>val{i}</p></article></body></html>"
+                ).encode(),
+                "truth_title": [f"val{i}"],
+            }
+        )
+    ds = rd.from_arrow(
+        pa.Table.from_pylist(pages)
+    )
+    cands = {"title": ["//p", "//p[@class='t']"]}
+    # without the plan, //p also extracts SPAM -> lower precision
+    scored_raw = evaluate_candidates(ds, cands, {"title": "truth_title"})
+    raw_p = scored_raw[scored_raw["xpath"] == "//p"].iloc[0]
+    assert raw_p["fp"] == 8
+    # with a PRUNE op removing the ad block, //p becomes exact
+    plan = [{"xpath": "//div[@class='ad']", "operator_type": "prune"}]
+    scored = evaluate_candidates(
+        ds, cands, {"title": "truth_title"}, operator_plan=plan
+    )
+    p_row = scored[scored["xpath"] == "//p"].iloc[0]
+    assert p_row["fp"] == 0 and p_row["f1"] == 1.0
+    best = rank_best_xpath(scored)
+    assert best.iloc[0]["f1"] == 1.0
