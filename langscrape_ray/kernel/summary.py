@@ -70,10 +70,38 @@ _BARE_JSON_RE = re.compile(r"\{.*\}", re.DOTALL)
 _DATE_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
 
 
+_TRAILING_COMMA_RE = re.compile(r",\s*([\]}])")
+_SINGLE_QUOTED_RE = re.compile(r"'((?:[^'\\]|\\.)*)'")
+_UNQUOTED_KEY_RE = re.compile(r"([{,]\s*)([A-Za-z_][\w-]*)(\s*:)")
+
+
+def repair_json(src: str) -> str:
+    """json_repair-grade tolerance for the common LLM-output defects the
+    reference routes through the json_repair package
+    (/root/reference/feilian/chains/information_extraction_chain.py:11-23,
+    table_agent.py:223,259): trailing commas, single-quoted strings,
+    unquoted object keys, Python literal constants.  Purely syntactic
+    rewrites — applied only after strict parsing fails."""
+    out = _TRAILING_COMMA_RE.sub(r"\1", src)
+    out = _UNQUOTED_KEY_RE.sub(lambda m: f'{m.group(1)}"{m.group(2)}"{m.group(3)}', out)
+
+    def _requote(m: re.Match) -> str:
+        inner = m.group(1).replace('\\"', '"').replace('"', '\\"')
+        inner = inner.replace("\\'", "'")
+        return f'"{inner}"'
+
+    out = _SINGLE_QUOTED_RE.sub(_requote, out)
+    out = re.sub(r"\bTrue\b", "true", out)
+    out = re.sub(r"\bFalse\b", "false", out)
+    out = re.sub(r"\bNone\b", "null", out)
+    return out
+
+
 def extract_json_block(text: str) -> dict:
     """Tolerant JSON extraction with the reference's fallback ladder
     (/root/reference/langscrape/nodes/data_collator.py:10-43): fenced
-    ```json``` block -> first bare {...} -> whole string -> {}."""
+    ```json``` block -> first bare {...} -> whole string -> {}; each
+    candidate is retried through repair_json before moving on."""
     if not isinstance(text, str):
         return {}
     m = _FENCED_JSON_RE.search(text)
@@ -85,12 +113,13 @@ def extract_json_block(text: str) -> dict:
         candidates.append(m.group(0))
     candidates.append(text)
     for cand in candidates:
-        try:
-            out = json.loads(cand)
-            if isinstance(out, dict):
-                return out
-        except (json.JSONDecodeError, ValueError):
-            continue
+        for attempt in (cand, repair_json(cand)):
+            try:
+                out = json.loads(attempt)
+                if isinstance(out, dict):
+                    return out
+            except (json.JSONDecodeError, ValueError):
+                continue
     return {}
 
 

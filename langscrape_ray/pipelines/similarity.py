@@ -88,12 +88,17 @@ def knn_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFram
 
 
 def lsh_bucketed_topk(
-    sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8,
-    seed: int = 7, multiprobe: int = 1, dim: Optional[int] = None,
+    sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 6,
+    n_tables: int = 8, seed: int = 7, multiprobe: int = 1,
+    dim: Optional[int] = None,
 ) -> pd.DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing — the scale
-    path: vectors shuffle ONCE on their bucket key; each query only scans
-    its own (multi-probed) buckets instead of the whole corpus.
+    """Approximate top-k via multi-table random-hyperplane LSH — the scale
+    path: ``n_tables`` independent ``n_planes``-bit signatures; a vector is
+    a candidate for a query if ANY table buckets them together (with
+    Hamming-1 multiprobe per table).  Classic LSH union-of-tables: per-
+    table collision prob for similar vectors is p^k, union over L tables
+    drives recall toward 1 while each table's buckets stay selective.
+    Each query scans only its probed buckets instead of the whole corpus.
 
     Returns the same (query_id, neighbor_id, rank) shape as the exact
     variant; recall < 1.0 by construction (no SQL oracle — rows-only)."""
@@ -101,21 +106,29 @@ def lsh_bucketed_topk(
     if dim is None:
         dim = qmat.shape[1]
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    weights = 1 << np.arange(n_planes)
 
-    def bucket_of(mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ planes.T) > 0
-        return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+    def buckets_of(mat: np.ndarray) -> np.ndarray:
+        """(n, n_tables) bucket ids."""
+        bits = np.stack(
+            [(mat @ planes[t].T) > 0 for t in range(n_tables)], axis=1
+        )  # (n, L, k)
+        return (bits * weights).sum(axis=2).astype(np.int64)
 
-    q_buckets = bucket_of(qmat)
-    # multiprobe: also probe buckets at Hamming distance 1
-    probe_sets = []
-    for b in q_buckets:
-        probes = {int(b)}
-        if multiprobe >= 1:
-            probes |= {int(b) ^ (1 << i) for i in range(n_planes)}
-        probe_sets.append(probes)
-    q_ref = ray.put((qids, qmat, [sorted(p) for p in probe_sets]))
+    q_buckets = buckets_of(qmat)  # (n_queries, L)
+    # per (query, table) probe list: own bucket + Hamming-1 neighbors
+    probe_lists = []
+    for qi in range(len(qids)):
+        per_table = []
+        for t in range(n_tables):
+            b = int(q_buckets[qi, t])
+            probes = {b}
+            if multiprobe >= 1:
+                probes |= {b ^ (1 << i) for i in range(n_planes)}
+            per_table.append(sorted(probes))
+        probe_lists.append(per_table)
+    q_ref = ray.put((qids, qmat, probe_lists))
 
     class BucketedPartialTopK:
         """One fused stage: bucket each batch row, and for every query
@@ -127,7 +140,10 @@ def lsh_bucketed_topk(
 
         def __init__(self, ref):
             self.qids, self.qmat, probe_lists = ray.get(ref)
-            self.probes = [np.asarray(p, dtype=np.int64) for p in probe_lists]
+            self.probes = [
+                [np.asarray(p, dtype=np.int64) for p in per_table]
+                for per_table in probe_lists
+            ]
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = np.asarray(t["vec_id"], dtype=np.int64)
@@ -135,10 +151,13 @@ def lsh_bucketed_topk(
                 [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
             )
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-            buckets = bucket_of(vecs)
+            buckets = buckets_of(vecs)  # (n, L)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
-                mask = np.isin(buckets, self.probes[qi]) & (vids != qid)
+                mask = np.zeros(len(vids), dtype=bool)
+                for tb in range(n_tables):
+                    mask |= np.isin(buckets[:, tb], self.probes[qi][tb])
+                mask &= vids != qid
                 cand_idx = np.nonzero(mask)[0]
                 if cand_idx.size == 0:
                     continue

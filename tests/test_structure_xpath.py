@@ -285,3 +285,67 @@ def test_rule_eval_with_operator_plan(ray_session):
     assert p_row["fp"] == 0 and p_row["f1"] == 1.0
     best = rank_best_xpath(scored)
     assert best.iloc[0]["f1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# M11 widened CSS selectors + tolerant JSON repair
+# ---------------------------------------------------------------------------
+
+CSS_HTML = """<html><body>
+<div id="main" class="wrap outer" data-x="alpha beta">
+  <p class="lead big">one</p>
+  <p>two</p>
+  <span class="lead">three</span>
+  <div><p class="deep">four</p></div>
+</div>
+<a href="https://example.com/page.pdf">doc</a>
+<a href="/local">loc</a>
+</body></html>"""
+
+
+def _css(sel):
+    from langscrape_ray.kernel.css import select
+
+    r = parse_html(CSS_HTML)
+    return [n.text_content().strip() for n in select(r, sel)]
+
+
+def test_css_child_combinator():
+    assert _css("#main > p") == ["one", "two"]
+    assert _css("div > div > p") == ["four"]
+
+
+def test_css_adjacent_sibling():
+    assert _css("p.lead + p") == ["two"]
+
+
+def test_css_attribute_selectors():
+    assert _css('a[href^="https://"]') == ["doc"]
+    assert _css('a[href$=".pdf"]') == ["doc"]
+    assert _css('a[href*="example"]') == ["doc"]
+    assert _css('[href="/local"]') == ["loc"]
+    assert _css('[data-x~="beta"]') != []
+
+
+def test_css_comma_groups_document_order():
+    assert _css("p.lead, span.lead, a") == ["one", "three", "doc", "loc"]
+    assert _css("h1, p.big") == ["one"]
+
+
+def test_css_errors():
+    from langscrape_ray.kernel.css import CssError, select
+
+    r = parse_html(CSS_HTML)
+    for bad in ["", "> p", "p[", "p::first"]:
+        with pytest.raises(CssError):
+            select(r, bad)
+
+
+def test_repair_json_tolerance():
+    from langscrape_ray.kernel.summary import extract_json_block
+
+    assert extract_json_block('{"a": 1, "b": [1,2,],}') == {"a": 1, "b": [1, 2]}
+    assert extract_json_block("{'t': 'It\\'s', 'n': 3}") == {"t": "It's", "n": 3}
+    assert extract_json_block('{a: 1, b-c: "x"}') == {"a": 1, "b-c": "x"}
+    assert extract_json_block('{"ok": True, "no": None}') == {"ok": True, "no": None}
+    assert extract_json_block("plain text") == {}

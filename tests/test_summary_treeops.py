@@ -154,10 +154,12 @@ def test_css_selectors():
     assert [n.text_content() for n in select(root, "div.wrap span.lead")] == ["x"]
     assert select(root, "#nope") == []
     assert extract_text_by_css(root, "#main") == ["Hello\nworld"]
+    # child combinator (supported since round 2)
+    assert [n.text_content() for n in select(root, "div.wrap > span")] == ["x"]
     import pytest as _pytest
 
     with _pytest.raises(CssError):
-        select(root, "p > span")  # child combinator unsupported
+        select(root, "p::first-line")  # pseudo-elements unsupported
 
 
 def test_clean_tree_deep_variant():
