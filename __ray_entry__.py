@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_neardup_pairs,  # rows-only
         "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,  # rows-only (LSH scale path)
+        # connected-components cluster labeling over near-dup pairs
+        # (iterative join + groupby-min; SQL oracle = recursive closure)
+        "dedup_cc": dedup.embedding_cc_clusters,
         # similarity search
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
         "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
@@ -221,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic planted-table rule; the Ray side runs the real
         # parse + extract_tables_recursive kernel)
         "table_stats": tables.table_stats,
+        # M9 extraction through the widened xpath grammar (union + re:test
+        # + starts-with/position) with the sentinel contract, SQL-oracled
+        "xpath_extract": tables.xpath_extract,
         # flagship crawl (rows-only: no SQL analog)
         "crawl_trace": _crawl_trace,
         "crawl_extract": _crawl_extract,
@@ -350,6 +356,21 @@ def oracle_sql() -> dict[str, str]:
                                          b.embedding::DOUBLE[]) >= 0.4
             ORDER BY vec_a, vec_b
         """,
+        "dedup_cc": """
+            WITH RECURSIVE edges AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.4
+            ),
+            reach(v, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.v
+            )
+            SELECT v AS vec_id, min(r) AS cluster_rep
+            FROM reach GROUP BY v ORDER BY v
+        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < 10),
@@ -407,6 +428,14 @@ def oracle_sql() -> dict[str, str]:
                        AS n_leaves,
                    CAST(sum(has_cap) AS BIGINT) AS n_caps
             FROM tops GROUP BY doc_id ORDER BY doc_id
+        """,
+        "xpath_extract": """
+            SELECT doc_id,
+                   'USD ' || CAST(doc_id % 500 AS VARCHAR) || '.' ||
+                       lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS price,
+                   'By author' || CAST(doc_id % 7 AS VARCHAR) AS author,
+                   '(Empty Result)' AS missing
+            FROM documents ORDER BY doc_id
         """,
         "token_histogram": f"""
             WITH t AS (SELECT {n_tokens_sql} AS n_tokens FROM documents)

@@ -19,6 +19,8 @@ instead of shuffling both sides (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -92,7 +94,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def q3_top_orders(sf_dir: str, n_parts: int = None) -> pd.DataFrame:
+def q3_top_orders(sf_dir: str, n_parts: Optional[int] = None) -> pd.DataFrame:
     """Top-10 orders by revenue — reduced-side hash join.
 
     Scale shape: lineitem is pre-aggregated per l_orderkey inside the scan
@@ -103,10 +105,6 @@ def q3_top_orders(sf_dir: str, n_parts: int = None) -> pd.DataFrame:
     orders table via ray.put; at 100x that side is not broadcastable).
     After the join each block keeps only its local top-10 so the global
     sort sees ~10 x n_blocks rows."""
-    if n_parts is None:
-        from langscrape_ray.pipelines.dedup import _join_parts
-
-        n_parts = _join_parts(8)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
     lineitem = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -117,13 +115,30 @@ def q3_top_orders(sf_dir: str, n_parts: int = None) -> pd.DataFrame:
             _cents(t["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
         )
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+        out = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+        # per-block combiner (vectorized pyarrow group_by): collapses the
+        # ~4 lineitems per order BEFORE the shuffle, so the exchange
+        # carries one partial per (block, order) — integer sums stay exact
+        out = out.group_by("l_orderkey").aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["l_orderkey", "rev_e4"])
 
-    per_order = (
-        lineitem.map_batches(prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    from langscrape_ray.pipelines.dedup import _join_parts
+    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
+
+    # ensure_schema + compact: Aggregate can emit empty/schema-less blocks
+    # that break the join's schema broadcast (see util.compact_for_join);
+    # the aggregate is already a barrier, so the re-block adds one pass
+    # over the REDUCED (one-row-per-order) side only.
+    per_order = compact_for_join(
+        ensure_schema(
+            lineitem.map_batches(prep, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("rev_e4", alias_name="rev_e4")),
+            pa.schema([("l_orderkey", pa.int64()), ("rev_e4", pa.int64())]),
+        )
     )
+    if n_parts is None:
+        n_parts = _join_parts(8, n_rows=per_order.count())
     joined = per_order.join(
         orders, join_type="inner", num_partitions=n_parts,
         on=("l_orderkey",), right_on=("o_orderkey",),

@@ -205,6 +205,7 @@ class RayCrawl:
         exact_audit: bool = True,
         extract_concurrency: Optional[int] = None,
         trace_dir: Optional[str] = None,
+        extract_udfs: Optional[list] = None,
     ):
         self.pages = pages
         self.policy = policy or CrawlPolicy()
@@ -214,6 +215,8 @@ class RayCrawl:
         self.ckpt_dir = ckpt_dir
         self.exact_audit = exact_audit
         self.extract_concurrency = extract_concurrency
+        # §2.11: named/callable batch UDFs applied after extraction
+        self.extract_udfs = list(extract_udfs or [])
         # robots parsed once; broadcast as a plain dict (small side).  At
         # 10^8-host scale this becomes a host-partitioned join table.
         self.robots_rules = {
@@ -457,11 +460,14 @@ class RayCrawl:
         # of paying actor-pool ramp-up per round.  extract_concurrency opts
         # into a bounded actor pool (the right mode once the stage holds
         # heavy state, e.g. a model).
-        ext = ExtractPages(self.default_rules, self.rules_by_host)
+        ext = ExtractPages(
+            self.default_rules, self.rules_by_host, post_udfs=self.extract_udfs
+        )
         if self.extract_concurrency:
             extracted = pages_ds.map_batches(
                 ExtractPages,
                 fn_constructor_args=(self.default_rules, self.rules_by_host),
+                fn_constructor_kwargs={"post_udfs": self.extract_udfs},
                 batch_format="pyarrow",
                 batch_size=64,
                 concurrency=self.extract_concurrency,

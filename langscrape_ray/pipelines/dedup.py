@@ -178,7 +178,9 @@ def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
             }
         )
 
-    return (
+    from langscrape_ray.pipelines.util import ensure_schema
+
+    deduped = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(
             MinHashSignatures,
@@ -191,7 +193,9 @@ def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
         .map_groups(pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    )
+    return ensure_schema(
+        deduped, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     )
 
 
@@ -208,14 +212,19 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     )
 
 
-def _join_parts(requested: int = 16) -> int:
-    """Join partition count bounded by cluster CPUs: each hash-join
-    partition is an aggregator actor, and requesting more actors than the
-    cluster has CPUs deadlocks the streaming executor on small clusters."""
+def _join_parts(requested: int = 16, n_rows: Optional[int] = None) -> int:
+    """Join partition count bounded by cluster CPUs AND data volume: each
+    hash-join partition is an aggregator actor, so more actors than CPUs
+    deadlocks small clusters, and spinning 16 actors for a few thousand
+    rows is pure startup overhead.  With ``n_rows`` (the smaller side's
+    count, when cheaply known) partitions scale at ~50k rows/partition."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, min(requested, cpus // 2))
+    cap = max(2, min(requested, cpus // 2))
+    if n_rows is not None:
+        cap = max(2, min(cap, n_rows // 50_000 + 2))
+    return cap
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.5,
@@ -227,15 +236,26 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5,
     joins on doc_id (``Dataset.join``), so only candidate-relevant texts
     move and nothing is broadcast or driver-materialized — the round-1
     corpus-as-dict broadcast is gone."""
-    if n_parts is None:
-        n_parts = _join_parts()
-    # materialize the (small) candidate-pair set: it ends the signature
+    from langscrape_ray.pipelines.util import compact_for_join
+
+    empty_result = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+    # compact the (small) candidate-pair set: it ends the signature
     # actor-pool stage, releasing those CPUs before the join aggregator
-    # actors start — chaining an actor pool into two hash joins in one
+    # actors start (chaining an actor pool into two hash joins in one
     # streaming pipeline can reserve every core on a small cluster and
-    # deadlock.  Pairs are the reduced intermediate (bounded by LSH
-    # collision volume), not the corpus.
-    pairs = minhash_candidate_pairs_ds(sf_dir).materialize()
+    # deadlock), and re-blocks so no empty block reaches the join (see
+    # compact_for_join).  Pairs are the reduced intermediate (bounded by
+    # LSH collision volume), not the corpus.
+    pairs = compact_for_join(minhash_candidate_pairs_ds(sf_dir))
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return empty_result
+    if n_parts is None:
+        n_parts = _join_parts(n_rows=n_pairs)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     agg_args = {"num_cpus": 0.25}
 
@@ -244,6 +264,12 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5,
         on=("doc_a",), right_on=("doc_id",),
         aggregator_ray_remote_args=agg_args,
     ).rename_columns({"text": "text_a"})
+    # re-compact between the two joins: join output partitions are mostly
+    # empty when pairs are few, and an empty first block would break the
+    # second join's schema broadcast the same way
+    joined = compact_for_join(joined)
+    if joined.count() == 0:
+        return empty_result
     joined = joined.join(
         docs, join_type="inner", num_partitions=n_parts,
         on=("doc_b",), right_on=("doc_id",),
@@ -424,6 +450,75 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
 
     out = emb.map_batches(Block(mat_ref), batch_format="pyarrow").to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
+                          max_iters: int = 25) -> pd.DataFrame:
+    """Connected-components dedup clustering: every vector labeled with the
+    MIN vec_id of its near-duplicate component (edges = cosine >= threshold
+    pairs).  This is the step after pair generation in a real dedup
+    pipeline — pairs alone can't drop rows; components pick one keeper per
+    duplicate cluster.
+
+    Ray shape: iterative min-label propagation — per iteration ONE hash
+    join (edges ⋈ labels on src) + ONE groupby-min shuffle; converges in
+    O(component diameter) rounds.  Both per-iteration primitives are the
+    at-scale patterns (no driver-side graph, no full materialization);
+    the driver only checks a scalar label-sum for convergence.
+    SQL oracle: recursive transitive closure + min per node."""
+    from ray.data.aggregate import Min
+
+    emb_ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    pairs = embedding_neardup_pairs(sf_dir, threshold=threshold)
+
+    def as_edges(df: pd.DataFrame) -> rd.Dataset:
+        both = pd.DataFrame(
+            {
+                "src": pd.concat([df["vec_a"], df["vec_b"]], ignore_index=True),
+                "dst": pd.concat([df["vec_b"], df["vec_a"]], ignore_index=True),
+            }
+        ).astype("int64")
+        return rd.from_pandas(both)
+
+    from langscrape_ray.pipelines.util import ensure_schema
+
+    label_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64())])
+    labels = emb_ids.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"], "label": t["vec_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_parts = _join_parts(8, n_rows=labels.count())
+
+    if not pairs.empty:
+        edges = as_edges(pairs).materialize()
+        prev_sum = None
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels, join_type="inner", num_partitions=n_parts,
+                on=("src",), right_on=("vec_id",),
+                aggregator_ray_remote_args={"num_cpus": 0.25},
+            ).map_batches(
+                lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+            from langscrape_ray.pipelines.util import compact_for_join
+
+            labels = compact_for_join(
+                ensure_schema(
+                    labels.union(prop)
+                    .groupby("vec_id")
+                    .aggregate(Min("label", alias_name="label")),
+                    label_schema,
+                )
+            )
+            cur_sum = labels.sum("label")
+            if cur_sum == prev_sum:  # min-labels are monotone: fixpoint
+                break
+            prev_sum = cur_sum
+
+    out = labels.to_pandas().astype({"vec_id": "int64", "label": "int64"})
+    out = out.rename(columns={"label": "cluster_rep"})
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def embedding_neardup_lsh(

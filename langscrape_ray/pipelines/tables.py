@@ -92,3 +92,86 @@ def table_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# widened-XPath extraction under oracle (M9 + the round-2 grammar)
+# ---------------------------------------------------------------------------
+
+# The field map exercises the widened grammar end-to-end THROUGH the M9
+# sentinel contract: a union of two re:test branches (EXSLT regex,
+# /root/reference/feilian/etree_tools.py:411-414), starts-with + position()
+# on the string-value, and a no-hit field that must yield the reference's
+# "(Empty Result)" sentinel.
+XPATH_EXTRACT_RULES = {
+    "price": {
+        "strategy": "xpath_extractor",
+        "xpath": (
+            r"//span[@class='price'][re:test(., 'USD [0-9]+\.[0-9]{2}')]"
+            r" | //div[@class='cost'][re:test(., 'USD [0-9]+')]"
+        ),
+    },
+    "author": {
+        "strategy": "xpath_extractor",
+        "xpath": "//p[starts-with(., 'By ')][position()=1]",
+    },
+    "missing": {
+        "strategy": "xpath_extractor",
+        "xpath": "//article[@id='nope']",
+    },
+}
+
+
+def render_extract_page(doc_id: int) -> str:
+    """Deterministic page: the price lives in span.price (even ids) or
+    div.cost (odd ids) so only the union xpath finds both; decoys fail
+    the regex / starts-with predicates."""
+    price = f"USD {doc_id % 500}.{doc_id % 100:02d}"
+    author = f"By author{doc_id % 7}"
+    carrier = (
+        f"<span class='price'>{price}</span>"
+        if doc_id % 2 == 0
+        else f"<div class='cost'>{price}</div>"
+    )
+    return (
+        "<html><body>"
+        f"<p>{author}</p>"
+        "<p>By the way, not an author line start? no: it is —"
+        " but position()=1 keeps the first</p>"
+        "<span class='price'>EUR 9.99</span>"  # fails the USD regex
+        f"{carrier}"
+        "</body></html>"
+    )
+
+
+def xpath_extract(sf_dir: str) -> pd.DataFrame:
+    """Extract (price, author, missing-sentinel) per document with the
+    widened-grammar field map — stateless Arrow map_batches, no shuffle."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        from langscrape_ray.kernel.dom import parse_html
+        from langscrape_ray.kernel.extract import extract_by_xpath_map
+
+        ids, prices, authors, missings = [], [], [], []
+        for doc_id in t["doc_id"].to_pylist():
+            root = parse_html(render_extract_page(doc_id))
+            out = extract_by_xpath_map(root, XPATH_EXTRACT_RULES)
+            ids.append(doc_id)
+            prices.append("|".join(out["price"]))
+            authors.append("|".join(out["author"]))
+            missings.append("|".join(out["missing"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "price": pa.array(prices, pa.string()),
+                "author": pa.array(authors, pa.string()),
+                "missing": pa.array(missings, pa.string()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

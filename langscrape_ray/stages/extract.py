@@ -116,10 +116,20 @@ class ExtractPages:
         default_rules: Dict[str, dict],
         rules_by_host: Optional[Dict[str, Dict[str, dict]]] = None,
         keep_html: bool = False,
+        post_udfs: Optional[list] = None,
     ):
         self.default_rules = default_rules
         self.rules_by_host = rules_by_host or {}
         self.keep_html = keep_html
+        # §2.11 extension surface: registered-by-name (or direct callable)
+        # batch UDFs applied to each extracted batch — resolved ONCE per
+        # actor here, not per batch
+        if post_udfs:
+            from langscrape_ray.stages.udf import resolve_udfs
+
+            self.post_udfs = resolve_udfs(post_udfs)
+        else:
+            self.post_udfs = []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -160,7 +170,10 @@ class ExtractPages:
         cols["outlinks"] = pa.array(outlinks_col, pa.list_(pa.string()))
         cols["cleaned_len"] = pa.array(cleaned_lens, pa.int32())
         cols["too_short"] = pa.array(too_shorts, pa.bool_())
-        return pa.table(cols)
+        out = pa.table(cols)
+        for fn in self.post_udfs:
+            out = fn(out)
+        return out
 
 
 class SummarizeRecords:

@@ -42,11 +42,16 @@ def _to_df(x):
     "name",
     [
         "q1_pricing_summary",
+        "q3_top_orders",
         "q_events_hourly",
         "q_sessionize",
         "token_count",
         "dedup_exact",
+        "dedup_cc",
         "knn_cosine",
+        "table_stats",
+        "xpath_extract",
+        "token_histogram",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

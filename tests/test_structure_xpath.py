@@ -349,3 +349,47 @@ def test_repair_json_tolerance():
     assert extract_json_block('{a: 1, b-c: "x"}') == {"a": 1, "b-c": "x"}
     assert extract_json_block('{"ok": True, "no": None}') == {"ok": True, "no": None}
     assert extract_json_block("plain text") == {}
+
+
+# ---------------------------------------------------------------------------
+# §2.11 UDF registration surface
+# ---------------------------------------------------------------------------
+
+def test_udf_registry_and_extract_stage():
+    import pyarrow as pa
+
+    from langscrape_ray.stages.extract import ExtractPages
+    from langscrape_ray.stages.udf import (
+        apply_udfs,
+        get_udf,
+        list_udfs,
+        register_udf,
+        resolve_udfs,
+    )
+
+    def add_len(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_len", pa.array([len(x) for x in t["text"].to_pylist()], pa.int32())
+        )
+
+    register_udf("add_len", add_len)
+    assert "add_len" in list_udfs()
+    assert get_udf("add_len") is add_len
+    assert resolve_udfs(["add_len", add_len]) == [add_len, add_len]
+    with pytest.raises(KeyError):
+        get_udf("nope")
+
+    stage = ExtractPages(
+        {"title": {"strategy": "xpath_extractor", "xpath": "//h1"}},
+        post_udfs=["add_len"],
+    )
+    batch = pa.table(
+        {
+            "url": ["https://h.example/a" + "x" * 40],
+            "html": [b"<html><body><h1>T</h1><p>" + b"w " * 1600 + b"</p></body></html>"],
+        }
+    )
+    out = stage(batch)
+    assert "text_len" in out.column_names
+    assert out["text_len"][0].as_py() == len(out["text"][0].as_py())
+    assert apply_udfs(batch, []) is batch
