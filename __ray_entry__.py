@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_union": analytics.q_distinct_union,
         "q_supplier_balance": analytics.q_supplier_balance_by_nation,
         "q_event_users": analytics.q_event_users,
+        # as-of join (custom operator — Ray Data lacks one; bucketed
+        # merge_asof composition, DuckDB ASOF JOIN oracle)
+        "q_asof_join": analytics.q_asof_join,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
         "fingerprint": textstats.fingerprint,
@@ -208,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,          # SQL-oracled
         "dedup_minhash": dedup.minhash_dedup,      # rows-only (LSH)
         "dedup_simhash": dedup.simhash_neardup_pairs,  # rows-only
+        # exact shingle-Jaccard similarity join (inverted index; SQL-oracled
+        # — deterministic, unlike the minhash approximation)
+        "dedup_jaccard": dedup.jaccard_similarity_join,
         "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,  # rows-only (LSH scale path)
         # connected-components cluster labeling over near-dup pairs
@@ -347,6 +353,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # exact word-3-shingle Jaccard join; tokenization mirrors the Ray
+        # side (\S+ on lowered text), shingles = 3-token windows (short
+        # docs collapse to the whole token string, same as the kernel)
+        "dedup_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT t.doc_id,
+                     array_to_string(
+                       list_slice(t.w, x.i, least(x.i + 2, len(t.w))), ' ') AS s
+              FROM toks t JOIN idx x ON t.doc_id = x.doc_id
+              WHERE len(t.w) > 0
+            ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+            FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+                         JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -388,6 +423,15 @@ def oracle_sql() -> dict[str, str]:
         "q_event_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # inner ASOF: latest same-user view at-or-before each click
+        "q_asof_join": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.event_id AS view_event_id, v.ts AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.event_id
         """,
         "lang_id": """
             WITH toks AS (

@@ -384,3 +384,89 @@ def q_event_users(sf_dir: str) -> pd.DataFrame:
         .sort("event_type")
         .to_pandas()
     )
+
+
+def q_asof_join(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """AS-OF join: for every 'click' event, the most recent 'view' event by
+    the SAME user at-or-before the click's timestamp (inner: clicks with no
+    prior view are dropped).  Ray Data has no asof-join operator — this is
+    the custom-operator composition the task brief calls for:
+
+      1. ONE pass over events, filtered to the two roles, each row tagged
+         with ``bucket = hash(user_id) % n_buckets``.
+      2. ONE shuffle: groupby(bucket) co-locates every user's clicks and
+         views; n_buckets coarse groups, one vectorized
+         ``pd.merge_asof(by=user_id, on=ts)`` per group (a sort-merge over
+         the bucket, NOT a per-user Python loop).
+    Partitioning assumption (documented per the brief): a user's full
+    history fits in one bucket's group.  At 100 TB with skewed users the
+    refinement is time-range sub-bucketing per hot user with boundary
+    rows replicated one sub-bucket forward — same merge kernel.
+
+    Oracle: DuckDB ``ASOF JOIN`` (inner) on user_id, c.ts >= v.ts.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        uid = pc.cast(t["user_id"], pa.int64())
+        bucket = pc.cast(
+            pc.subtract(uid, pc.multiply(pc.divide(uid, n_buckets),
+                                         n_buckets)),
+            pa.int32(),
+        )
+        return t.append_column("bucket", bucket)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = (
+            g[g["event_type"] == "click"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        views = (
+            g[g["event_type"] == "view"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "view_event_id": pd.Series([], dtype="int64"),
+                "view_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        if clicks.empty or views.empty:
+            return empty
+        m = pd.merge_asof(
+            clicks[["ts", "user_id", "event_id"]],
+            views[["ts", "user_id", "event_id"]].rename(
+                columns={"event_id": "view_event_id", "ts": "view_ts"}
+            ),
+            left_on="ts", right_on="view_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["view_event_id"])
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts": m["ts"].astype("datetime64[us]"),
+                "view_event_id": m["view_event_id"].astype("int64"),
+                "view_ts": m["view_ts"].astype("datetime64[us]"),
+            }
+        )
+
+    out = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -52,6 +52,8 @@ def _to_df(x):
         "table_stats",
         "xpath_extract",
         "token_histogram",
+        "dedup_jaccard",
+        "q_asof_join",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -94,6 +96,45 @@ def test_minhash_candidates_cover_bruteforce(ray_session):
     verified = minhash_dedup(SF, threshold=0.5)
     assert (verified["jaccard"] >= 0.5).all()
     assert (verified["doc_a"] < verified["doc_b"]).all()
+
+
+def test_minhash_subset_of_exact_jaccard(ray_session):
+    """minhash_dedup verifies candidates with exact Jaccard, so its output
+    must be a subset of the exact similarity join at the same threshold;
+    any surplus in the exact join is pairs LSH banding missed."""
+    from langscrape_ray.pipelines.dedup import jaccard_similarity_join, minhash_dedup
+
+    exact = jaccard_similarity_join(SF, threshold=0.5)
+    mh = minhash_dedup(SF, threshold=0.5)
+    exact_set = set(zip(exact["doc_a"], exact["doc_b"]))
+    mh_set = set(zip(mh["doc_a"], mh["doc_b"]))
+    assert mh_set <= exact_set
+    assert (exact["jaccard"] >= 0.5).all()
+    assert (exact["doc_a"] < exact["doc_b"]).all()
+
+
+def test_asof_join_semantics(ray_session):
+    """Every output row pairs a click with the latest same-user view at or
+    before the click, verified against a per-user pandas replay."""
+    import pyarrow.parquet as pq
+
+    from langscrape_ray.pipelines.analytics import q_asof_join
+
+    out = q_asof_join(SF)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    views = ev[ev["event_type"] == "view"]
+    clicks = ev[ev["event_type"] == "click"]
+    by_user = {u: g.sort_values("ts") for u, g in views.groupby("user_id")}
+    expect = {}
+    for _, c in clicks.iterrows():
+        g = by_user.get(c["user_id"])
+        if g is None:
+            continue
+        prior = g[g["ts"] <= c["ts"]]
+        if len(prior):
+            expect[int(c["event_id"])] = int(prior.iloc[-1]["event_id"])
+    got = dict(zip(out["event_id"].astype(int), out["view_event_id"].astype(int)))
+    assert got == expect
 
 
 def test_exact_dedup_partition(ray_session):
