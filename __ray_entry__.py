@@ -203,6 +203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of join (custom operator — Ray Data lacks one; bucketed
         # merge_asof composition, DuckDB ASOF JOIN oracle)
         "q_asof_join": analytics.q_asof_join,
+        # range (interval-containment) join: broadcast small window table,
+        # vectorized containment mask, partial-sum fold (SQL-oracled)
+        "q_range_join": analytics.q_range_join,
+        # rolling-window aggregate over the pre-collapsed day series
+        # (SQL-oracled: SUM() OVER ROWS BETWEEN)
+        "q_rolling_revenue": analytics.q_rolling_revenue,
+        # exact per-group discrete percentiles (SQL-oracled: quantile_disc)
+        "q_order_percentiles": analytics.q_order_percentiles,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
         "fingerprint": textstats.fingerprint,
@@ -222,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
         "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
+        "knn_ivf": similarity.ivf_topk,            # rows-only (approximate)
+        # document-frequency vocabulary (TF-IDF building block; SQL-oracled)
+        "doc_term_df": textstats.doc_term_df,
         # language id (stopword-overlap heuristic — SQL-oracled: the
         # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
@@ -432,6 +443,52 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
             ORDER BY c.event_id
+        """,
+        "q_range_join": """
+            WITH w AS (
+              SELECT event_id AS window_id, ts AS w_start,
+                     ts + INTERVAL 6 HOUR AS w_end
+              FROM events ORDER BY value DESC, event_id LIMIT 20)
+            SELECT w.window_id,
+                   count(*) AS n_events,
+                   sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_value_c
+            FROM w JOIN events e
+              ON e.ts >= w.w_start AND e.ts < w.w_end
+            GROUP BY w.window_id
+            ORDER BY w.window_id
+        """,
+        "q_rolling_revenue": """
+            WITH daily AS (
+              SELECT date_trunc('day', o_orderdate) AS day,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS revenue_c
+              FROM orders GROUP BY 1)
+            SELECT day, revenue_c,
+                   CAST(sum(revenue_c) OVER (
+                     ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling_revenue_c
+            FROM daily ORDER BY day
+        """,
+        "q_order_percentiles": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                        AS BIGINT) AS median_c,
+                   CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+                        AS BIGINT) AS p90_c
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "doc_term_df": """
+            WITH exploded AS (
+              SELECT doc_id, unnest(list_distinct(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+')))
+                       AS term
+              FROM documents)
+            SELECT term, count(*) AS df
+            FROM exploded WHERE term <> ''
+            GROUP BY term
+            ORDER BY df DESC, term
+            LIMIT 50
         """,
         "lang_id": """
             WITH toks AS (

@@ -470,3 +470,172 @@ def q_asof_join(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_range_join(sf_dir: str, n_windows: int = 20,
+                 window_hours: int = 6) -> pd.DataFrame:
+    """Range (interval-containment) join: the ``n_windows`` highest-value
+    events anchor half-open windows [ts, ts + window_hours); count and sum
+    (in cents) every event falling inside each window.
+
+    Ray shape — classic big-table x small-intervals range join:
+      1. distributed partial top-k picks the anchors (per-batch top-n, tiny
+         driver merge — same tail as knn_cosine_topk);
+      2. the window table (tens of rows) is BROADCAST via ray.put; ONE pass
+         over events compares each batch against all windows with a
+         vectorized (batch x n_windows) interval mask and emits per-batch
+         per-window partial (count, sum_cents);
+      3. a groupby(window_id) integer-sum folds the partials.
+    At 10^6+ windows the broadcast side no longer fits: bucket both sides
+    by floor(ts / window_span) (intervals explode to every bucket they
+    overlap) and hash-join on the bucket — same mask kernel per bucket.
+
+    Oracle: inequality join in SQL (e.ts >= w_start AND e.ts < w_end).
+    """
+    import numpy as np
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def batch_topn(t: pa.Table) -> pa.Table:
+        n = min(n_windows, t.num_rows)
+        idx = pc.select_k_unstable(
+            t, n, [("value", "descending"), ("event_id", "ascending")]
+        )
+        return t.take(idx)
+
+    anchors = (
+        ev.map_batches(batch_topn, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["value", "event_id"], ascending=[False, True])
+        .head(n_windows)
+    )
+    w_start = anchors["ts"].to_numpy("datetime64[us]")
+    w_end = w_start + np.timedelta64(window_hours, "h")
+    w_ids = anchors["event_id"].to_numpy("int64")
+    w_ref = ray.put((w_ids, w_start.astype("int64"), w_end.astype("int64")))
+
+    class WindowPartials:
+        def __init__(self, ref):
+            self.w_ids, self.w_start, self.w_end = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = np.asarray(
+                pc.cast(t["ts"], pa.int64()), dtype=np.int64
+            )  # us since epoch
+            cents = np.asarray(_cents(t["value"]), dtype=np.int64)
+            # (batch x n_windows) containment mask, folded per window
+            inside = (ts[:, None] >= self.w_start[None, :]) & (
+                ts[:, None] < self.w_end[None, :]
+            )
+            counts = inside.sum(axis=0)
+            sums = (cents[:, None] * inside).sum(axis=0)
+            keep = counts > 0
+            return pa.table(
+                {
+                    "window_id": pa.array(self.w_ids[keep], pa.int64()),
+                    "n_events": pa.array(counts[keep], pa.int64()),
+                    "sum_value_c": pa.array(sums[keep], pa.int64()),
+                }
+            )
+
+    out = (
+        ev.map_batches(WindowPartials(w_ref), batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+        )
+        .to_pandas()
+        .astype({"window_id": "int64", "n_events": "int64",
+                 "sum_value_c": "int64"})
+    )
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
+def q_rolling_revenue(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Rolling-window aggregate: per order day, total revenue (cents) and
+    the trailing ``window_days``-row rolling sum over the ordered day
+    sequence (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW semantics).
+
+    Ray shape: the wide input collapses FIRST (per-batch partial sums ->
+    ONE groupby(day) integer-sum), and only the tiny day-level series
+    (~thousands of rows for years of data) is pulled to the driver for the
+    ordered rolling pass — the rolling window never sees the raw table.
+    At finer granularity (per-second buckets) the rolling pass becomes a
+    sorted map_batches with a carried prefix from the previous block
+    (documented partitioning assumption: blocks ordered, boundary overlap
+    = window_days rows).
+
+    Oracle: SUM() OVER (ORDER BY day ROWS BETWEEN N-1 PRECEDING AND
+    CURRENT ROW).
+    """
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"),
+                      pa.timestamp("us"))
+        return pa.table({"day": day, "revenue_c": _cents(t["o_totalprice"])})
+
+    daily = (
+        orders.map_batches(day_partials, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+        .astype({"revenue_c": "int64"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily["rolling_revenue_c"] = (
+        daily["revenue_c"].rolling(window_days, min_periods=1).sum().astype("int64")
+    )
+    return daily[["day", "revenue_c", "rolling_revenue_c"]]
+
+
+def q_order_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group discrete percentiles: median and p90 of order total
+    (cents) per order priority.  quantile_disc semantics — the returned
+    value IS an element of the group (index ceil(q*n)-1 of the sorted
+    values), so integer exactness survives the oracle comparison.
+
+    Ray shape: groupby(priority).map_groups with a numpy sort per group —
+    exact per-group quantiles need the group's values together, and
+    priority has tiny cardinality (5), so map_groups overhead is nil.  At
+    100 TB the exact path is a per-group distributed sort + rank lookup;
+    the approximate path is per-batch t-digest partials merged in a
+    groupby — both documented, this implements the exact one.
+
+    Oracle: quantile_disc(c, 0.5) / quantile_disc(c, 0.9) per priority.
+    """
+    import numpy as np
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "price_c": _cents(t["o_totalprice"])})
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["price_c"].to_numpy("int64"))
+        n = len(v)
+
+        def qdisc(q: float) -> int:
+            return int(v[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "n_orders": [n],
+                "median_c": [qdisc(0.5)],
+                "p90_c": [qdisc(0.9)],
+            }
+        )
+
+    out = (
+        orders.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+        .astype({"n_orders": "int64", "median_c": "int64", "p90_c": "int64"})
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -104,23 +104,17 @@ class PagesStore:
             for i, u in enumerate(urls):
                 by_shard[url_hash64(u) % K].append(i)
 
-            # build shards in parallel Ray tasks (a serial driver-side
-            # build of a multi-GB store took minutes); the task RETURN
-            # values live in the object store and serve as the broadcast
-            # refs directly
-            tbl_ref = ray.put(tbl)
-
-            @ray.remote
-            def build_shard(rows):
-                t = ray.get(tbl_ref)  # zero-copy plasma read, single-chunk
-                shard = t.take(pa.array(rows, pa.int64()))
+            # driver-side build: on the single-chunk table each per-shard
+            # take is a contiguous sub-100-ms gather, so building 64 shards
+            # serially (~3 s) beats a task wave where every worker process
+            # page-faults the full multi-GB broadcast out of plasma (~23 s
+            # of kernel time at 32 workers).  Each shard is its own
+            # object-store entry; lookups touch only their 1/K slice.
+            self._refs = []
+            for rows in by_shard:
+                shard = tbl.take(pa.array(rows, pa.int64()))
                 index = {u: j for j, u in enumerate(shard["url"].to_pylist())}
-                return shard, index
-
-            # the task-return ObjectRefs ARE the broadcast handles (driver
-            # owns them; nothing is pulled back to the driver)
-            self._refs = [build_shard.remote(rows) for rows in by_shard]
-            ray.wait(self._refs, num_returns=len(self._refs))
+                self._refs.append(ray.put((shard, index)))
         return self._refs
 
     def fetch_with_meta(self, meta_tbl: pa.Table, chunk_rows: int = 256) -> rd.Dataset:

@@ -87,6 +87,106 @@ def knn_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFram
     return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def ivf_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 5, n_centroids: int = 32,
+    nprobe: int = 8, sample_stride: int = 7, sample_cap: int = 4096,
+    kmeans_iters: int = 5,
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer — the
+    second scale path next to ``lsh_bucketed_topk``.
+
+    Train: a deterministic corpus sample (every ``sample_stride``-th
+    vec_id, capped) is pulled to the driver and run through a few Lloyd
+    iterations seeded from the first ``n_centroids`` sample points — the
+    centroid matrix is tiny and broadcast once via ``ray.put``.  At
+    10^9-vector scale the sample read stays a projected, filtered scan;
+    the training cost is independent of corpus size.
+
+    Search: ONE fused map_batches stage assigns each batch row to its
+    nearest centroid (batch x C matmul) and scores it against exactly the
+    queries whose ``nprobe`` closest centroids contain that row's cell,
+    emitting per-batch top-k partials; the driver merge sees only
+    k x n_queries x n_blocks tiny rows.  The corpus is never broadcast or
+    materialized.  Approximate by construction (recall < 1 when a true
+    neighbor lives outside the probed cells) — rows-only, with a recall
+    assertion vs ``knn_cosine_topk`` in tests."""
+    qids, qmat = _load_queries(sf_dir, n_queries)
+
+    sample = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] % sample_stride == 0)
+        .limit(sample_cap)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    C = min(n_centroids, len(smat))
+    centroids = smat[:C].copy()  # deterministic init: first C sample points
+    for _ in range(kmeans_iters):
+        assign = (smat @ centroids.T).argmax(axis=1)
+        for c in range(C):
+            members = smat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    # per-query probe set: the nprobe nearest centroids
+    q_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, : min(nprobe, C)]
+    q_ref = ray.put((qids, qmat, centroids, q_cells))
+
+    class IVFPartialTopK:
+        def __init__(self, ref):
+            self.qids, self.qmat, self.centroids, q_cells = ray.get(ref)
+            self.q_cells = [np.asarray(c, dtype=np.int64) for c in q_cells]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = np.asarray(t["vec_id"], dtype=np.int64)
+            vecs = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+            )
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            cells = (vecs @ self.centroids.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cells, self.q_cells[qi]) & (vids != qid)
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                sims = vecs[cand_idx] @ self.qmat[qi]
+                take = min(k, cand_idx.size)
+                top = np.lexsort((vids[cand_idx], -sims))[:take]
+                out_q.extend([int(qid)] * take)
+                out_n.extend(vids[cand_idx[top]].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(IVFPartialTopK(q_ref), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", as_index=False).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 def lsh_bucketed_topk(
     sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 6,
     n_tables: int = 8, seed: int = 7, multiprobe: int = 1,

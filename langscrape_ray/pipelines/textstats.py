@@ -150,3 +150,48 @@ def token_histogram(sf_dir: str, bin_size: int = 32) -> pd.DataFrame:
     # integer mean (x100) — exact across engines, unlike float round()
     out["avg_tokens_e2"] = (out["sum_tokens"] * 100) // out["n_docs"]
     return out[["token_bin", "n_docs", "avg_tokens_e2"]]
+
+
+def doc_term_df(sf_dir: str, top_n: int = 50) -> pd.DataFrame:
+    """Document frequency: the ``top_n`` terms by number of documents
+    containing them (lowercased, split on non-alphanumeric runs), ties
+    broken by term ascending — the vocabulary-building step of a
+    TF-IDF / corpus-statistics pipeline.
+
+    Ray shape: df is distinct-per-doc, which is LOCAL to a row — each
+    batch emits per-term partial counts of docs-containing (a set() per
+    doc, Counter per batch), so the only shuffle is the final
+    groupby(term) integer-sum over pre-aggregated (term, count) partials —
+    the combiner-before-shuffle pattern.  The driver sees only the
+    term-level aggregate, never exploded tokens.
+
+    Oracle: unnest(list_distinct(regexp_split_to_array(lower(text)))) +
+    count(*) group by term.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(set(re.split(r"[^a-z0-9]+", text.lower())) - {""})
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .astype({"df": "int64"})
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    return out[["term", "df"]]

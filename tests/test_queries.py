@@ -54,6 +54,10 @@ def _to_df(x):
         "token_histogram",
         "dedup_jaccard",
         "q_asof_join",
+        "q_range_join",
+        "q_rolling_revenue",
+        "q_order_percentiles",
+        "doc_term_df",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -167,3 +171,20 @@ def test_knn_lsh_shape_and_validity(ray_session):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
     exact = knn_cosine_topk(SF, n_queries=5, k=5)
     assert len(exact) == 25
+
+
+def test_knn_ivf_recall_vs_exact(ray_session):
+    """IVF with generous nprobe must recover most exact neighbors at test
+    scale; shape contract identical to the exact variant."""
+    from langscrape_ray.pipelines.similarity import ivf_topk, knn_cosine_topk
+
+    approx = ivf_topk(SF, n_queries=5, k=5)
+    assert list(approx.columns) == ["query_id", "neighbor_id", "rank"]
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    for _qid, g in approx.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    exact = knn_cosine_topk(SF, n_queries=5, k=5)
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    got_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"IVF recall {recall} too low"
