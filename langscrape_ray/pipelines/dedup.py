@@ -20,6 +20,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -32,6 +33,49 @@ def _read_docs(sf_dir: str, columns) -> rd.Dataset:
 
 def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+# order-aware shingle mixing constants (odd -> bijective mod 2^64) and a
+# splitmix64 finalizer; shingle identity only needs distinctness, so a
+# vectorized mix of C-speed per-token hashes replaces per-shingle blake2b
+# (which cost ~10M Python hashlib calls per 50k-doc corpus)
+_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                 0xD6E8FEB86659FD93, 0xA5CB9243D45BD7A1], dtype=np.uint64)
+
+
+def _avalanche64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hash_array(tokens: List[str]) -> np.ndarray:
+    """Deterministic uint64 token hashes, vectorized (pandas siphash with
+    its fixed default key — C speed, stable across processes)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(tokens, dtype=object), categorize=False
+    ).astype(np.uint64)
+
+
+def _shingle_hash_array(tokens: List[str], k: int) -> np.ndarray:
+    """uint64 hash per k-token shingle: order-aware vectorized mix of the
+    token hashes (h[i]*M0 ^ h[i+1]*M1 ^ ... -> avalanche)."""
+    h = _token_hash_array(tokens)
+    n = len(h)
+    if n == 0:
+        return h
+    if n < k:
+        acc = np.uint64(0)
+        for j in range(n):
+            acc ^= h[j] * _MIX[j % len(_MIX)]
+        return _avalanche64(np.array([acc], dtype=np.uint64))
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc ^= h[j : j + m] * _MIX[j % len(_MIX)]
+    return _avalanche64(acc)
 
 
 # ---------------------------------------------------------------------------
@@ -95,41 +139,49 @@ class MinHashSignatures:
         rng = np.random.RandomState(0xC0FFEE)  # fixed — deterministic engine
         self.seeds = rng.randint(1, 2**63 - 1, size=num_perm).astype(np.uint64)
 
-    def shingles(self, text: str) -> List[int]:
+    def shingles(self, text: str) -> np.ndarray:
         toks = _TOKEN_RE.findall(text.lower())
-        k = self.shingle_len
-        if len(toks) < k:
-            return [_h64(" ".join(toks))] if toks else []
-        return [_h64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        return _shingle_hash_array(toks, self.shingle_len)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
-        if not sh:
+        if sh.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        hs = np.asarray(sh, dtype=np.uint64)[None, :]  # (1, n)
-        x = hs + self.seeds[:, None]  # (k, n) — uint64 wraps mod 2^64
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-        return x.min(axis=1)
+        x = sh[None, :] + self.seeds[:, None]  # (k, n) — uint64 wraps mod 2^64
+        return _avalanche64(x).min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        """Emit (band_id, band_hash, doc_id) rows — the LSH explode."""
-        rows_band, rows_hash, rows_doc = [], [], []
+        """Emit (band_id, band_hash, doc_id) rows — the LSH explode.
+        Band hashes for the whole batch are one vectorized mix over the
+        (docs x bands x rows_per_band) signature tensor; band_hash is an
+        int64 bit-view of the uint64 mix (groupby keys only need equality)."""
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n = len(doc_ids)
         rpb = self.num_perm // self.bands
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                band = sig[b * rpb : (b + 1) * rpb]
-                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                rows_band.append(b)
-                rows_hash.append(bh)
-                rows_doc.append(doc_id)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sigs = np.stack([self.signature(x) for x in texts])  # (n, num_perm)
+        bandview = sigs.reshape(n, self.bands, rpb)
+        acc = np.zeros((n, self.bands), dtype=np.uint64)
+        for j in range(rpb):
+            acc ^= bandview[:, :, j] * _MIX[j % len(_MIX)]
+        band_hash = _avalanche64(acc).view(np.int64).reshape(-1)
         return pa.table(
             {
-                "band_id": pa.array(rows_band, pa.int32()),
-                "band_hash": pa.array(rows_hash, pa.string()),
-                "doc_id": pa.array(rows_doc, pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(band_hash),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64), self.bands)
+                ),
             }
         )
 
@@ -137,31 +189,35 @@ class MinHashSignatures:
 def ngram_jaccard(text_a: str, text_b: str, shingle_len: int = 3) -> float:
     """Exact word-shingle Jaccard (the verification metric)."""
     mh = MinHashSignatures(shingle_len=shingle_len)
-    sa, sb = set(mh.shingles(text_a)), set(mh.shingles(text_b))
+    sa = set(mh.shingles(text_a).tolist())
+    sb = set(mh.shingles(text_b).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
 
 
 def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                               n_parts: int = 64) -> rd.Dataset:
+                               n_parts: int = 64,
+                               dedup_pairs: bool = False) -> rd.Dataset:
     """LSH candidate pairs as a Dataset: shingle -> minhash -> band ->
-    bucket-hash partition -> within-bucket pairs -> pair-key dedup.
+    bucket-hash partition -> within-bucket pairs.
 
     Buckets are co-located by ``hash(band) % n_parts`` so the shuffle has
     n_parts coarse groups (one vectorized pandas groupby each) instead of
     one task per bucket — Ray's per-group map_groups overhead dominates
-    otherwise.  Cross-bucket duplicate pairs (two bands colliding for the
-    same pair) are removed with a vectorized ``groupby(pair).aggregate``
-    shuffle, NOT a driver drop_duplicates — the pair set never lands on
-    the driver.  Rows: (doc_a, doc_b) with doc_a < doc_b."""
-    from ray.data.aggregate import Count
-
+    otherwise.  The signature stage runs as plain TASKS (the state is a
+    512-byte seed array captured in the callable instance — an actor pool
+    pays ~2 s of spin-up to hold state this cheap).  Cross-band duplicate
+    pairs (two bands colliding for the same pair) survive unless
+    ``dedup_pairs``: consumers that pull the (collision-bounded, small)
+    pair set to the driver dedupe there for free; the at-scale join tail
+    passes dedup_pairs=True for the vectorized groupby-count dedup shuffle
+    so the pair set still never lands on the driver.
+    Rows: (doc_a, doc_b) with doc_a < doc_b."""
     def add_part(t: pa.Table) -> pa.Table:
-        parts = [
-            int(h, 16) % n_parts for h in t["band_hash"].to_pylist()
-        ]
-        return t.append_column("bucket_part", pa.array(parts, pa.int32()))
+        h = np.asarray(t["band_hash"], dtype=np.int64).view(np.uint64)
+        parts = (h % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("bucket_part", pa.array(parts))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -180,22 +236,24 @@ def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     from langscrape_ray.pipelines.util import ensure_schema
 
-    deduped = (
+    cand = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(
-            MinHashSignatures,
-            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+            MinHashSignatures(num_perm=num_perm, bands=bands),
             batch_format="pyarrow",
-            concurrency=2,
         )
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
     )
+    if dedup_pairs:
+        from ray.data.aggregate import Count
+
+        cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="_n")
+        )
     return ensure_schema(
-        deduped, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        cand, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     )
 
 
@@ -208,6 +266,7 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                              "doc_b": pd.Series([], dtype="int64")})
     return (
         cand.astype({"doc_a": "int64", "doc_b": "int64"})
+        .drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
@@ -232,30 +291,88 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5,
     """Near-dup pairs verified by exact n-gram Jaccard >= threshold.
 
     Scale shape end-to-end: candidate generation is the banded-LSH shuffle;
-    verification fetches each pair's two texts via TWO co-partitioned hash
-    joins on doc_id (``Dataset.join``), so only candidate-relevant texts
-    move and nothing is broadcast or driver-materialized — the round-1
-    corpus-as-dict broadcast is gone."""
-    from langscrape_ray.pipelines.util import compact_for_join
-
+    verification is a SEMI-JOIN pushdown — only texts whose doc_id appears
+    in a candidate pair are read back (predicate-pushdown parquet scan),
+    and that candidate-bounded slice (O(duplicates), NOT O(corpus) — the
+    round-1 sin was broadcasting the whole corpus) broadcasts once to a
+    distributed verify pass over the pairs.  Above ``JOIN_TAIL_PAIRS``
+    candidates the broadcast no longer fits and verification switches to
+    two co-partitioned hash joins on doc_id (``_verify_pairs_join``)."""
     empty_result = pd.DataFrame(
         {"doc_a": pd.Series([], dtype="int64"),
          "doc_b": pd.Series([], dtype="int64"),
          "jaccard": pd.Series([], dtype="float64")}
     )
-    # compact the (small) candidate-pair set: it ends the signature
-    # actor-pool stage, releasing those CPUs before the join aggregator
-    # actors start (chaining an actor pool into two hash joins in one
-    # streaming pipeline can reserve every core on a small cluster and
-    # deadlock), and re-blocks so no empty block reaches the join (see
-    # compact_for_join).  Pairs are the reduced intermediate (bounded by
-    # LSH collision volume), not the corpus.
-    pairs = compact_for_join(minhash_candidate_pairs_ds(sf_dir))
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    # Pairs are the reduced intermediate (bounded by LSH collision volume),
+    # small enough to land on the driver — the function's own return value
+    # is the same order of size.
+    pairs = minhash_candidate_pairs_ds(sf_dir).to_pandas()
+    if pairs.empty:
         return empty_result
+    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    if len(pairs) > JOIN_TAIL_PAIRS:
+        out = _verify_pairs_join(sf_dir, pairs, threshold, n_parts)
+    else:
+        out = _verify_pairs_semijoin(sf_dir, pairs, threshold)
+    if out.empty:
+        return empty_result
+    return (
+        out.astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
+# above this many candidate pairs the candidate-text slice stops being
+# broadcastable and the verify tail switches to co-partitioned hash joins
+JOIN_TAIL_PAIRS = 2_000_000
+
+
+def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
+                           threshold: float) -> pd.DataFrame:
+    """Candidate-bounded verify: filtered scan of ONLY the pair texts
+    (isin pushdown), broadcast that small slice, verify pairs distributed."""
+    import pyarrow.compute as pc
+
+    ids = pd.unique(pd.concat([pairs["doc_a"], pairs["doc_b"]],
+                              ignore_index=True))
+    texts_tbl = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(ids.tolist()),
+    ).to_pandas()
+    texts_ref = ray.put(dict(zip(texts_tbl["doc_id"], texts_tbl["text"])))
+
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = [
+                round(ngram_jaccard(self.texts.get(a, ""),
+                                    self.texts.get(b, "")), 4)
+                for a, b in zip(batch["doc_a"], batch["doc_b"])
+            ]
+            out = batch[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = jac
+            return out[out["jaccard"] >= threshold]
+
+    return (
+        rd.from_pandas(pairs)
+        .map_batches(Verify(texts_ref), batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
+                       n_parts: Optional[int]) -> pd.DataFrame:
+    """Join-tail verify for candidate sets too big to broadcast: each
+    pair's two texts arrive via co-partitioned hash joins on doc_id."""
+    from langscrape_ray.pipelines.util import compact_for_join
+
+    # compact so no empty block reaches the join (empty first blocks break
+    # Ray's join schema broadcast — see compact_for_join)
+    pairs = compact_for_join(rd.from_pandas(pairs_pd))
     if n_parts is None:
-        n_parts = _join_parts(n_rows=n_pairs)
+        n_parts = _join_parts(n_rows=len(pairs_pd))
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     agg_args = {"num_cpus": 0.25}
 
@@ -264,12 +381,14 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5,
         on=("doc_a",), right_on=("doc_id",),
         aggregator_ray_remote_args=agg_args,
     ).rename_columns({"text": "text_a"})
-    # re-compact between the two joins: join output partitions are mostly
-    # empty when pairs are few, and an empty first block would break the
-    # second join's schema broadcast the same way
+    # re-compact between the two joins for the same empty-block reason
     joined = compact_for_join(joined)
     if joined.count() == 0:
-        return empty_result
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
     joined = joined.join(
         docs, join_type="inner", num_partitions=n_parts,
         on=("doc_b",), right_on=("doc_id",),
@@ -285,17 +404,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5,
         out["jaccard"] = jac
         return out[out["jaccard"] >= threshold]
 
-    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
-    if out.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
-    return (
-        out.astype({"doc_a": "int64", "doc_b": "int64"})
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    )
+    return joined.map_batches(verify, batch_format="pandas").to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +424,7 @@ class SimHashSignatures:
             if not toks:
                 sigs.append(0)
                 continue
-            hs = np.fromiter((_h64(tok) for tok in toks), dtype=np.uint64)
+            hs = _token_hash_array(toks)
             # (n_toks, 64) bit matrix -> per-bit +-1 sums, fully vectorized
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             acc = (2 * bits - 1).sum(axis=0)
@@ -333,8 +442,9 @@ class SimHashSignatures:
 
 
 def simhash_signatures(sf_dir: str) -> "rd.Dataset":
+    # stateless -> plain tasks: an actor pool pays spin-up for nothing here
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHashSignatures, batch_format="pyarrow", concurrency=2
+        SimHashSignatures(), batch_format="pyarrow"
     )
 
 
@@ -658,22 +768,25 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
     mh = MinHashSignatures(shingle_len=shingle_len)
 
     def explode(t: pa.Table) -> pa.Table:
-        sh_col, doc_col, size_col, part_col = [], [], [], []
+        sh_parts, doc_parts, size_parts = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = set(mh.shingles(text))
-            n = len(s)
-            for h in s:
-                h = int(h) & 0x7FFFFFFFFFFFFFFF  # int64-safe
-                sh_col.append(h)
-                doc_col.append(doc_id)
-                size_col.append(n)
-                part_col.append(h % n_parts)
+            s = np.unique(mh.shingles(text))  # distinct shingle hashes
+            v = (s & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)  # int64-safe
+            sh_parts.append(v)
+            doc_parts.append(np.full(len(v), doc_id, dtype=np.int64))
+            size_parts.append(np.full(len(v), len(v), dtype=np.int64))
+        sh = (np.concatenate(sh_parts) if sh_parts
+              else np.empty(0, dtype=np.int64))
+        docs = (np.concatenate(doc_parts) if doc_parts
+                else np.empty(0, dtype=np.int64))
+        sizes = (np.concatenate(size_parts) if size_parts
+                 else np.empty(0, dtype=np.int64))
         return pa.table(
             {
-                "shingle": pa.array(sh_col, pa.int64()),
-                "doc_id": pa.array(doc_col, pa.int64()),
-                "n_sh": pa.array(size_col, pa.int64()),
-                "bucket_part": pa.array(part_col, pa.int32()),
+                "shingle": pa.array(sh),
+                "doc_id": pa.array(docs),
+                "n_sh": pa.array(sizes),
+                "bucket_part": pa.array((sh % n_parts).astype(np.int32)),
             }
         )
 

@@ -117,7 +117,7 @@ class LangId:
 
 def lang_id(sf_dir: str) -> "rd.Dataset":
     return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=(2, 8)
     )
 
 
