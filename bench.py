@@ -28,6 +28,33 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def cpu_reference() -> dict:
+    """Host-speed self-calibration, embedded in every bench JSON.
+
+    The sandbox host's effective CPU speed varies several-fold between
+    runs (hypervisor contention / frequency policy): the identical
+    round-1 code measured q_events_hourly at 1.16 s on the round-1
+    morning and 6.5 s the same evening.  Absolute seconds are therefore
+    only comparable after normalizing by these two single-core
+    references (pure-Python loop ~ interpreter speed; numpy matmul ~
+    vector/memory speed).  Ratios within one run (A/B, scaling
+    efficiency) are unaffected."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    loop_s = time.perf_counter() - t0
+
+    import numpy as np
+
+    a = np.random.RandomState(0).standard_normal((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a @ a
+    mm_s = time.perf_counter() - t0
+    return {"py_loop_20m_sec": round(loop_s, 3), "matmul_1k_x8_sec": round(mm_s, 3)}
+
+
 def bench_world(sf: float):
     from langscrape_ray.sources.fixtures_gen import FixtureConfig
 
@@ -52,18 +79,13 @@ def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     from langscrape_ray.sources.pages_cache import build_pages_parquet
 
+    from langscrape_ray.sources.pages_cache import PAGES_SHARDS
+
     cfg = bench_world(_sf_of(sf_dir))
     pages_path = build_pages_parquet(cfg)  # cached; untimed
     seeds = build_seeds_table(cfg)
     robots = build_robots_table(cfg)
     policy = CrawlPolicy(max_per_host_per_round=40, max_rounds=3)
-
-    # load the simulated web once (untimed) — the timed loop then measures
-    # the pipeline, not three re-scans of the same parquet.  The parquet
-    # path (filtered read) stays the store's scale configuration.
-    import pyarrow.parquet as pq
-
-    pages_tbl = pq.read_table(pages_path)
 
     # untimed warm-up: spin up the Ray worker pool + import the library in
     # every worker on a tiny world, so the timed run measures the pipeline
@@ -80,8 +102,13 @@ def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
         CrawlPolicy(max_per_host_per_round=20, max_rounds=2),
     ).run(_bst(warm_cfg))
 
-    store = PagesStore(table=pages_tbl)
-    store._shard_refs()  # broadcast the simulated web untimed (setup, not pipeline)
+    # shard-partitioned store: K parallel worker tasks each read + index
+    # their own shard=N parquet dir — the driver never loads the table
+    store = PagesStore(path=pages_path, partitioned=True, num_shards=PAGES_SHARDS)
+    refs = store._shard_refs()  # launch shard loads untimed (setup)
+    import ray
+
+    ray.wait(refs, num_returns=len(refs))  # loads complete before the clock starts
 
     crawl = RayCrawl(
         store,
@@ -126,12 +153,14 @@ def run_query_bench(sf_dir: str) -> dict:
     qs = entrymod.queries()
     out = {}
     for name in names:
+        print(f"[bench] {name} @ {sf_dir} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         # consume lazily-built datasets so timing covers execution
         if hasattr(res, "to_pandas"):
             res = res.to_pandas()
         out[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
     return out
 
 
@@ -172,6 +201,7 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
                 "num_cpus": num_cpus,
                 "crawl": crawl,
+                "host_calibration": cpu_reference(),
             }
         )
     )
@@ -210,6 +240,7 @@ def scaling() -> None:
                 f"crawl_sec_{n_lo}cpu": lo["crawl"]["crawl_sec"],
                 f"crawl_sec_{n_hi}cpu": hi["crawl"]["crawl_sec"],
                 "sf": lo["sf"],
+                "host_calibration": cpu_reference(),
             }
         )
     )

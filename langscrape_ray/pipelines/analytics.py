@@ -95,17 +95,22 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q3_top_orders(sf_dir: str, n_parts: Optional[int] = None) -> pd.DataFrame:
-    """Top-10 orders by revenue — reduced-side hash join.
+    """Top-10 orders by revenue — top-k pushdown through a key-preserving
+    join.
 
-    Scale shape: lineitem is pre-aggregated per l_orderkey inside the scan
-    (partial Sum combines per block before the shuffle), shrinking the big
-    side to one row per order BEFORE joining; the join is then a
-    co-partitioned ``Dataset.join`` of two order-cardinality sides — no
-    side is broadcast or pulled to the driver (round 1 shipped the whole
-    orders table via ray.put; at 100x that side is not broadcastable).
-    After the join each block keeps only its local top-10 so the global
-    sort sees ~10 x n_blocks rows."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    The oracle's ``lineitem JOIN orders`` is key-preserving (every
+    l_orderkey exists in orders exactly once, and the join adds only the
+    o_orderdate payload), so the top-10 is decided entirely by the
+    lineitem aggregate — the classic optimizer rewrite pushes the LIMIT
+    below the join.  Scale shape: per-block vectorized pyarrow combiner
+    (collapses the ~4 lineitems per order BEFORE the shuffle) → ONE
+    groupby-sum exchange over the reduced partials → per-block top-10 →
+    global sort over ~10 x n_blocks rows → the 10 winning keys fetch
+    their o_orderdate via a predicate-pushdown point read of orders.  No
+    full-table join, no broadcast, nothing order-cardinality ever lands
+    on the driver (round 1 shipped the whole orders table via ray.put;
+    round 2a paid a full hash-join actor spin-up just to attach one
+    column to 10 rows)."""
     lineitem = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -116,50 +121,41 @@ def q3_top_orders(sf_dir: str, n_parts: Optional[int] = None) -> pd.DataFrame:
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
         )
         out = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
-        # per-block combiner (vectorized pyarrow group_by): collapses the
-        # ~4 lineitems per order BEFORE the shuffle, so the exchange
-        # carries one partial per (block, order) — integer sums stay exact
         out = out.group_by("l_orderkey").aggregate([("rev_e4", "sum")])
         return out.rename_columns(["l_orderkey", "rev_e4"])
 
-    from langscrape_ray.pipelines.dedup import _join_parts
-    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
-
-    # ensure_schema + compact: Aggregate can emit empty/schema-less blocks
-    # that break the join's schema broadcast (see util.compact_for_join);
-    # the aggregate is already a barrier, so the re-block adds one pass
-    # over the REDUCED (one-row-per-order) side only.
-    per_order = compact_for_join(
-        ensure_schema(
-            lineitem.map_batches(prep, batch_format="pyarrow")
-            .groupby("l_orderkey")
-            .aggregate(Sum("rev_e4", alias_name="rev_e4")),
-            pa.schema([("l_orderkey", pa.int64()), ("rev_e4", pa.int64())]),
-        )
-    )
-    if n_parts is None:
-        n_parts = _join_parts(8, n_rows=per_order.count())
-    joined = per_order.join(
-        orders, join_type="inner", num_partitions=n_parts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
-    )
-
     def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
         idx = pc.select_k_unstable(
             t, k=min(10, t.num_rows),
             sort_keys=[("rev_e4", "descending"), ("l_orderkey", "ascending")],
         )
         return t.take(idx)
 
-    out = (
-        joined.map_batches(local_top, batch_format="pyarrow")
+    top = (
+        lineitem.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .map_batches(local_top, batch_format="pyarrow")
         .sort(["rev_e4", "l_orderkey"], descending=[True, False])
         .limit(10)
         .to_pandas()
     )
+
+    # point lookup: 10 keys, predicate pushed into the parquet scan
+    dates = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+            filter=pc.field("o_orderkey").isin(top["l_orderkey"].tolist()),
+        )
+        .to_pandas()
+    )
+    out = top.merge(dates, left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["rev_e4", "l_orderkey"], ascending=[False, True])
     out["revenue"] = out["rev_e4"] / 10000.0
-    return out[["l_orderkey", "o_orderdate", "revenue"]]
+    return out[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
 def q_order_priority(sf_dir: str) -> pd.DataFrame:

@@ -69,11 +69,18 @@ class PagesStore:
         path: Optional[str] = None,
         table: Optional[pa.Table] = None,
         num_shards: int = 64,
+        partitioned: bool = False,
     ):
         assert (path is None) != (table is None)
+        assert not (partitioned and path is None)
         self.path = path
         self.table = table
         self.num_shards = num_shards
+        # partitioned=True: `path` is a shard=N-partitioned parquet dir
+        # (pages_cache layout, shard = url_hash64(url) % num_shards) and the
+        # store loads itself with one Ray task per shard — the driver never
+        # materializes the table
+        self.partitioned = partitioned
         self._refs = None  # lazy (ray may not be initialised yet)
 
     def _shard_refs(self):
@@ -81,7 +88,43 @@ class PagesStore:
         (rows + its url->row index) is a separate object-store entry, so a
         lookup task only ever touches its own 1/K slice — a full-table
         broadcast makes every task page through the whole store and
-        anti-scales with worker count."""
+        anti-scales with worker count.
+
+        Partitioned-path mode: each shard is read + indexed by its own Ray
+        task directly from its ``shard=N`` parquet directory; the task's
+        return ref IS the shard's object-store entry.  K parallel worker
+        reads replace the single-threaded driver read (measured 170 s on a
+        1.6 GB / 400-file cache) and the driver-side split."""
+        if self._refs is None and self.partitioned:
+
+            @ray.remote
+            def load_shard(path: str, sid: int):
+                import pyarrow.parquet as pq
+
+                shard_dir = os.path.join(path, f"shard={sid}")
+                if not os.path.isdir(shard_dir):
+                    shard = pa.table(
+                        {
+                            "url": pa.array([], pa.string()),
+                            "html": pa.array([], pa.large_binary()),
+                            "warc_ts": pa.array([], pa.timestamp("us")),
+                        }
+                    )
+                    return (shard, {})
+                shard = pq.read_table(
+                    shard_dir, columns=["url", "html", "warc_ts"]
+                )
+                shard = shard.set_column(
+                    shard.schema.get_field_index("html"),
+                    "html",
+                    shard["html"].cast(pa.large_binary()),
+                ).combine_chunks()
+                index = {u: j for j, u in enumerate(shard["url"].to_pylist())}
+                return (shard, index)
+
+            self._refs = [
+                load_shard.remote(self.path, s) for s in range(self.num_shards)
+            ]
         if self._refs is None:
             from langscrape_ray.frontier.canonical import url_hash64
 
@@ -128,7 +171,7 @@ class PagesStore:
         joined to the (bounded) meta — the at-scale configuration where the
         pages table exceeds memory.
         """
-        if self.path is not None:
+        if self.path is not None and not self.partitioned:
             urls = meta_tbl["url"].to_pylist()
             meta_ref = ray.put(meta_tbl)
 

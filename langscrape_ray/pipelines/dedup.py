@@ -20,6 +20,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -570,63 +571,102 @@ def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
     pipeline — pairs alone can't drop rows; components pick one keeper per
     duplicate cluster.
 
-    Ray shape: iterative min-label propagation — per iteration ONE hash
-    join (edges ⋈ labels on src) + ONE groupby-min shuffle; converges in
-    O(component diameter) rounds.  Both per-iteration primitives are the
-    at-scale patterns (no driver-side graph, no full materialization);
-    the driver only checks a scalar label-sum for convergence.
-    SQL oracle: recursive transitive closure + min per node."""
+    Ray shape: the iteration runs only over the TOUCHED vertex set (ids
+    that appear in at least one edge) — at dedup scale the edge set is
+    orders of magnitude smaller than the corpus, so propagating labels
+    across every corpus row each round (round-2a version) pays an
+    O(corpus) groupby per iteration for vertices whose label can never
+    change.  Per iteration: ONE hash join (edges ⋈ touched-labels on src)
+    + ONE groupby-min shuffle over touched vertices; converges in
+    O(component diameter) rounds (driver checks a scalar label-sum).
+    Untouched vertices join back once at the end via a left-outer join
+    with label := vec_id fill — one corpus-sized pass total instead of
+    one per iteration.  SQL oracle: recursive transitive closure + min
+    per node."""
     from ray.data.aggregate import Min
 
     emb_ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     pairs = embedding_neardup_pairs(sf_dir, threshold=threshold)
 
-    def as_edges(df: pd.DataFrame) -> rd.Dataset:
-        both = pd.DataFrame(
-            {
-                "src": pd.concat([df["vec_a"], df["vec_b"]], ignore_index=True),
-                "dst": pd.concat([df["vec_b"], df["vec_a"]], ignore_index=True),
-            }
-        ).astype("int64")
-        return rd.from_pandas(both)
+    def self_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"], "label": t["vec_id"]})
 
-    from langscrape_ray.pipelines.util import ensure_schema
+    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
 
     label_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64())])
-    labels = emb_ids.map_batches(
-        lambda t: pa.table({"vec_id": t["vec_id"], "label": t["vec_id"]}),
-        batch_format="pyarrow",
-    ).materialize()
-    n_parts = _join_parts(8, n_rows=labels.count())
 
-    if not pairs.empty:
-        edges = as_edges(pairs).materialize()
-        prev_sum = None
-        for _ in range(max_iters):
-            prop = edges.join(
-                labels, join_type="inner", num_partitions=n_parts,
-                on=("src",), right_on=("vec_id",),
-                aggregator_ray_remote_args={"num_cpus": 0.25},
-            ).map_batches(
-                lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}),
+    if pairs.empty:
+        out = emb_ids.map_batches(self_labels, batch_format="pyarrow").to_pandas()
+        out = out.astype({"vec_id": "int64", "label": "int64"})
+        out = out.rename(columns={"label": "cluster_rep"})
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    both = pd.DataFrame(
+        {
+            "src": pd.concat([pairs["vec_a"], pairs["vec_b"]], ignore_index=True),
+            "dst": pd.concat([pairs["vec_b"], pairs["vec_a"]], ignore_index=True),
+        }
+    ).astype("int64")
+    edges = rd.from_pandas(both).materialize()
+    # touched vertices: distinct edge endpoints.  Derived from the edge set
+    # itself (groupby-distinct), so it inherits the edge set's partitioning
+    # and is tiny relative to the corpus.
+    labels = compact_for_join(
+        ensure_schema(
+            edges.map_batches(
+                lambda t: pa.table({"vec_id": t["src"], "label": t["src"]}),
                 batch_format="pyarrow",
             )
-            from langscrape_ray.pipelines.util import compact_for_join
+            .groupby("vec_id")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema,
+        )
+    )
+    n_parts = _join_parts(4, n_rows=labels.count())
 
-            labels = compact_for_join(
-                ensure_schema(
-                    labels.union(prop)
-                    .groupby("vec_id")
-                    .aggregate(Min("label", alias_name="label")),
-                    label_schema,
-                )
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, join_type="inner", num_partitions=n_parts,
+            on=("src",), right_on=("vec_id",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        ).map_batches(
+            lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = compact_for_join(
+            ensure_schema(
+                labels.union(prop)
+                .groupby("vec_id")
+                .aggregate(Min("label", alias_name="label")),
+                label_schema,
             )
-            cur_sum = labels.sum("label")
-            if cur_sum == prev_sum:  # min-labels are monotone: fixpoint
-                break
-            prev_sum = cur_sum
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # min-labels are monotone: fixpoint
+            break
+        prev_sum = cur_sum
 
-    out = labels.to_pandas().astype({"vec_id": "int64", "label": "int64"})
+    # single corpus-sized pass: untouched ids label themselves (right side
+    # key renamed so the outer join never carries two `vec_id` columns)
+    touched = labels.map_batches(
+        lambda t: pa.table({"t_vid": t["vec_id"], "label": t["label"]}),
+        batch_format="pyarrow",
+    )
+    full = emb_ids.join(
+        touched, join_type="left_outer", num_partitions=n_parts,
+        on=("vec_id",), right_on=("t_vid",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": pc.coalesce(t["label"], t["vec_id"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = full.to_pandas().astype({"vec_id": "int64", "label": "int64"})
     out = out.rename(columns={"label": "cluster_rep"})
     return out.sort_values("vec_id").reset_index(drop=True)
 
@@ -749,9 +789,13 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
       2. ONE shuffle: bucket rows by ``shingle % n_parts`` (coarse
          partitions — one vectorized pandas self-merge per bucket, not
          one task per shingle) and pair up docs sharing a shingle.
-         Emits (doc_a, doc_b, na, nb) per co-occurrence.
-      3. ONE shuffle: groupby(pair).aggregate(Count) — the co-occurrence
-         count IS |A ∩ B|; union = na + nb - inter; filter >= threshold.
+         Pairs are PRE-AGGREGATED inside the bucket (groupby pair →
+         partial co-occurrence count), so the next exchange carries one
+         row per (pair, bucket) instead of one per co-occurrence — an
+         ~|A∩B|-factor reduction in shuffle volume.
+      3. ONE shuffle: groupby(pair).aggregate(Sum(partial counts)) —
+         the summed co-occurrence count IS |A ∩ B|; union = na + nb -
+         inter; filter >= threshold.
     No driver-side materialization until the (small) qualifying pair set.
 
     At 100 TB the one refinement this needs is a stop-shingle cut (drop
@@ -763,7 +807,7 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
     story (SURVEY §2 training-data ops); tokenization identical to
     ``MinHashSignatures.shingles`` (\\S+ on lowercased text).
     """
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     mh = MinHashSignatures(shingle_len=shingle_len)
 
@@ -791,15 +835,23 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-merge on shingle within the coarse bucket
+        # vectorized self-merge on shingle within the coarse bucket, then
+        # per-bucket pair combiner: the downstream exchange carries one
+        # partial count per (pair, bucket), not one row per co-occurrence
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
+        part = (
+            m.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"])
+            .size()
+            .reset_index(name="inter_part")
+        )
         return pd.DataFrame(
             {
-                "doc_a": m["doc_id_a"].astype("int64"),
-                "doc_b": m["doc_id_b"].astype("int64"),
-                "na": m["n_sh_a"].astype("int64"),
-                "nb": m["n_sh_b"].astype("int64"),
+                "doc_a": part["doc_id_a"].astype("int64"),
+                "doc_b": part["doc_id_b"].astype("int64"),
+                "na": part["n_sh_a"].astype("int64"),
+                "nb": part["n_sh_b"].astype("int64"),
+                "inter_part": part["inter_part"].astype("int64"),
             }
         )
 
@@ -810,7 +862,7 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(
-            Count(alias_name="inter"),
+            Sum("inter_part", alias_name="inter"),
             Min("na", alias_name="na"),
             Min("nb", alias_name="nb"),
         )

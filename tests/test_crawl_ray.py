@@ -158,3 +158,35 @@ def test_crawl_cuckoo_only_mode(ray_session, small_cfg, small_world):
     n_oracle = sum(1 for r in otrace if r["status"] == "fetched")
     assert abs(res["counters"]["fetched"] - n_oracle) <= 2
     assert abs(res["seen_size"] - len(oseen)) <= 2
+
+
+def test_crawl_partitioned_store_parity(ray_session, small_cfg, small_world,
+                                        tmp_path_factory):
+    """PagesStore(partitioned=True) — shard=N parquet dirs loaded by one Ray
+    task per shard, no driver materialization — must reproduce the in-memory
+    table store exactly (trace, counters, seen set)."""
+    from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
+    from langscrape_ray.sources.pages_cache import (
+        PAGES_SHARDS,
+        build_pages_parquet,
+    )
+    from langscrape_ray.sources.fixtures_gen import field_rules
+
+    pages, seeds, robots = small_world
+    base = str(tmp_path_factory.mktemp("pages_cache"))
+    path = build_pages_parquet(small_cfg, path=f"{base}/pages")
+    policy = CrawlPolicy(max_rounds=3)
+
+    def run(store):
+        crawl = RayCrawl(
+            store, robots_dict(robots), field_rules(small_cfg), None, policy
+        )
+        return crawl.run(seeds)
+
+    r_tbl = run(PagesStore(table=pages))
+    r_part = run(
+        PagesStore(path=path, partitioned=True, num_shards=PAGES_SHARDS)
+    )
+    assert r_part["trace_fetched"] == r_tbl["trace_fetched"]
+    assert r_part["counters"] == r_tbl["counters"]
+    assert r_part["seen_size"] == r_tbl["seen_size"]
