@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
         dedup,
+        prep,
         similarity,
         tables,
         textstats,
@@ -236,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # language id (stopword-overlap heuristic — SQL-oracled: the
         # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
+        # composite training-data prep flagship: fused lang-ID + quality
+        # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
+        # rollup, ONE streaming flow (SQL-oracled end to end)
+        "prep_corpus": prep.prep_corpus,
         "token_histogram": textstats.token_histogram,  # SQL-oracled
         # F9 table extraction shape stats (SQL-oracled closed form over the
         # deterministic planted-table rule; the Ray side runs the real
@@ -489,6 +494,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY df DESC, term
             LIMIT 50
+        """,
+        "prep_corpus": f"""
+            WITH stats AS (
+              SELECT doc_id,
+                     {n_tokens_sql} AS n_tokens,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                * 10000) // length(text) END AS alpha,
+                     array_to_string(array_slice(
+                       string_split_regex(lower(trim(text)), '\\s+'), 1, 5),
+                       ' ') AS fp,
+                     list_distinct(array_slice(
+                       string_split_regex(lower(trim(text)), '\\s+'), 1, 200))
+                       AS ws
+              FROM documents),
+            counts AS (
+              SELECT doc_id, n_tokens, alpha, fp,
+                len(list_filter(ws, w -> w IN ('der','die','das','und','ein','eine','zu','den','von','mit'))) AS c_de,
+                len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','it','for','on'))) AS c_en,
+                len(list_filter(ws, w -> w IN ('el','la','de','que','y','en','un','una','los','del'))) AS c_es,
+                len(list_filter(ws, w -> w IN ('le','la','de','et','un','une','les','des','du','est'))) AS c_fr
+              FROM stats),
+            gated AS (
+              SELECT doc_id, n_tokens, fp,
+                     CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                          WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                          WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                          WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                          ELSE 'fr' END AS pred_lang
+              FROM counts
+              WHERE n_tokens >= 24 AND alpha >= 8000),
+            dedup AS (
+              SELECT fp,
+                     arg_min(pred_lang, doc_id) AS pred_lang,
+                     arg_min(n_tokens, doc_id) AS n_tokens,
+                     count(*) AS n_group
+              FROM gated WHERE pred_lang != 'und' GROUP BY fp)
+            SELECT pred_lang,
+                   n_tokens // 32 * 32 AS token_bin,
+                   count(*) AS n_docs,
+                   CAST(sum(n_group - 1) AS BIGINT) AS n_dups_removed,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM dedup GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "lang_id": """
             WITH toks AS (

@@ -223,27 +223,63 @@ def scaling() -> None:
     # 8->32 active cores (frequency scaling: a pure-CPU multiprocessing burn
     # measures 0.77 efficiency 8->32 but 0.90 at 4->16), so the N-vs-4N
     # comparison uses the core range where 4x hardware throughput exists.
+    #
+    # The sandbox host's speed also DRIFTS several-fold between minutes
+    # (see BASELINE.md "Host-speed variance"): a single lo-then-hi pass
+    # conflates that drift with scaling.  So legs are INTERLEAVED twice
+    # (lo, hi, lo, hi) and the best throughput per CPU count is compared —
+    # best-of-2 picks the runs closest to the host's unthrottled state.
+    # Each leg also records its own calibration; the calibration-normalized
+    # efficiency (throughput x that leg's single-core loop time) is
+    # reported alongside the raw number.
     n_lo, n_hi = 4, 16
     run(n_hi)  # warm the pages cache + OS page cache (untimed)
-    lo, hi = run(n_lo), run(n_hi)
-    tl, th = lo["crawl"]["urls_per_sec"], hi["crawl"]["urls_per_sec"]
-    eff = (th / tl) / (n_hi / n_lo)
-    print(
-        json.dumps(
+    legs = {n_lo: [], n_hi: []}
+    for n in (n_lo, n_hi, n_lo, n_hi):
+        r = run(n)
+        legs[n].append(
             {
-                "metric": "crawl_scaling_efficiency",
-                "value": round(eff, 3),
-                "unit": "ratio",
-                "n_cpus": [n_lo, n_hi],
-                f"urls_per_sec_{n_lo}cpu": tl,
-                f"urls_per_sec_{n_hi}cpu": th,
-                f"crawl_sec_{n_lo}cpu": lo["crawl"]["crawl_sec"],
-                f"crawl_sec_{n_hi}cpu": hi["crawl"]["crawl_sec"],
-                "sf": lo["sf"],
-                "host_calibration": cpu_reference(),
+                "urls_per_sec": r["crawl"]["urls_per_sec"],
+                "crawl_sec": r["crawl"]["crawl_sec"],
+                "cal_loop_sec": r.get("host_calibration", {}).get(
+                    "py_loop_20m_sec"
+                ),
             }
         )
-    )
+    lo = max(legs[n_lo], key=lambda x: x["urls_per_sec"])
+    hi = max(legs[n_hi], key=lambda x: x["urls_per_sec"])
+    tl, th = lo["urls_per_sec"], hi["urls_per_sec"]
+    eff = (th / tl) / (n_hi / n_lo)
+    out = {
+        "metric": "crawl_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cpus": [n_lo, n_hi],
+        f"urls_per_sec_{n_lo}cpu": tl,
+        f"urls_per_sec_{n_hi}cpu": th,
+        f"crawl_sec_{n_lo}cpu": lo["crawl_sec"],
+        f"crawl_sec_{n_hi}cpu": hi["crawl_sec"],
+        "legs": legs,
+        "sf": 0.1,
+        "host_calibration": cpu_reference(),
+    }
+    # matched-calibration pair: of the lo x hi leg combinations, compare
+    # the two whose single-core calibrations are closest — both legs then
+    # ran under the most similar host conditions, so their ratio is the
+    # cleanest scaling signal available on a drifting host
+    pairs = [
+        (abs((a["cal_loop_sec"] or 0) - (b["cal_loop_sec"] or 0)), a, b)
+        for a in legs[n_lo]
+        for b in legs[n_hi]
+        if a["cal_loop_sec"] and b["cal_loop_sec"]
+    ]
+    if pairs:
+        _, a, b = min(pairs, key=lambda x: x[0])
+        out["value_matched_calibration"] = round(
+            (b["urls_per_sec"] / a["urls_per_sec"]) / (n_hi / n_lo), 3
+        )
+        out["matched_pair_cal_loop_sec"] = [a["cal_loop_sec"], b["cal_loop_sec"]]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,7 @@ def _to_df(x):
         "q_rolling_revenue",
         "q_order_percentiles",
         "doc_term_df",
+        "prep_corpus",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
