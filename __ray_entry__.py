@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_union": analytics.q_distinct_union,
         "q_supplier_balance": analytics.q_supplier_balance_by_nation,
         "q_event_users": analytics.q_event_users,
+        # hot-key top-k via composite-key (salted) two-stage agg — the
+        # explicit skew-handling shape (SQL-oracled: row_number window)
+        "q_top_users_by_type": analytics.q_top_users_by_type,
         # as-of join (custom operator — Ray Data lacks one; bucketed
         # merge_asof composition, DuckDB ASOF JOIN oracle)
         "q_asof_join": analytics.q_asof_join,
@@ -441,6 +444,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # inner ASOF: latest same-user view at-or-before each click
+        "q_top_users_by_type": """
+            WITH sums AS (
+              SELECT event_type, user_id,
+                     sum(CAST(round(value * 1000000) AS BIGINT))
+                         AS total_value_e6
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY total_value_e6 DESC, user_id) AS rnk
+              FROM sums)
+            SELECT event_type, user_id, total_value_e6, rnk
+            FROM ranked WHERE rnk <= 3 ORDER BY event_type, rnk
+        """,
         "q_asof_join": """
             SELECT c.event_id, c.user_id, c.ts,
                    v.event_id AS view_event_id, v.ts AS view_ts

@@ -382,6 +382,69 @@ def q_event_users(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_top_users_by_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k users by summed value per event_type — the HOT-KEY top-k shape
+    (north_rule: skew handled explicitly).
+
+    event_type has ~5 distinct values over the whole table, so a naive
+    ``groupby(event_type).map_groups(top_k)`` funnels ~20% of the corpus
+    through ONE task — the canonical skew failure.  The salted two-stage
+    shape instead:
+
+      1. per-block combiner + ONE shuffle on the COMPOSITE key
+         (event_type, user_id) — the secondary key acts as the salt, so
+         the hot type spreads across all partitions and every partial is
+         an exact per-(type, user) sum;
+      2. per-block top-k per type over the reduced sums (each block emits
+         <= k x n_types rows), then a driver merge of the tiny partials.
+
+    No partition ever holds more than its hash share; the driver sees
+    O(k x n_types x n_blocks) rows.  SQL oracle: row_number() window."""
+    events = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "value_e6": pc.cast(pc.round(pc.multiply(
+                    t["value"], pa.scalar(1_000_000.0))), pa.int64()),
+            }
+        )
+        out = out.group_by(["event_type", "user_id"]).aggregate(
+            [("value_e6", "sum")]
+        )
+        return out.rename_columns(["event_type", "user_id", "value_e6"])
+
+    sums = (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("value_e6", alias_name="total_value_e6"))
+    )
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(
+            ["event_type", "total_value_e6", "user_id"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("event_type", as_index=False).head(k)
+
+    partials = (
+        sums.map_batches(local_top, batch_format="pandas").to_pandas()
+    )
+    out = partials.sort_values(
+        ["event_type", "total_value_e6", "user_id"], ascending=[True, False, True]
+    )
+    out = out.groupby("event_type", as_index=False).head(k).copy()
+    out["rnk"] = out.groupby("event_type").cumcount() + 1
+    out = out[["event_type", "user_id", "total_value_e6", "rnk"]]
+    return out.astype(
+        {"user_id": "int64", "total_value_e6": "int64", "rnk": "int64"}
+    ).reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     """AS-OF join: for every 'click' event, the most recent 'view' event by
     the SAME user at-or-before the click's timestamp (inner: clicks with no

@@ -59,6 +59,7 @@ def _to_df(x):
         "q_order_percentiles",
         "doc_term_df",
         "prep_corpus",
+        "q_top_users_by_type",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

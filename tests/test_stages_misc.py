@@ -194,3 +194,95 @@ def test_reducers_semantics():
     )
     assert ops == [{"xpath": "/a", "op": "EXTRACT"}]
     assert unique_merge([1, 2], [2, 3, 1]) == [1, 2, 3]
+
+
+def test_multimodal_resize_video_audio(ray_session):
+    """Round-2 multimodal plumbing: resize (payload-in/payload-out),
+    video frame-sample (explode layout feeding the image stages), audio
+    features — all through real Ray actor pools with small batches."""
+    import ray.data as rd
+
+    from langscrape_ray.stages.multimodal import (
+        AudioFeatureStub,
+        DecodeImageMeta,
+        ResizeImageStub,
+        SampleVideoFrames,
+        make_audio_payload,
+        make_image_payload,
+        make_video_payload,
+    )
+
+    # resize: big image shrinks (aspect preserved), small one passes through
+    imgs = pa.table(
+        {
+            "img_id": pa.array([0, 1], pa.int64()),
+            "image": pa.array(
+                [make_image_payload(1024, 512, "png", seed=3),
+                 make_image_payload(100, 50, "jpeg", seed=4)],
+                pa.binary(),
+            ),
+        }
+    )
+    resized = (
+        rd.from_arrow(imgs)
+        .map_batches(ResizeImageStub, fn_constructor_kwargs={"max_w": 256, "max_h": 256},
+                     batch_format="pyarrow", batch_size=1, concurrency=2)
+        .map_batches(DecodeImageMeta, batch_format="pyarrow", batch_size=1,
+                     concurrency=2)
+        .to_pandas()
+        .sort_values("img_id")
+    )
+    assert list(resized["width"]) == [256, 100]
+    assert list(resized["height"]) == [128, 50]
+    assert list(resized["decode_ok"]) == [True, True]
+
+    # video: stride-5 sampling of a 12-frame clip -> frames 0,5,10; the
+    # exploded rows feed DecodeImageMeta unchanged
+    vids = pa.table(
+        {
+            "vid_id": pa.array([7], pa.int64()),
+            "video": pa.array(
+                [make_video_payload(12, 320, 240, fps=25, seed=5)], pa.binary()
+            ),
+        }
+    )
+    frames = (
+        rd.from_arrow(vids)
+        .map_batches(SampleVideoFrames, fn_constructor_kwargs={"stride": 5},
+                     batch_format="pyarrow", batch_size=1, concurrency=2)
+        .map_batches(DecodeImageMeta, batch_format="pyarrow", batch_size=2,
+                     concurrency=2)
+        .to_pandas()
+        .sort_values("frame_idx")
+    )
+    assert list(frames["frame_idx"]) == [0, 5, 10]
+    assert list(frames["ts_ms"]) == [0, 200, 400]
+    assert list(frames["width"]) == [320, 320, 320]
+    assert all(frames["decode_ok"])
+
+    # audio: duration/rate/rms features, invalid payload flagged
+    auds = pa.table(
+        {
+            "aud_id": pa.array([0, 1], pa.int64()),
+            "audio": pa.array(
+                [make_audio_payload(32000, rate=16000, seed=6), b"junk"],
+                pa.binary(),
+            ),
+        }
+    )
+    af = (
+        rd.from_arrow(auds)
+        .map_batches(AudioFeatureStub, batch_format="pyarrow", batch_size=1,
+                     concurrency=2)
+        .to_pandas()
+        .sort_values("aud_id")
+    )
+    assert list(af["duration_ms"]) == [2000, 0]
+    assert list(af["decode_ok"]) == [True, False]
+    assert af["rms_e6"].iloc[0] > 0
+
+    # real-codec path stays honestly gated
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        SampleVideoFrames(fake=False)(vids)
