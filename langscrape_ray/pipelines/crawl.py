@@ -231,6 +231,59 @@ class PagesStore:
             chunks = [meta_tbl.slice(0, 0)]
         return rd.from_arrow(chunks).map_batches(lookup, batch_format="pyarrow")
 
+    def fetch_with_meta_ds(self, meta_ds: rd.Dataset) -> rd.Dataset:
+        """Dataset-input variant of fetch_with_meta for the distributed
+        ordering path: the meta rows never touch the driver, so each batch
+        may span shards — the lookup groups its rows by shard INSIDE the
+        task and gathers from each touched shard once, preserving the
+        batch's (seq-sorted) row order."""
+        from langscrape_ray.frontier.canonical import url_hash64
+
+        refs = self._shard_refs()
+        K = self.num_shards
+
+        def lookup_multi(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                batch = batch.append_column("html", pa.array([], pa.binary()))
+                return batch.append_column(
+                    "warc_ts", pa.array([], pa.timestamp("us"))
+                )
+            urls = batch["url"].to_pylist()
+            by_sid: Dict[int, List[int]] = {}
+            for i, u in enumerate(urls):
+                by_sid.setdefault(url_hash64(u) % K, []).append(i)
+            subs: List[pa.Table] = []
+            for sid, idxs in sorted(by_sid.items()):
+                tbl, idx = ray.get(refs[sid])  # zero-copy from plasma
+                hit = [(i, idx[urls[i]]) for i in idxs if urls[i] in idx]
+                if not hit:
+                    continue
+                sub = tbl.take([r for _, r in hit])
+                subs.append(
+                    pa.table(
+                        {
+                            "_row": pa.array([i for i, _ in hit], pa.int64()),
+                            "html": sub["html"],
+                            "warc_ts": sub["warc_ts"],
+                        }
+                    )
+                )
+            if not subs:
+                empty = batch.slice(0, 0)
+                empty = empty.append_column("html", pa.array([], pa.binary()))
+                return empty.append_column(
+                    "warc_ts", pa.array([], pa.timestamp("us"))
+                )
+            merged = pa.concat_tables(subs)
+            # restore the batch's original (seq-sorted) row order
+            order = pc.sort_indices(merged["_row"])
+            merged = merged.take(order)
+            out = batch.take(merged["_row"])
+            out = out.append_column("html", merged["html"])
+            return out.append_column("warc_ts", merged["warc_ts"])
+
+        return meta_ds.map_batches(lookup_multi, batch_format="pyarrow")
+
 
 class RayCrawl:
     def __init__(
@@ -248,6 +301,7 @@ class RayCrawl:
         extract_concurrency: Optional[int] = None,
         trace_dir: Optional[str] = None,
         extract_udfs: Optional[list] = None,
+        dist_order_threshold: int = 200_000,
     ):
         self.pages = pages
         self.policy = policy or CrawlPolicy()
@@ -259,6 +313,13 @@ class RayCrawl:
         self.extract_concurrency = extract_concurrency
         # §2.11: named/callable batch UDFs applied after extraction
         self.extract_udfs = list(extract_udfs or [])
+        # above this many fetches in one round, the global crawl-order sort
+        # + seq assignment + trace write run DISTRIBUTED (Dataset.sort +
+        # per-block prefix-sum rank assign) instead of a driver-side pandas
+        # sort.  The driver path is faster below it (one politeness budget's
+        # worth of rows); the distributed path is the 10^7-rows-per-round
+        # configuration.  Tests set 0 to force the distributed path.
+        self.dist_order_threshold = dist_order_threshold
         # robots parsed once; broadcast as a plain dict (small side).  At
         # 10^8-host scale this becomes a host-partitioned join table.
         self.robots_rules = {
@@ -406,17 +467,106 @@ class RayCrawl:
     def read_trace(self) -> List[dict]:
         """Read the full fetched trace back from the round files (small
         result at test scale; at 10^10-URL scale callers read the parquet
-        directory as a Dataset instead of this list-of-dicts view)."""
+        directory as a Dataset instead of this list-of-dicts view).
+        Handles both layouts: one file per round (driver ordering) and one
+        part-directory per round (distributed ordering; parts are named in
+        sorted-block order, so lexicographic part order == seq order)."""
         import pyarrow.parquet as pq
 
-        files = sorted(
-            os.path.join(self.trace_dir, f)
-            for f in os.listdir(self.trace_dir)
-            if f.startswith("round=") and f.endswith(".parquet")
-        )
-        if not files:
+        tbls = []
+        for name in sorted(os.listdir(self.trace_dir)):
+            p = os.path.join(self.trace_dir, name)
+            if name.startswith("round=") and name.endswith(".parquet"):
+                tbls.append(pq.read_table(p))
+            elif name.startswith("round=") and name.endswith(".d"):
+                for part in sorted(os.listdir(p)):
+                    if part.endswith(".parquet"):
+                        tbls.append(pq.read_table(os.path.join(p, part)))
+        if not tbls:
             return []
-        return pa.concat_tables([pq.read_table(f) for f in files]).to_pylist()
+        return pa.concat_tables(tbls).to_pylist()
+
+    # ------------------------------------------------------------------
+    def _order_round_distributed(self, rnd: int, n_fetch: int) -> rd.Dataset:
+        """Distributed crawl-order assignment (the 10^7-rows-per-round
+        path): shard fetch tables flow by ObjectRef into ONE Dataset.sort
+        on (fetch_ms, -priority, order_key); ranks then attach per block
+        via prefix-sum offsets (rank-assign has no Dataset primitive, so
+        the per-block attach runs as raw tasks on the sorted blocks —
+        the documented custom-operator escape hatch).  Trace parts are
+        written by the same tasks into a tmp dir renamed atomically.
+        Produces the identical seq assignment as the driver path: the
+        sort keys form a total order (order_key is globally unique)."""
+        import pyarrow.parquet as pq
+
+        refs = [s.last_fetch_table.remote() for s in self.shards]
+        ds = (
+            rd.from_arrow_refs(refs)
+            .sort(
+                ["fetch_ms", "priority", "order_key"],
+                descending=[False, True, False],
+            )
+            .materialize()
+        )
+        block_refs = ds.to_arrow_refs()
+
+        @ray.remote
+        def _rows(t: pa.Table) -> int:
+            return t.num_rows
+
+        counts = ray.get([_rows.remote(b) for b in block_refs])
+        starts = []
+        off = self._seq
+        for c in counts:
+            starts.append(off)
+            off += c
+        assert off - self._seq == n_fetch
+        self._seq = off
+
+        tmp_dir = os.path.join(self.trace_dir, f"round={rnd:04d}.d.tmp")
+        final_dir = os.path.join(self.trace_dir, f"round={rnd:04d}.d")
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+
+        @ray.remote
+        def _assign(t: pa.Table, start: int, bi: int) -> pa.Table:
+            seqs = pa.array(range(start, start + t.num_rows), pa.int64())
+            trace = pa.table(
+                {
+                    "seq": seqs,
+                    "url": t["canon_url"],
+                    "host": t["host"],
+                    "round": pa.array([rnd] * t.num_rows, pa.int64()),
+                    "fetch_ms": t["fetch_ms"],
+                    "priority": t["priority"],
+                    "order_key": t["order_key"],
+                }
+            )
+            pq.write_table(
+                trace, os.path.join(tmp_dir, f"part-{bi:05d}.parquet")
+            )
+            return pa.table(
+                {
+                    "url": t["canon_url"],
+                    "seq": seqs,
+                    "round": pa.array([rnd] * t.num_rows, pa.int64()),
+                    "priority": t["priority"],
+                    "order_key": t["order_key"],
+                    "fetch_ms": t["fetch_ms"],
+                }
+            )
+
+        assigned = [
+            _assign.remote(b, st, bi)
+            for bi, (b, st) in enumerate(zip(block_refs, starts))
+        ]
+        ray.wait(assigned, num_returns=len(assigned))  # parts written
+        os.replace(tmp_dir, final_dir)
+        meta_ds = rd.from_arrow_refs(assigned)
+        return self.pages.fetch_with_meta_ds(meta_ds)
 
     # ------------------------------------------------------------------
     def _run_round(
@@ -447,55 +597,61 @@ class RayCrawl:
             _t = self._tick("enqueue", _t)
 
         # ---- R3: politeness scheduling inside the host-affine shards -----
-        results = ray.get([s.schedule_round.remote() for s in self.shards])
+        # fetch tables stay STASHED on the shard actors: the driver gets
+        # counts only, and either pulls the (budget-bounded) tables for the
+        # fast driver-side ordering, or hands the actors' ObjectRefs to the
+        # distributed ordering pipeline without ever touching the rows.
+        counts = ray.get(
+            [s.schedule_round_counts.remote() for s in self.shards]
+        )
         ray.get([s.end_round.remote() for s in self.shards])
-        fetched_tbls = [r[0] for r in results if r[0].num_rows]
-        n_deferred = sum(r[1] for r in results)
-        n_admitted = sum(r[2] for r in results)
+        n_fetch = sum(c[0] for c in counts)
+        n_deferred = sum(c[1] for c in counts)
+        n_admitted = sum(c[2] for c in counts)
         self._bump("deferred", n_deferred)
         if frontier is not None:
             self._bump("deduped", n_ok - n_admitted)
-        fetch_tbl = (
-            pa.concat_tables(fetched_tbls)
-            if fetched_tbls
-            else pa.table(
-                {
-                    "canon_url": pa.array([], pa.string()),
-                    "host": pa.array([], pa.string()),
-                    "priority": pa.array([], pa.int64()),
-                    "order_key": pa.array([], pa.int64()),
-                    "fetch_ms": pa.array([], pa.int64()),
-                }
-            )
-        )
-        self._bump("fetched", fetch_tbl.num_rows)
-        if fetch_tbl.num_rows == 0:
+        self._bump("fetched", n_fetch)
+        if n_fetch == 0:
             self._checkpoint(rnd, None)
             return None
 
-        # global crawl order: (fetch_ms, -priority, order_key) — computed.
-        fetch_pd = fetch_tbl.to_pandas().sort_values(
-            ["fetch_ms", "priority", "order_key"], ascending=[True, False, True]
-        ).reset_index(drop=True)
-        n_fetch = len(fetch_pd)
-        seqs = list(range(self._seq, self._seq + n_fetch))
-        self._seq += n_fetch
-        self._write_round_trace(rnd, fetch_pd, seqs)
-        _t = self._tick("schedule", _t)
+        if n_fetch > self.dist_order_threshold:
+            pages_ds = self._order_round_distributed(rnd, n_fetch)
+            _t = self._tick("schedule", _t)
+            _t = self._tick("fetch_prep", _t)
+        else:
+            fetched_tbls = [
+                t
+                for t in ray.get(
+                    [s.last_fetch_table.remote() for s in self.shards]
+                )
+                if t.num_rows
+            ]
+            fetch_tbl = pa.concat_tables(fetched_tbls)
+            # global crawl order: (fetch_ms, -priority, order_key) — computed.
+            fetch_pd = fetch_tbl.to_pandas().sort_values(
+                ["fetch_ms", "priority", "order_key"],
+                ascending=[True, False, True],
+            ).reset_index(drop=True)
+            seqs = list(range(self._seq, self._seq + n_fetch))
+            self._seq += n_fetch
+            self._write_round_trace(rnd, fetch_pd, seqs)
+            _t = self._tick("schedule", _t)
 
-        # ---- R4/R5: fetch + extract --------------------------------------
-        meta_tbl = pa.table(
-            {
-                "url": pa.array(fetch_pd["canon_url"].tolist(), pa.string()),
-                "seq": pa.array(seqs, pa.int64()),
-                "round": pa.array([rnd] * n_fetch, pa.int64()),
-                "priority": pa.array(fetch_pd["priority"].astype("int64")),
-                "order_key": pa.array(fetch_pd["order_key"].astype("int64")),
-                "fetch_ms": pa.array(fetch_pd["fetch_ms"].astype("int64")),
-            }
-        )
-        pages_ds = self.pages.fetch_with_meta(meta_tbl)
-        _t = self._tick("fetch_prep", _t)
+            # ---- R4/R5: fetch + extract ----------------------------------
+            meta_tbl = pa.table(
+                {
+                    "url": pa.array(fetch_pd["canon_url"].tolist(), pa.string()),
+                    "seq": pa.array(seqs, pa.int64()),
+                    "round": pa.array([rnd] * n_fetch, pa.int64()),
+                    "priority": pa.array(fetch_pd["priority"].astype("int64")),
+                    "order_key": pa.array(fetch_pd["order_key"].astype("int64")),
+                    "fetch_ms": pa.array(fetch_pd["fetch_ms"].astype("int64")),
+                }
+            )
+            pages_ds = self.pages.fetch_with_meta(meta_tbl)
+            _t = self._tick("fetch_prep", _t)
 
         # Extraction runs as STATELESS tasks by default: the rule dicts are
         # cheap to ship, and tasks reuse warm workers across rounds instead
@@ -520,7 +676,7 @@ class RayCrawl:
             ).materialize()
         _t = self._tick("fetch_extract", _t)
         n_matched = extracted.count()
-        self._bump("fetch_miss", fetch_tbl.num_rows - n_matched)
+        self._bump("fetch_miss", n_fetch - n_matched)
 
         if self.out_dir:
             out = os.path.join(self.out_dir, f"round={rnd:04d}")

@@ -278,6 +278,32 @@ class SeenShard:
         )
         return tbl, n_deferred, len(self.round_admitted)
 
+    def schedule_round_counts(self) -> tuple:
+        """Like schedule_round, but STASHES the fetch table on the actor
+        and returns only (n_fetched, n_deferred, n_admitted) — the driver
+        never receives the table; `last_fetch_table` hands its ObjectRef
+        straight to the distributed ordering pipeline (crawl.py
+        _order_round_distributed)."""
+        tbl, n_deferred, n_admitted = self.schedule_round()
+        self._last_fetch = tbl
+        return tbl.num_rows, n_deferred, n_admitted
+
+    def last_fetch_table(self) -> pa.Table:
+        """The fetch table stashed by the most recent
+        schedule_round_counts call (empty-schema table if none)."""
+        tbl = getattr(self, "_last_fetch", None)
+        if tbl is None:
+            tbl = pa.table(
+                {
+                    "canon_url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.int64()),
+                    "order_key": pa.array([], pa.int64()),
+                    "fetch_ms": pa.array([], pa.int64()),
+                }
+            )
+        return tbl
+
     def backlog_size(self) -> int:
         return sum(len(v) for v in self.backlog.values())
 

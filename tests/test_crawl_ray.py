@@ -190,3 +190,42 @@ def test_crawl_partitioned_store_parity(ray_session, small_cfg, small_world,
     assert r_part["trace_fetched"] == r_tbl["trace_fetched"]
     assert r_part["counters"] == r_tbl["counters"]
     assert r_part["seen_size"] == r_tbl["seen_size"]
+
+
+def test_crawl_distributed_ordering_parity(ray_session, small_cfg, small_world):
+    """dist_order_threshold=0 forces the distributed ordering path
+    (Dataset.sort + per-block prefix-sum seq assign + part-file trace +
+    multi-shard lookup) — must equal the driver-ordered run exactly."""
+    pages, seeds, robots = small_world
+    policy = CrawlPolicy(max_rounds=3)
+    base = _make_crawl(small_cfg, pages, robots, policy).run(seeds)
+    dist = _make_crawl(
+        small_cfg, pages, robots, policy, dist_order_threshold=0
+    ).run(seeds)
+    assert dist["trace_fetched"] == base["trace_fetched"]
+    assert dist["counters"] == base["counters"]
+    assert dist["seen_size"] == base["seen_size"]
+
+
+def test_crawl_distributed_ordering_resume(ray_session, small_cfg, small_world,
+                                           tmp_path_factory):
+    """Kill-after-round-0 + resume, with BOTH phases on the distributed
+    ordering path: identical to the uninterrupted distributed run."""
+    pages, seeds, robots = small_world
+    full = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=3),
+        dist_order_threshold=0,
+    ).run(seeds)
+
+    ck = str(tmp_path_factory.mktemp("crawl_ckpt_dist"))
+    _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=1),
+        ckpt_dir=ck, dist_order_threshold=0,
+    ).run(seeds)
+    resumed = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=3),
+        ckpt_dir=ck, dist_order_threshold=0,
+    ).run(seeds, resume=True)
+    assert resumed["trace_fetched"] == full["trace_fetched"]
+    assert resumed["counters"] == full["counters"]
+    assert resumed["seen_size"] == full["seen_size"]
