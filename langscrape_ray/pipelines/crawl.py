@@ -70,9 +70,11 @@ class PagesStore:
         table: Optional[pa.Table] = None,
         num_shards: int = 64,
         partitioned: bool = False,
+        resident: bool = True,
     ):
         assert (path is None) != (table is None)
         assert not (partitioned and path is None)
+        assert resident or partitioned, "non-resident mode needs a partitioned path"
         self.path = path
         self.table = table
         self.num_shards = num_shards
@@ -81,7 +83,42 @@ class PagesStore:
         # store loads itself with one Ray task per shard — the driver never
         # materializes the table
         self.partitioned = partitioned
+        # resident=False: the pages table exceeds cluster memory — no shard
+        # is ever pinned in the object store; every lookup task instead
+        # runs a predicate-pushdown read of ONLY its shard directory,
+        # filtered to the batch's urls.  Row-group pruning makes this a
+        # selective scan when shards are written url-clustered; latency
+        # trades against plasma residency.  This is the 100 TB pages-store
+        # configuration; resident=True is the fits-in-memory fast path.
+        self.resident = resident
         self._refs = None  # lazy (ray may not be initialised yet)
+
+    def _shard_slice(self, sid: int, urls: List[str]) -> Tuple[pa.Table, dict]:
+        """Non-resident gather: filtered read of one shard dir restricted
+        to `urls`; returns (rows, url->row index) like a resident shard."""
+        import pyarrow.parquet as pq
+
+        shard_dir = os.path.join(self.path, f"shard={sid}")
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "html": pa.array([], pa.large_binary()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if not os.path.isdir(shard_dir):
+            return empty, {}
+        t = pq.read_table(
+            shard_dir,
+            columns=["url", "html", "warc_ts"],
+            filters=pc.field("url").isin(urls),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("html"),
+            "html",
+            t["html"].cast(pa.large_binary()),
+        ).combine_chunks()
+        return t, {u: j for j, u in enumerate(t["url"].to_pylist())}
 
     def _shard_refs(self):
         """Broadcast the pages table ONCE, sharded by hash(url): each shard
@@ -193,7 +230,8 @@ class PagesStore:
 
         from langscrape_ray.frontier.canonical import url_hash64
 
-        refs = self._shard_refs()
+        refs = self._shard_refs() if self.resident else None
+        store = self if not self.resident else None
         K = self.num_shards
         sids = [url_hash64(u) % K for u in meta_tbl["url"].to_pylist()]
         order: List[List[int]] = [[] for _ in range(K)]
@@ -215,7 +253,10 @@ class PagesStore:
                 return batch.append_column("warc_ts", pa.array([], pa.timestamp("us")))
             # every row in this chunk belongs to one shard by construction
             sid = url_hash64(batch["url"][0].as_py()) % K
-            tbl, idx = ray.get(refs[sid])  # arrow slice: zero-copy from plasma
+            if refs is not None:
+                tbl, idx = ray.get(refs[sid])  # zero-copy from plasma
+            else:
+                tbl, idx = store._shard_slice(sid, batch["url"].to_pylist())
             rows = [idx.get(u, -1) for u in batch["url"].to_pylist()]
             keep = [i for i, r in enumerate(rows) if r >= 0]
             if not keep:
@@ -239,7 +280,8 @@ class PagesStore:
         batch's (seq-sorted) row order."""
         from langscrape_ray.frontier.canonical import url_hash64
 
-        refs = self._shard_refs()
+        refs = self._shard_refs() if self.resident else None
+        store = self if not self.resident else None
         K = self.num_shards
 
         def lookup_multi(batch: pa.Table) -> pa.Table:
@@ -254,7 +296,10 @@ class PagesStore:
                 by_sid.setdefault(url_hash64(u) % K, []).append(i)
             subs: List[pa.Table] = []
             for sid, idxs in sorted(by_sid.items()):
-                tbl, idx = ray.get(refs[sid])  # zero-copy from plasma
+                if refs is not None:
+                    tbl, idx = ray.get(refs[sid])  # zero-copy from plasma
+                else:
+                    tbl, idx = store._shard_slice(sid, [urls[i] for i in idxs])
                 hit = [(i, idx[urls[i]]) for i in idxs if urls[i] in idx]
                 if not hit:
                     continue

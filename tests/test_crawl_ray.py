@@ -229,3 +229,35 @@ def test_crawl_distributed_ordering_resume(ray_session, small_cfg, small_world,
     assert resumed["trace_fetched"] == full["trace_fetched"]
     assert resumed["counters"] == full["counters"]
     assert resumed["seen_size"] == full["seen_size"]
+
+
+def test_crawl_nonresident_store_parity(ray_session, small_cfg, small_world,
+                                        tmp_path_factory):
+    """resident=False: no shard pinned in plasma — every lookup is a
+    predicate-pushdown read of its shard directory (the pages >> cluster
+    RAM configuration).  Must equal the in-memory run exactly."""
+    from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
+    from langscrape_ray.sources.pages_cache import (
+        PAGES_SHARDS,
+        build_pages_parquet,
+    )
+    from langscrape_ray.sources.fixtures_gen import field_rules
+
+    pages, seeds, robots = small_world
+    base_dir = str(tmp_path_factory.mktemp("pages_cache_nr"))
+    path = build_pages_parquet(small_cfg, path=f"{base_dir}/pages")
+    policy = CrawlPolicy(max_rounds=3)
+
+    def run(store):
+        return RayCrawl(
+            store, robots_dict(robots), field_rules(small_cfg), None, policy
+        ).run(seeds)
+
+    base = run(PagesStore(table=pages))
+    nr = run(
+        PagesStore(path=path, partitioned=True, num_shards=PAGES_SHARDS,
+                   resident=False)
+    )
+    assert nr["trace_fetched"] == base["trace_fetched"]
+    assert nr["counters"] == base["counters"]
+    assert nr["seen_size"] == base["seen_size"]
