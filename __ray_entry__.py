@@ -237,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.ivf_topk,            # rows-only (approximate)
         # document-frequency vocabulary (TF-IDF building block; SQL-oracled)
         "doc_term_df": textstats.doc_term_df,
+        # Gopher-style repetition signals (integer counts; SQL-oracled)
+        "repetition_stats": textstats.repetition_stats,
+        # deterministic md5-bucket train/valid/test split (SQL-oracled)
+        "split_assign": textstats.split_assign,
         # language id (stopword-overlap heuristic — SQL-oracled: the
         # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
@@ -609,5 +613,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) * 100 // count(*) AS BIGINT) AS avg_tokens_e2
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        # Gopher-style repetition signals: tokenization = string_split on a
+        # single space in BOTH engines; every column is a raw integer count
+        # so the value hash is bit-exact
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+            ),
+            ws AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     count(*) AS n_uniq_words,
+                     CAST(max(c) AS BIGINT) AS top_word_n
+              FROM wc GROUP BY doc_id
+            ),
+            g AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+              FROM w
+            ),
+            gs AS (
+              SELECT doc_id, count(gram) AS n_bigrams,
+                     count(gram) - count(DISTINCT gram) AS dup_bigrams
+              FROM g GROUP BY doc_id
+            )
+            SELECT ws.doc_id, n_words, n_uniq_words, top_word_n,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(dup_bigrams, 0) AS dup_bigrams
+            FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+            ORDER BY ws.doc_id
+        """,
+        # md5-bucket split: fold the first 8 hex chars of
+        # md5('split:' || doc_id) into a 32-bit int (exact in float64:
+        # 16^7 < 2^53), mod 100 -> 90/5/5 train/valid/test
+        "split_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (strpos('0123456789abcdef',
+                               substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                      i, 1)) - 1)
+                       * CAST(pow(16, 8 - i) AS BIGINT))) % 100 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
     }

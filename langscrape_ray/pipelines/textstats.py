@@ -152,6 +152,79 @@ def token_histogram(sf_dir: str, bin_size: int = 32) -> pd.DataFrame:
     return out[["token_bin", "n_docs", "avg_tokens_e2"]]
 
 
+def repetition_stats(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_words, n_uniq_words, top_word_n, n_bigrams, dup_bigrams):
+    Gopher-style repetition signals for corpus quality filtering — the
+    fraction of the document that is its most frequent word
+    (top_word_n / n_words) and its duplicate-bigram mass
+    (dup_bigrams / n_bigrams) flag template/spam pages.  All columns are
+    raw integer counts so the SQL oracle is bit-exact; thresholding is a
+    downstream integer-arithmetic filter (e.g. keep when
+    ``dup_bigrams * 10 < n_bigrams``), never a float compare.
+
+    Tokenization is a plain split on a single space (matching DuckDB's
+    ``string_split(text, ' ')``); per-doc counting is a Counter pass —
+    embarrassingly parallel, no shuffle, streams at any corpus size.
+    """
+    from collections import Counter
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_words, n_uniq, top_n_, n_bi, dup_bi = [], [], [], [], []
+        for text in t["text"].to_pylist():
+            words = text.split(" ")
+            wc = Counter(words)
+            grams = Counter(
+                words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+            )
+            ng = max(len(words) - 1, 0)
+            n_words.append(len(words))
+            n_uniq.append(len(wc))
+            top_n_.append(max(wc.values()))
+            n_bi.append(ng)
+            dup_bi.append(ng - len(grams))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_uniq_words": pa.array(n_uniq, pa.int64()),
+                "top_word_n": pa.array(top_n_, pa.int64()),
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "dup_bigrams": pa.array(dup_bi, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def split_assign(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, bucket, split): deterministic content-independent
+    train/valid/test assignment — bucket = first 32 bits of
+    md5('split:' || doc_id) mod 100, split = train (<90) / valid (<95) /
+    test.  Hash-seeded (no RNG state), so the split is reproducible
+    across runs, resumes, and engines — the DuckDB oracle recomputes the
+    identical md5 fold.  Stateless map_batches; no shuffle.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        buckets, splits = [], []
+        for did in t["doc_id"].to_pylist():
+            h = hashlib.md5(f"split:{did}".encode("utf-8")).hexdigest()
+            b = int(h[:8], 16) % 100
+            buckets.append(b)
+            splits.append("train" if b < 90 else ("valid" if b < 95 else "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
 def doc_term_df(sf_dir: str, top_n: int = 50) -> pd.DataFrame:
     """Document frequency: the ``top_n`` terms by number of documents
     containing them (lowercased, split on non-alphanumeric runs), ties

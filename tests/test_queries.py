@@ -60,6 +60,8 @@ def _to_df(x):
         "doc_term_df",
         "prep_corpus",
         "q_top_users_by_type",
+        "repetition_stats",
+        "split_assign",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
