@@ -15,14 +15,21 @@ maps to the reference's ``"Error: ..."`` sentinel):
     union     := path ('|' path)*
     path      := ('/' | '//')? step (('/' | '//') step)*
     step      := nodetest predicate*  |  '@' NAME  |  'text()' | '.' | '..'
+               | ('following-sibling' | 'preceding-sibling') '::' nodetest
+                 predicate*        (named axes take a single '/' separator)
     nodetest  := NAME | '*'
     predicate := '[' INT ']' | '[last()]' | '[last()-INT]'
                | '[position() OP INT]'           OP in = != < <= > >=
                | '[@' NAME ']' | '[@' NAME '=' STRING ']'
+               | '[@' NAME '!=' STRING ']'     (attr must exist, XPath rule)
+               | '[text() = STRING]' | '[. = STRING]'  (also '!=')
                | '[contains(TARGET, STRING)]'
                | '[starts-with(TARGET, STRING)]'
                | '[re:test(TARGET, STRING [, FLAGS])]'   FLAGS: i, s
                | '[not( predicate-body )]'
+               | '[ predicate ('and'|'or') predicate ... ]'
+                 ('or' binds looser than 'and'; positional forms are not
+                  allowed inside and/or/not)
     TARGET    := '@' NAME | 'text()' | '.'
 
 The tokenizer is quote- and bracket-aware, so '/' inside predicate strings
@@ -60,7 +67,9 @@ class XPathError(ValueError):
 _NAME = r"[A-Za-z_][\w.-]*"
 _STRING = r"'([^']*)'|\"([^\"]*)\""
 _PRED_HASATTR_RE = re.compile(rf"^@({_NAME})$")
-_PRED_ATTR_EQ_RE = re.compile(rf"^@({_NAME})\s*=\s*(?:{_STRING})$")
+_PRED_ATTR_EQ_RE = re.compile(rf"^@({_NAME})\s*(!?=)\s*(?:{_STRING})$")
+_PRED_TEXT_EQ_RE = re.compile(rf"^(?:text\(\)|\.)\s*(!?=)\s*(?:{_STRING})$")
+_AXIS_STEP_RE = re.compile(r"^(following-sibling|preceding-sibling)::(.+)$", re.S)
 _PRED_LAST_RE = re.compile(r"^last\(\)(?:\s*-\s*(\d+))?$")
 _PRED_POS_RE = re.compile(r"^position\(\)\s*(=|!=|<=|>=|<|>)\s*(\d+)$")
 _PRED_FN_RE = re.compile(
@@ -80,8 +89,50 @@ def _qstr(m: re.Match, a: int, b: int) -> str:
 Step = Tuple[str, str, str, list]
 
 
+def _split_top_word(src: str, word: str) -> List[str]:
+    """Split on `` word `` (space-delimited) at bracket depth 0 outside
+    quoted strings — the boolean-combinator splitter for predicates."""
+    parts, depth, quote, start = [], 0, "", 0
+    pat = f" {word} "
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and src.startswith(pat, i):
+            parts.append(src[start:i])
+            start = i + len(pat)
+            i = start
+            continue
+        i += 1
+    parts.append(src[start:])
+    return parts
+
+
+def _parse_bool_operand(src: str):
+    inner = _parse_predicate(src)
+    if inner[0] in _POSITIONAL:
+        raise XPathError("positional predicates inside and/or unsupported")
+    return inner
+
+
 def _parse_predicate(src: str):
     src = src.strip()
+    # boolean combinators first ('or' binds looser than 'and', per XPath);
+    # quoted strings and nested parens/brackets are opaque to the split
+    ors = _split_top_word(src, "or")
+    if len(ors) > 1:
+        return ("or", [_parse_bool_operand(p) for p in ors])
+    ands = _split_top_word(src, "and")
+    if len(ands) > 1:
+        return ("and", [_parse_bool_operand(p) for p in ands])
     if src.isdigit():
         return ("index", int(src))
     m = _PRED_LAST_RE.match(src)
@@ -95,7 +146,12 @@ def _parse_predicate(src: str):
         return ("hasattr", m.group(1))
     m = _PRED_ATTR_EQ_RE.match(src)
     if m:
-        return ("attreq", (m.group(1), _qstr(m, 2, 3)))
+        if m.group(2) == "=":
+            return ("attreq", (m.group(1), _qstr(m, 3, 4)))
+        return ("attrne", (m.group(1), _qstr(m, 3, 4)))
+    m = _PRED_TEXT_EQ_RE.match(src)
+    if m:
+        return ("texteq", (m.group(1), _qstr(m, 2, 3)))
     m = _PRED_FN_RE.match(src)
     if m:
         fn, target = m.group(1), m.group(2)
@@ -238,7 +294,17 @@ def _compile_cached(expr: str) -> List[List[Step]]:
         if not part:
             raise XPathError(f"empty union branch in {expr!r}")
         steps: List[Step] = []
-        for axis, tok in _tokenize_path(part):
+        for si, (axis, tok) in enumerate(_tokenize_path(part)):
+            m = _AXIS_STEP_RE.match(tok)
+            if m:
+                if axis == "descendant" and si > 0:
+                    raise XPathError("'//' before a named axis is unsupported")
+                name, pred_srcs = _split_preds(m.group(2))
+                if not re.fullmatch(rf"{_NAME}|\*", name):
+                    raise XPathError(f"bad step: {tok!r}")
+                preds = [_parse_predicate(p) for p in pred_srcs]
+                steps.append((m.group(1), "element", name, preds))
+                continue
             if tok.startswith("@"):
                 if not re.fullmatch(_NAME, tok[1:]):
                     raise XPathError(f"bad attribute step: {tok}")
@@ -283,6 +349,21 @@ def _pred_match(node: Node, kind: str, payload) -> bool:
     if kind == "attreq":
         name, val = payload
         return node.attrs.get(name) == val
+    if kind == "attrne":
+        # XPath node-set '!=': the attribute must EXIST and differ
+        name, val = payload
+        v = node.attrs.get(name)
+        return v is not None and v != val
+    if kind == "texteq":
+        # string-value rule matches contains()/re:test(): text_content()
+        # (documented deviation from lxml's first-text-node coercion)
+        op, val = payload
+        v = node.text_content()
+        return v == val if op == "=" else v != val
+    if kind == "and":
+        return all(_pred_match(node, k, p) for k, p in payload)
+    if kind == "or":
+        return any(_pred_match(node, k, p) for k, p in payload)
     if kind == "contains":
         tgt, val = payload
         v = _target_value(node, tgt)
@@ -374,6 +455,29 @@ def _eval_steps(root: Node, steps: List[Step]) -> List[Union[Node, str]]:
         seen = set()
         has_positional = any(k in _POSITIONAL for k, _ in preds)
         for node in ctx:
+            if axis in ("following-sibling", "preceding-sibling"):
+                sibs = (
+                    node.parent.element_children()
+                    if node.parent is not None
+                    else []
+                )
+                k = next((i for i, s in enumerate(sibs) if s is node), -1)
+                if axis == "following-sibling":
+                    cands = sibs[k + 1 :] if k >= 0 else []
+                else:
+                    # axis order = proximity (reverse document order), so
+                    # positional predicates pick the NEAREST preceding node
+                    cands = list(reversed(sibs[:k])) if k >= 0 else []
+                if name != "*":
+                    cands = [n for n in cands if n.tag == name]
+                cands = _apply_preds(cands, preds)
+                if axis == "preceding-sibling":
+                    cands = list(reversed(cands))  # back to document order
+                for n in cands:
+                    if id(n) not in seen:
+                        seen.add(id(n))
+                        nxt.append(n)
+                continue
             cands = node.element_children() if axis == "child" else _descendants(node)
             if name != "*":
                 cands = [n for n in cands if n.tag == name]

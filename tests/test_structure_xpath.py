@@ -95,6 +95,44 @@ def test_xpath_errors_still_sentinel():
             xpath_eval(r, bad)
 
 
+DL_HTML = """<html><body>
+<dl><dt>Author</dt><dd>Jane</dd><dt>Date</dt><dd>2020</dd></dl>
+<div class="a" id="x"><p class="m n">one</p><p>two</p></div>
+<div class="b"><p>three</p></div>
+</body></html>"""
+
+
+def test_xpath_sibling_axes():
+    """The classic label->value extraction shape mined xpaths rely on:
+    //dt[text()='L']/following-sibling::dd[1] (reference analog:
+    lxml XPath 1.0 axes through feilian/etree_tools.py:437-457)."""
+    r = parse_html(DL_HTML)
+    assert _texts(xpath_eval(r, "//dt[text()='Author']/following-sibling::dd[1]")) == ["Jane"]
+    assert _texts(xpath_eval(r, "//dt[text()='Date']/following-sibling::dd[1]")) == ["2020"]
+    # preceding axis order = proximity, so [1] is the NEAREST preceding
+    assert _texts(xpath_eval(r, "//dd[.='2020']/preceding-sibling::dt[1]")) == ["Date"]
+    # unpredicated preceding siblings come back in document order
+    assert _texts(xpath_eval(r, "//dd[2]/preceding-sibling::dt")) == ["Author", "Date"]
+    # terminal text() after a named axis
+    assert xpath_eval(r, "//dt[text()='Author']/following-sibling::dd[1]/text()") == ["Jane"]
+    with pytest.raises(XPathError):
+        xpath_eval(r, "//x//following-sibling::y")
+
+
+def test_xpath_boolean_predicates_and_equality():
+    r = parse_html(DL_HTML)
+    assert _texts(xpath_eval(r, "//div[@class='a' and @id='x']/p[1]")) == ["one"]
+    assert _texts(xpath_eval(r, "//div[@class='a' or @class='b']/p[last()]")) == ["two", "three"]
+    assert _texts(xpath_eval(r, "//p[contains(@class,'m') and contains(@class,'n')]")) == ["one"]
+    # '!=' requires the attribute to exist (XPath node-set rule): the
+    # class-less <p> rows don't match
+    assert _texts(xpath_eval(r, "//div[@class!='a']/p")) == ["three"]
+    assert _texts(xpath_eval(r, "//p[not(@class) and contains(text(),'t')]")) == ["two", "three"]
+    assert _texts(xpath_eval(r, "//p[text()!='one']")) == ["two", "three"]
+    with pytest.raises(XPathError):
+        xpath_eval(r, "//p[position()<2 and @class]")
+
+
 # ---------------------------------------------------------------------------
 # F6: run_operators
 # ---------------------------------------------------------------------------
