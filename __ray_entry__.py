@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
         dedup,
+        etl,
         prep,
         similarity,
         tables,
@@ -241,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         # deterministic md5-bucket train/valid/test split (SQL-oracled)
         "split_assign": textstats.split_assign,
+        # S11 nested-JSON -> flat-column ETL (real serialize + parse +
+        # dotted-path flatten; SQL-oracled via DuckDB json_extract)
+        "json_etl_flatten": etl.json_etl_flatten,
         # language id (stopword-overlap heuristic — SQL-oracled: the
         # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
@@ -649,6 +653,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(dup_bigrams, 0) AS dup_bigrams
             FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
             ORDER BY ws.doc_id
+        """,
+        # S11 ETL: the oracle builds the nested JSON record ITS way (DuckDB
+        # string concat, escaping irrelevant — fixture fields are plain
+        # tokens) and extracts the dotted paths back with json_extract, so
+        # both engines genuinely round-trip JSON
+        "json_etl_flatten": """
+            WITH rec AS (
+              SELECT doc_id,
+                     '{"meta_data": {"id": "' || CAST(doc_id AS VARCHAR) ||
+                     '", "lang": "' || lang ||
+                     '", "source": "' || source ||
+                     '"}, "summary": {"title": "Doc ' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     '", "n_chars": ' || CAST(n_chars AS VARCHAR) || '}}'
+                         AS rec_json
+              FROM documents
+            )
+            SELECT doc_id,
+                   json_extract_string(rec_json, '$.meta_data.id') AS meta_id,
+                   json_extract_string(rec_json, '$.meta_data.lang') AS meta_lang,
+                   json_extract_string(rec_json, '$.meta_data.source') AS meta_source,
+                   json_extract_string(rec_json, '$.summary.title') AS sum_title,
+                   CAST(json_extract(rec_json, '$.summary.n_chars') AS BIGINT)
+                       AS sum_n_chars
+            FROM rec ORDER BY doc_id
         """,
         # md5-bucket split: fold the first 8 hex chars of
         # md5('split:' || doc_id) into a 32-bit int (exact in float64:

@@ -1,0 +1,133 @@
+"""S11: nested-JSON <-> flat-column ETL over record tables.
+
+Reference analog: the xlsx<->json notebooks
+(/root/reference/notebooks/json_to_xlsx.ipynb, xlsx_to_jsonl.ipynb) map the
+nested final-record shape ``{meta_data: {...}, summary: {...}}``
+(/root/reference/langscrape/nodes/data_collator.py:46-62) to flat
+spreadsheet columns (``meta_data.id``, ``summary.title``, ...) and back.
+openpyxl is absent from this container, so the flat side here is an Arrow
+table (write_csv-able); the mapping semantics — dotted-path flattening and
+its inverse — are the real ETL and are exercised end to end.
+
+All stages are stateless ``map_batches``: per-row json loads/dumps is the
+unavoidable per-record work (the reference does the same row-wise in
+pandas); nothing shuffles and nothing lands on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _read_docs(sf_dir: str, columns) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def build_records(sf_dir: str) -> rd.Dataset:
+    """(doc_id, rec_json): serialize each document row into the reference's
+    nested record shape — the 'collated record' a crawl emits."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        recs = []
+        for did, lang, source, n_chars in zip(
+            t["doc_id"].to_pylist(),
+            t["lang"].to_pylist(),
+            t["source"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        ):
+            recs.append(
+                json.dumps(
+                    {
+                        "meta_data": {
+                            "id": str(did),
+                            "lang": lang,
+                            "source": source,
+                        },
+                        "summary": {
+                            "title": f"Doc {did}",
+                            "n_chars": int(n_chars),
+                        },
+                    },
+                    sort_keys=True,
+                )
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "rec_json": pa.array(recs, pa.string())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _flatten(obj: Dict, prefix: str = "") -> Dict[str, object]:
+    out: Dict[str, object] = {}
+    for k, v in obj.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+# the fixed record schema: dotted JSON path -> flat column name (dots are
+# SQL-hostile, so flat columns use underscores like the reference
+# spreadsheets' header row)
+RECORD_COLUMNS = {
+    "meta_data.id": "meta_id",
+    "meta_data.lang": "meta_lang",
+    "meta_data.source": "meta_source",
+    "summary.title": "sum_title",
+    "summary.n_chars": "sum_n_chars",
+}
+
+
+def json_etl_flatten(sf_dir: str) -> rd.Dataset:
+    """The json->xlsx direction: parse each nested record and emit one flat
+    column per dotted path.  Output column order is stable (doc_id first,
+    then RECORD_COLUMNS order)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols: Dict[str, List] = {c: [] for c in RECORD_COLUMNS.values()}
+        for s in t["rec_json"].to_pylist():
+            flat = _flatten(json.loads(s))
+            for path, col in RECORD_COLUMNS.items():
+                cols[col].append(flat.get(path))
+        arrays = {"doc_id": t["doc_id"]}
+        for path, col in RECORD_COLUMNS.items():
+            typ = pa.int64() if col == "sum_n_chars" else pa.string()
+            arrays[col] = pa.array(cols[col], typ)
+        return pa.table(arrays)
+
+    return build_records(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def json_etl_nest(flat: rd.Dataset) -> rd.Dataset:
+    """The xlsx->jsonl direction: rebuild the nested record from flat
+    columns.  Inverse of json_etl_flatten (round-trip asserted in tests)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        recs = []
+        rows = t.to_pylist()
+        for row in rows:
+            obj: Dict = {}
+            for path, col in RECORD_COLUMNS.items():
+                cur = obj
+                parts = path.split(".")
+                for p in parts[:-1]:
+                    cur = cur.setdefault(p, {})
+                cur[parts[-1]] = row[col]
+            recs.append(json.dumps(obj, sort_keys=True))
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "rec_json": pa.array(recs, pa.string()),
+            }
+        )
+
+    return flat.map_batches(fn, batch_format="pyarrow")

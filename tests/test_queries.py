@@ -62,6 +62,7 @@ def _to_df(x):
         "q_top_users_by_type",
         "repetition_stats",
         "split_assign",
+        "json_etl_flatten",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -72,6 +73,27 @@ def test_query_matches_oracle(ray_session, con, name):
     assert list(rdf.columns) == list(odf.columns)
     assert len(rdf) == len(odf)
     pd.testing.assert_frame_equal(rdf, odf, check_dtype=False, check_exact=True)
+
+
+def test_json_etl_roundtrip(ray_session):
+    """flatten -> nest must reproduce the original nested records exactly
+    (S11 ETL inverse property, reference notebooks json_to_xlsx /
+    xlsx_to_jsonl)."""
+    import json
+
+    from langscrape_ray.pipelines.etl import (
+        build_records,
+        json_etl_flatten,
+        json_etl_nest,
+    )
+
+    orig = build_records(SF).to_pandas().sort_values("doc_id")
+    back = (
+        json_etl_nest(json_etl_flatten(SF)).to_pandas().sort_values("doc_id")
+    )
+    assert list(orig["doc_id"]) == list(back["doc_id"])
+    for a, b in zip(orig["rec_json"], back["rec_json"]):
+        assert json.loads(a) == json.loads(b)
 
 
 def test_minhash_candidates_cover_bruteforce(ray_session):
