@@ -149,8 +149,47 @@ class Node:
             _serialize_child(c, out)
         out.append(f"</{self.tag}>")
 
+    def serialized_len(self) -> int:
+        """``len(self.serialize())`` without building the string — the M3
+        length gate needs only the length.  Escape growth is arithmetic on
+        the ORIGINAL text (each ``&`` +4, ``<``/``>`` +3; attr ``"`` +5),
+        exact because the escapers substitute disjoint original chars.
+        Invariant ``serialized_len() == len(serialize())`` is pinned by
+        tests over the fixture corpus."""
+        if self.tag == "#document":
+            return sum(_child_len(c) for c in self.children)
+        attrs_len = 0
+        for k, v in self.attrs.items():
+            if v is None:
+                attrs_len += 1 + len(k)
+            else:
+                attrs_len += (
+                    4
+                    + len(k)
+                    + len(v)
+                    + 4 * v.count("&")
+                    + 5 * v.count('"')
+                    + 3 * v.count("<")
+                )
+        if self.tag in VOID_ELEMENTS and not self.children:
+            return 3 + len(self.tag) + attrs_len
+        return (
+            2 * len(self.tag)
+            + attrs_len
+            + 5
+            + sum(_child_len(c) for c in self.children)
+        )
+
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<Node {self.tag} attrs={self.attrs} children={len(self.children)}>"
+
+
+def _child_len(c: Union["Node", str]) -> int:
+    if isinstance(c, Comment):
+        return 7 + len(c)  # <!-- -->
+    if isinstance(c, Node):
+        return c.serialized_len()
+    return len(c) + 4 * c.count("&") + 3 * c.count("<") + 3 * c.count(">")
 
 
 def _serialize_child(c: Union[Node, str], out: List[str]) -> None:

@@ -86,7 +86,9 @@ def extract_one(url: str, html: bytes, rules: Dict[str, dict]) -> dict:
     # observably identical to the reference's serialize/collapse/re-parse
     # round trip, ~2x faster.
     cleaned_root = cleaned_tree(raw_root)
-    cleaned_len = len(cleaned_root.serialize())
+    # length-only serialization: the M3 gate needs len(serialize()), not
+    # the string (invariant pinned in tests/test_kernel.py)
+    cleaned_len = cleaned_root.serialized_len()
     too_short = cleaned_len < MIN_HTML_LENGTH
 
     fields = extract_by_xpath_map(cleaned_root, rules)

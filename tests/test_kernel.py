@@ -134,3 +134,44 @@ def test_weird_bytes_roundtrip():
     raw = "<html><body><p>caf\xe9 ok</p></body></html>".encode("latin-1")
     text = page_text(raw)
     assert "café ok" in text
+
+
+def test_serialized_len_matches_serialize():
+    """serialized_len() must equal len(serialize()) — the M3 length gate
+    relies on this invariant — across the fixture corpus and an
+    escape-heavy adversarial case."""
+    from langscrape_ray.kernel.clean import cleaned_tree
+    from langscrape_ray.sources.fixtures_gen import FixtureConfig, build_pages_table
+
+    nasty = (
+        "<html><body><!-- c&o<m -->"
+        '<div class="a&amp;b &quot;q&quot; x<y" data-k>'
+        "t&amp;x < y > z</div><br/><img src='u?a=1&b=2'/>"
+        "<p>&lt;escaped&gt; &amp; raw & < ></p></body></html>"
+    )
+    trees = [parse_html(nasty), cleaned_tree(parse_html(nasty))]
+    cfg = FixtureConfig(n_pages=60, n_hosts=6, n_seeds=6)
+    pages = build_pages_table(cfg)
+    for html in pages["html"].to_pylist()[:40]:
+        root = parse_html(html)
+        trees.append(root)
+        trees.append(cleaned_tree(root))
+    for t in trees:
+        assert t.serialized_len() == len(t.serialize())
+
+
+def test_outlinks_absolute_fastpath_equiv():
+    """The absolute-URL fast path must equal urljoin byte-for-byte,
+    including non-normalized dot segments (urljoin leaves absolute refs
+    verbatim)."""
+    from urllib.parse import urljoin
+
+    hrefs = [
+        "http://x/y", "https://x:8080/y?q=1#f", "http://x",
+        "http://x/../y", "http://x/y//z/./w",
+    ]
+    base = "https://base.example/dir/page"
+    root = parse_html(
+        "".join(f'<a href="{h}">l</a>' for h in hrefs)
+    )
+    assert extract_outlinks(root, base) == [urljoin(base, h) for h in hrefs]
