@@ -52,20 +52,31 @@ def clean_tree(root: Node) -> Node:
     return root
 
 
-def _clean(node: Node) -> None:
+def _clean(node: Node) -> bool:
+    """Returns whether the SURVIVING subtree contains non-whitespace text
+    — computed bottom-up so the rule-3 emptiness check
+    (``text_content().strip() == ""`` over the already-cleaned subtree) is
+    O(n) overall instead of O(n x depth) of repeated text_content walks.
+    Detached children (comments, interactive, emptied) contribute nothing,
+    exactly as they would not appear in a post-clean text_content."""
+    has_text = False
     for child in list(node.children):
         if isinstance(child, Comment):
             node.remove_child(child)
         elif isinstance(child, Node):
-            _clean(child)
+            child_has = _clean(child)
+            if child.parent is node and child_has:  # survived the clean
+                has_text = True
+        elif child and not child.isspace():
+            has_text = True
     if node.tag == "#document":
-        return
+        return has_text
     if node.tag in INTERACTIVE_ELEMENTS:
         node.detach()
-        return
-    if node.tag != "img" and node.text_content().strip() == "":
+        return False
+    if node.tag != "img" and not has_text:
         node.detach()
-        return
+        return False
     if node.attrs:
         node.attrs = {k: node.attrs[k] for k in KEPT_ATTRS if k in node.attrs}
         href = node.attrs.get("href")
@@ -73,6 +84,7 @@ def _clean(node: Node) -> None:
             del node.attrs["href"]
         if node.tag == "img" and "src" in node.attrs:
             del node.attrs["src"]
+    return has_text
 
 
 def clean_tree_deep(root: Node, deep: bool = False) -> Node:

@@ -79,6 +79,9 @@ def extract_by_xpath_map(
     """
     result: Dict[str, List[str]] = {}
     tree: Optional[Node] = html_content if isinstance(html_content, Node) else None
+    # read-only burst: all field xpaths evaluate against one frozen tree,
+    # so the descendant scans are shared across rules (kernel/xpath.py)
+    desc_cache: Dict[int, list] = {}
 
     for key, entry in field_state.items():
         strategy = (
@@ -100,7 +103,7 @@ def extract_by_xpath_map(
         if tree is None:
             tree = parse_html(html_content)
         try:
-            hits = xpath_eval(tree, xpath)
+            hits = xpath_eval(tree, xpath, desc_cache)
             values = [
                 v.text_content().strip() if isinstance(v, Node) else str(v).strip()
                 for v in hits

@@ -330,10 +330,21 @@ def _compile_cached(expr: str) -> List[List[Step]]:
     return branches
 
 
-def _descendants(ctx: Node) -> List[Node]:
+def _descendants(ctx: Node, cache: Optional[dict] = None) -> List[Node]:
+    """Descendant element list of ``ctx``.  ``cache`` (id(node) -> list) is
+    a caller-scoped memo for read-only evaluation bursts — e.g. one page's
+    field-rule map evaluates several xpaths against the same root, and the
+    root scan dominates.  Callers must not pass a cache across tree
+    mutations; returned lists are never mutated by the evaluator."""
+    if cache is not None:
+        hit = cache.get(id(ctx))
+        if hit is not None:
+            return hit
     out: List[Node] = []
     for c in ctx.element_children():
         out.extend(c.iter())
+    if cache is not None:
+        cache[id(ctx)] = out
     return out
 
 
@@ -413,7 +424,8 @@ def _direct_text(node: Node) -> List[str]:
     return [c for c in node.children if isinstance(c, str) and not isinstance(c, Comment)]
 
 
-def _eval_steps(root: Node, steps: List[Step]) -> List[Union[Node, str]]:
+def _eval_steps(root: Node, steps: List[Step],
+                cache: Optional[dict] = None) -> List[Union[Node, str]]:
     ctx: List[Node] = [root]
     for axis, kind, name, preds in steps:
         if kind == "attr":
@@ -423,7 +435,7 @@ def _eval_steps(root: Node, steps: List[Step]) -> List[Union[Node, str]]:
             pool: List[Node] = []
             seen = set()
             for node in ctx:
-                for n in _descendants(node):
+                for n in _descendants(node, cache):
                     if id(n) not in seen:
                         seen.add(id(n))
                         pool.append(n)
@@ -435,7 +447,7 @@ def _eval_steps(root: Node, steps: List[Step]) -> List[Union[Node, str]]:
                     out.extend(_direct_text(node))
             else:
                 for node in ctx:
-                    for n in [node] + _descendants(node):
+                    for n in [node] + _descendants(node, cache):
                         out.extend(_direct_text(n))
             return out
         if kind == "self":
@@ -478,7 +490,11 @@ def _eval_steps(root: Node, steps: List[Step]) -> List[Union[Node, str]]:
                         seen.add(id(n))
                         nxt.append(n)
                 continue
-            cands = node.element_children() if axis == "child" else _descendants(node)
+            cands = (
+                node.element_children()
+                if axis == "child"
+                else _descendants(node, cache)
+            )
             if name != "*":
                 cands = [n for n in cands if n.tag == name]
             if has_positional and axis == "descendant":
@@ -501,14 +517,18 @@ def _eval_steps(root: Node, steps: List[Step]) -> List[Union[Node, str]]:
     return list(ctx)
 
 
-def xpath_eval(root: Node, expr: str) -> List[Union[Node, str]]:
+def xpath_eval(root: Node, expr: str,
+               cache: Optional[dict] = None) -> List[Union[Node, str]]:
     """Evaluate ``expr`` against ``root``. Element results are Nodes;
     ``@attr`` / ``text()`` results are strings (document order, dups kept).
-    Union branches merge element results in document order, deduplicated."""
+    Union branches merge element results in document order, deduplicated.
+    ``cache``: optional read-only-burst descendants memo (see
+    ``_descendants``); pass a fresh dict per page, never across tree
+    mutations."""
     branches = compile_xpath(expr)
     if len(branches) == 1:
-        return _eval_steps(root, branches[0])
-    results = [_eval_steps(root, b) for b in branches]
+        return _eval_steps(root, branches[0], cache)
+    results = [_eval_steps(root, b, cache) for b in branches]
     if all(all(isinstance(x, Node) for x in r) for r in results):
         seen, merged = set(), []
         for r in results:
