@@ -175,3 +175,89 @@ def test_outlinks_absolute_fastpath_equiv():
         "".join(f'<a href="{h}">l</a>' for h in hrefs)
     )
     assert extract_outlinks(root, base) == [urljoin(base, h) for h in hrefs]
+
+
+def test_fast_tokenizer_differential():
+    """The fast tokenizer must either reject a page (stdlib fallback) or
+    produce a DOM deep-equal to the stdlib parser's — over hand cases,
+    adversarial markup, the fixture corpus, and a seeded fuzz."""
+    import random
+
+    from langscrape_ray.kernel.dom import (
+        Node,
+        _fast_tokenize,
+        _TreeBuilder,
+        decode_html_bytes,
+    )
+    from langscrape_ray.kernel.textops import remove_control_characters
+    from langscrape_ray.sources.fixtures_gen import FixtureConfig, build_pages_table
+
+    def stdlib_parse(s):
+        b = _TreeBuilder()
+        b.feed(s)
+        b.close()
+        return b.root
+
+    def fast_or_none(s):
+        ev = _fast_tokenize(s)
+        if ev is None:
+            return None
+        b = _TreeBuilder()
+        for e in ev:
+            k = e[0]
+            if k == "data":
+                b.handle_data(e[1])
+            elif k == "start":
+                b.handle_starttag(e[1], e[2])
+            elif k == "end":
+                b.handle_endtag(e[1])
+            elif k == "startend":
+                b.handle_startendtag(e[1], e[2])
+            else:
+                b.handle_comment(e[1])
+        return b.root
+
+    def deep_eq(a, b):
+        if isinstance(a, Node) != isinstance(b, Node):
+            return False
+        if not isinstance(a, Node):
+            return type(a) == type(b) and str(a) == str(b)
+        if a.tag != b.tag or a.attrs != b.attrs or len(a.children) != len(b.children):
+            return False
+        return all(deep_eq(x, y) for x, y in zip(a.children, b.children))
+
+    cases = [
+        '<html><body><p>a &amp; b</p></body></html>',
+        '<div class="x" id=\'y\' data-z=unq checked><br/><img src="u?a=1&amp;b=2"/></div>',
+        '<!DOCTYPE html><html><!-- c -- ment --><script>if (a<b && c>d) x();</script></html>',
+        '<p>one<p>two</p><ul><li>a<li>b</ul>',
+        '<a href="/x">t</a>text & &lt;tag&gt; &#65; &bogus; trailing &',
+        '<SCRIPT TYPE="t">var x=1;</SCRIPT><style>a{b:"c"}</style>',
+        '<?xml?><div\nclass="a"\n>multi</div>', '<td>x</td><div/>', '',
+        # adversarial (fallback or equal — both acceptable)
+        '<div', '</', 'a < b', '<1tag>', '<div class=">">b</div>',
+        '<!--unclosed', '<script>no close', '<script></scriptx></script>',
+        '<!doctype html [ <!ENTITY x "y"> ]><p>t</p>', '<![CDATA[x]]>',
+        '<div class="a"id="b">t</div>', '<div / >x</div>',
+        '<p>&#x48;&#X49;&#72;</p>', '<em>unclosed <b>nested',
+        '<script>x("</div>");</script>',
+    ]
+    pages = build_pages_table(FixtureConfig(n_pages=80, n_hosts=8, n_seeds=8))
+    corpus = [decode_html_bytes(h) for h in pages["html"].to_pylist()]
+    rng = random.Random(7)
+    frags = ['<div>', '</div>', '<p class="a">', 'text', ' & ', '&amp;', '&#65;',
+             '<br/>', '<img src=x>', '<', '>', '<!-- c -->', '<!--', '-->',
+             '<script>', '</script>', '<a href="/x?a=1&b=2">', '</a>',
+             '&bogus;', '=', '/>', '<!doctype html>', '<?pi?>', '\n',
+             '<em a=b c>', '</em >', '&amp', '"', "'"]
+    fuzz = ["".join(rng.choices(frags, k=rng.randint(1, 10))) for _ in range(800)]
+
+    n_fast = 0
+    for s in cases + corpus + fuzz:
+        s = remove_control_characters(s)
+        f = fast_or_none(s)
+        if f is None:
+            continue
+        n_fast += 1
+        assert deep_eq(f, stdlib_parse(s)), f"fast/stdlib divergence on {s!r}"
+    assert n_fast >= len(corpus)  # the well-formed corpus takes the fast path
