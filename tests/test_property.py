@@ -172,3 +172,60 @@ def test_minhash_estimate_tracks_jaccard(seed_words, drift):
     true = ngram_jaccard(base, other)
     # 128 permutations: standard error ~= sqrt(J(1-J)/128) <= 0.045
     assert abs(est - true) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# fast-tokenizer / parser differential property
+# ---------------------------------------------------------------------------
+
+_HTMLISH = st.lists(
+    st.sampled_from(
+        ['<div>', '</div>', '<p class="a">', 'text', ' & ', '&amp;', '&#65;',
+         '<br/>', '<img src=x>', '<', '>', '<!-- c -->', '<!--', '-->',
+         '<script>', '</script>', '<a href="/x?a=1&b=2">', '</a>',
+         '&bogus;', '=', '/>', '<!doctype html>', '<?pi?>', '\n',
+         '<em a=b c>', '</em >', '&amp', '"', "'", 'é', '&#x48;']
+    ),
+    min_size=1, max_size=10,
+)
+
+
+@given(_HTMLISH)
+@settings(max_examples=300, deadline=None)
+def test_fast_tokenizer_never_diverges(frags):
+    """Property: for ANY input, the fast tokenizer either rejects (stdlib
+    fallback) or builds a DOM deep-equal to the stdlib parser's."""
+    from langscrape_ray.kernel.dom import Node, _fast_tokenize, _TreeBuilder
+    from langscrape_ray.kernel.textops import remove_control_characters
+
+    s = remove_control_characters("".join(frags))
+    ev = _fast_tokenize(s)
+    if ev is None:
+        return  # fallback — stdlib behavior by definition
+    fast = _TreeBuilder()
+    for e in ev:
+        k = e[0]
+        if k == "data":
+            fast.handle_data(e[1])
+        elif k == "start":
+            fast.handle_starttag(e[1], e[2])
+        elif k == "end":
+            fast.handle_endtag(e[1])
+        elif k == "startend":
+            fast.handle_startendtag(e[1], e[2])
+        else:
+            fast.handle_comment(e[1])
+    ref = _TreeBuilder()
+    ref.feed(s)
+    ref.close()
+
+    def deep_eq(a, b):
+        if isinstance(a, Node) != isinstance(b, Node):
+            return False
+        if not isinstance(a, Node):
+            return type(a) == type(b) and str(a) == str(b)
+        if a.tag != b.tag or a.attrs != b.attrs or len(a.children) != len(b.children):
+            return False
+        return all(deep_eq(x, y) for x, y in zip(a.children, b.children))
+
+    assert deep_eq(fast.root, ref.root)
