@@ -36,6 +36,25 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+def _with_pair_key(t: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Append an int64 ``pair_key`` packing (a, b): Ray's sort-based
+    groupby shuffle is ~3-5x faster on ONE int64 key than on a two-column
+    key, and pair-aggregation is the hottest shuffle in every dedup tail.
+    Pack range: a < 2^31, b < 2^32 (raises loudly beyond) — at 10^10-doc
+    scale the similarity joins run per id-shard, where per-shard ids fit
+    comfortably; re-spread the shards before packing if they don't."""
+    a = np.asarray(t[a_col], dtype=np.int64)
+    b = np.asarray(t[b_col], dtype=np.int64)
+    if len(a) and (
+        a.max() >= (1 << 31) or b.max() >= (1 << 32) or a.min() < 0 or b.min() < 0
+    ):
+        raise ValueError(
+            "pair ids exceed the 31/32-bit pack range; shard the id space "
+            "before the pair aggregation"
+        )
+    return t.append_column("pair_key", pa.array((a << np.int64(32)) | b))
+
+
 # order-aware shingle mixing constants (odd -> bijective mod 2^64) and a
 # splitmix64 finalizer; shingle identity only needs distinctness, so a
 # vectorized mix of C-speed per-token hashes replaces per-shingle blake2b
@@ -248,10 +267,19 @@ def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
         .map_groups(pairs, batch_format="pandas")
     )
     if dedup_pairs:
-        from ray.data.aggregate import Count
+        from ray.data.aggregate import Count, Min
 
-        cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
-            Count(alias_name="_n")
+        cand = (
+            cand.map_batches(
+                lambda t: _with_pair_key(t, "doc_a", "doc_b"),
+                batch_format="pyarrow",
+            )
+            .groupby("pair_key")  # single-int64 key: see _with_pair_key
+            .aggregate(
+                Min("doc_a", alias_name="doc_a"),
+                Min("doc_b", alias_name="doc_b"),
+                Count(alias_name="_n"),
+            )
         )
     return ensure_schema(
         cand, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -755,8 +783,16 @@ def embedding_neardup_lsh(
         emb.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Min("cos_e4", alias_name="cos_e4"), Count(alias_name="_n"))
+        .map_batches(
+            lambda t: _with_pair_key(t, "vec_a", "vec_b"), batch_format="pyarrow"
+        )
+        .groupby("pair_key")  # single-int64 key: see _with_pair_key
+        .aggregate(
+            Min("vec_a", alias_name="vec_a"),
+            Min("vec_b", alias_name="vec_b"),
+            Min("cos_e4", alias_name="cos_e4"),
+            Count(alias_name="_n"),
+        )
         .to_pandas()
     )
     if out.empty:
@@ -860,8 +896,13 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
         .map_batches(explode, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
+        .map_batches(
+            lambda t: _with_pair_key(t, "doc_a", "doc_b"), batch_format="pyarrow"
+        )
+        .groupby("pair_key")  # single-int64 key: see _with_pair_key
         .aggregate(
+            Min("doc_a", alias_name="doc_a"),
+            Min("doc_b", alias_name="doc_b"),
             Sum("inter_part", alias_name="inter"),
             Min("na", alias_name="na"),
             Min("nb", alias_name="nb"),
