@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_percentiles": analytics.q_order_percentiles,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
+        # whitespace + BPE-ish regex pieces (subword-budget proxy; oracled)
+        "token_count_bpe": textstats.token_count_bpe,
         "fingerprint": textstats.fingerprint,
         "quality_score": textstats.quality_score,
         # dedup family
@@ -364,6 +366,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, {n_tokens_sql} AS n_tokens FROM documents ORDER BY doc_id
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id, {n_tokens_sql} AS n_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                       AS n_pieces
+            FROM documents ORDER BY doc_id
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id

@@ -18,6 +18,10 @@ import ray.data as rd
 
 _TOKEN_RE = re.compile(r"\S+")
 _ALPHA_RE = re.compile(r"[^a-zA-Z]")
+# BPE-ish piece pattern: letter runs / digit runs / single symbols — the
+# subword-budget counter a tokenizer-less pipeline uses (task brief M22
+# "whitespace + a BPE-ish regex"); identical under Python re and RE2
+_BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
 
 # tiny per-language stopword inventories for the n-gram/stopword heuristic
 _LANG_STOPWORDS = {
@@ -40,6 +44,30 @@ def token_count(sf_dir: str) -> "rd.Dataset":
         n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
         return pa.table(
             {"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def token_count_bpe(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_tokens, n_pieces): whitespace tokens plus BPE-ish regex
+    pieces (letter runs / digit runs / single symbols over lowercased
+    text) — the cheap subword-budget proxy when no tokenizer model ships
+    with the pipeline.  SQL-oracled: regexp_extract_all with the same
+    pattern."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = [len(_TOKEN_RE.findall(x)) for x in texts]
+        n_bpe = [len(_BPE_RE.findall(x.lower())) for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_pieces": pa.array(n_bpe, pa.int64()),
+            }
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -63,6 +63,7 @@ def _to_df(x):
         "repetition_stats",
         "split_assign",
         "json_etl_flatten",
+        "token_count_bpe",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
