@@ -591,30 +591,86 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def _cc_union_find(pairs: pd.DataFrame) -> dict:
+    """Min-label connected components over a driver-resident edge list.
+
+    Classic union-find with path halving; after the unions each root's
+    label is the MIN vec_id seen in its component, so lookup(v) returns
+    the canonical cluster representative.  O(E * alpha(V)) — the right
+    tool whenever the edge set fits on one node, which near-dup edge
+    sets do far longer than the corpus does (dup rate << 100%)."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["vec_a"].to_numpy(), pairs["vec_b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min: smaller id becomes the root, so the root IS
+            # the component's min label (ids only enter via edges).
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in list(parent)}
+
+
 def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
-                          max_iters: int = 25) -> pd.DataFrame:
+                          max_iters: int = 25,
+                          local_edge_limit: int = 2_000_000) -> pd.DataFrame:
     """Connected-components dedup clustering: every vector labeled with the
     MIN vec_id of its near-duplicate component (edges = cosine >= threshold
     pairs).  This is the step after pair generation in a real dedup
     pipeline — pairs alone can't drop rows; components pick one keeper per
     duplicate cluster.
 
-    Ray shape: the iteration runs only over the TOUCHED vertex set (ids
-    that appear in at least one edge) — at dedup scale the edge set is
-    orders of magnitude smaller than the corpus, so propagating labels
-    across every corpus row each round (round-2a version) pays an
-    O(corpus) groupby per iteration for vertices whose label can never
-    change.  Per iteration: ONE hash join (edges ⋈ touched-labels on src)
-    + ONE groupby-min shuffle over touched vertices; converges in
-    O(component diameter) rounds (driver checks a scalar label-sum).
-    Untouched vertices join back once at the end via a left-outer join
-    with label := vec_id fill — one corpus-sized pass total instead of
-    one per iteration.  SQL oracle: recursive transitive closure + min
-    per node."""
+    Hybrid shape: the edge set after near-dup detection is orders of
+    magnitude smaller than the corpus, so when it fits on one node
+    (<= ``local_edge_limit`` edges) components come from a driver-side
+    union-find and the corpus is labeled in ONE broadcast map_batches
+    pass — no iteration, no shuffle (the standard local-phase finish in
+    distributed CC implementations).  Above the limit, the distributed
+    path iterates only over the TOUCHED vertex set (edge endpoints):
+    per iteration ONE hash join (edges ⋈ touched-labels on src) + ONE
+    groupby-min shuffle; converges in O(component diameter) rounds
+    (driver checks a scalar label-sum).  Untouched vertices join back
+    once at the end via a left-outer join with label := vec_id fill —
+    one corpus-sized pass total instead of one per iteration.  SQL
+    oracle: recursive transitive closure + min per node."""
+    import ray
     from ray.data.aggregate import Min
 
     emb_ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     pairs = embedding_neardup_pairs(sf_dir, threshold=threshold)
+
+    if not pairs.empty and len(pairs) <= local_edge_limit:
+        rep_ref = ray.put(_cc_union_find(pairs))
+
+        class LabelLookup:
+            def __init__(self, ref):
+                self.rep = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                vids = t["vec_id"].to_pylist()
+                g = self.rep.get
+                return pa.table(
+                    {
+                        "vec_id": pa.array(vids, pa.int64()),
+                        "cluster_rep": pa.array(
+                            [g(v, v) for v in vids], pa.int64()
+                        ),
+                    }
+                )
+
+        out = emb_ids.map_batches(
+            LabelLookup(rep_ref), batch_format="pyarrow"
+        ).to_pandas()
+        out = out.astype({"vec_id": "int64", "cluster_rep": "int64"})
+        return out.sort_values("vec_id").reset_index(drop=True)
 
     def self_labels(t: pa.Table) -> pa.Table:
         return pa.table({"vec_id": t["vec_id"], "label": t["vec_id"]})

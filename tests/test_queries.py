@@ -215,3 +215,15 @@ def test_knn_ivf_recall_vs_exact(ray_session):
     got_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_pairs & got_pairs) / len(exact_pairs)
     assert recall >= 0.6, f"IVF recall {recall} too low"
+
+
+def test_cc_local_matches_distributed(ray_session):
+    """The small-edge-set union-find escape hatch must produce exactly the
+    labels of the distributed join-iteration path (local_edge_limit=0
+    forces the latter)."""
+    from langscrape_ray.pipelines.dedup import embedding_cc_clusters
+
+    local = embedding_cc_clusters(SF)
+    dist = embedding_cc_clusters(SF, local_edge_limit=0)
+    pd.testing.assert_frame_equal(local, dist)
+    assert (local["cluster_rep"] <= local["vec_id"]).all()
