@@ -242,6 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_df": textstats.doc_term_df,
         # Gopher-style repetition signals (integer counts; SQL-oracled)
         "repetition_stats": textstats.repetition_stats,
+        # benchmark n-gram decontamination (broadcast bench-gram set;
+        # SQL-oracled: list-slice grams + semi-join + count DISTINCT)
+        "decontaminate": textstats.decontaminate,
+        # PII detect + redact over deterministically augmented text
+        # (SQL-oracled incl. md5 of the redacted bytes)
+        "pii_scan": textstats.pii_scan,
         # deterministic md5-bucket train/valid/test split (SQL-oracled)
         "split_assign": textstats.split_assign,
         # S11 nested-JSON -> flat-column ETL (real serialize + parse +
@@ -661,6 +667,70 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(dup_bigrams, 0) AS dup_bigrams
             FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
             ORDER BY ws.doc_id
+        """,
+        # benchmark n-gram decontamination: trigram generation via 1-based
+        # inclusive list slices; the bench side is the deterministic
+        # doc_id % 29 == 0 subset; n_hits = count of DISTINCT shared grams
+        # per candidate doc (0 rows kept so the full candidate set hashes)
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0
+            ),
+            hits AS (
+              SELECT c.doc_id,
+                     count(DISTINCT CASE WHEN b.g IS NOT NULL THEN c.g END)
+                         AS n_hits
+              FROM grams c LEFT JOIN bench b ON c.g = b.g
+              WHERE c.doc_id % 29 <> 0
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 29 <> 0
+            ORDER BY d.doc_id
+        """,
+        # PII detect+redact: the scan input is text plus a deterministic
+        # doc_id-derived contact tail built identically in both engines;
+        # emails are counted/redacted first, IPs on the email-redacted
+        # string; md5 proves the redacted bytes match, not just counts
+        "pii_scan": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.1.'
+                          || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                          || CASE WHEN doc_id % 2 = 0
+                             THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                                  || '@test.org via 192.168.0.'
+                                  || CAST(doc_id % 200 AS VARCHAR)
+                             ELSE '' END AS s
+              FROM documents
+            ),
+            em AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(
+                       s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                     regexp_replace(
+                       s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS s1
+              FROM aug
+            )
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(
+                     s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS BIGINT) AS n_ips,
+                   md5(regexp_replace(
+                     s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g')) AS redacted_md5
+            FROM em ORDER BY doc_id
         """,
         # S11 ETL: the oracle builds the nested JSON record ITS way (DuckDB
         # string concat, escaping irrelevant — fixture fields are plain

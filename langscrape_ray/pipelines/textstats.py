@@ -253,6 +253,119 @@ def split_assign(sf_dir: str) -> "rd.Dataset":
     return _read_docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
 
 
+def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 29) -> "rd.Dataset":
+    """(doc_id, n_hits): benchmark-decontamination check — for every
+    candidate training document, the number of DISTINCT word n-grams it
+    shares with a held-out "benchmark" set (here the deterministic subset
+    ``doc_id % bench_mod == 0``; in production, the eval suites the model
+    must not train on).  Downstream filters drop or flag docs with
+    ``n_hits > 0`` — the standard n-gram-overlap decontamination step of
+    an LLM training-data pipeline.
+
+    Ray shape: benchmark n-gram sets are tiny relative to the corpus
+    (eval suites are MBs; the corpus is TBs), so the benchmark side
+    reduces to per-batch DISTINCT gram partials, is unioned on the
+    driver, and broadcast once via ``ray.put``; the corpus pass is then
+    a stateless membership-count ``map_batches`` — no shuffle at all.
+    Tokenization is a plain single-space split (DuckDB
+    ``string_split(text, ' ')``), grams joined with one space, so the
+    SQL oracle (list-slice gram generation + semi-join + count DISTINCT)
+    is bit-exact."""
+    import ray
+
+    def _grams(text: str):
+        words = text.split(" ")
+        return (
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        seen = set()
+        ids = t["doc_id"].to_pylist()
+        for did, text in zip(ids, t["text"].to_pylist()):
+            if did % bench_mod == 0:
+                seen.update(_grams(text))
+        return pa.table({"g": pa.array(sorted(seen), pa.string())})
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    bench_set: set = set()
+    for part in docs.map_batches(
+        bench_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        bench_set.update(part["g"].to_pylist())
+    bench_ref = ray.put(frozenset(bench_set))
+
+    class CountHits:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_id, out_n = [], []
+            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                if did % bench_mod == 0:
+                    continue  # benchmark rows are not candidates
+                out_id.append(did)
+                out_n.append(sum(1 for g in set(_grams(text)) if g in self.bench))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_hits": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        CountHits,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_IPV4_RE = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+
+
+def pii_scan(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_emails, n_ips, redacted_md5): PII detection + redaction —
+    count email / IPv4 occurrences and fingerprint the text after
+    replacing them with ``<EMAIL>`` / ``<IP>`` placeholders (emails
+    first, then IPs; the md5 proves the redacted bytes, not just the
+    counts, match).
+
+    The synthetic corpus contains no PII-shaped strings, so the scan
+    input is the document text plus a deterministic doc_id-derived
+    contact tail built IDENTICALLY here and in the SQL oracle — the
+    correctness check exercises the regex + redaction machinery on
+    non-trivial matches.  Patterns are chosen to behave the same under
+    Python ``re`` and RE2 (DuckDB's engine).  Stateless vectorized
+    map_batches; compiled patterns at module import; no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_em, n_ip, fps = [], [], []
+        ids = t["doc_id"].to_pylist()
+        for did, text in zip(ids, t["text"].to_pylist()):
+            aug = f"{text} contact user{did}@example.com from 10.1.{did % 250}.7"
+            if did % 2 == 0:  # vary counts so the oracle isn't constant
+                aug += f" cc admin{did}@test.org via 192.168.0.{did % 200}"
+            n_em.append(len(_EMAIL_RE.findall(aug)))
+            red = _EMAIL_RE.sub("<EMAIL>", aug)
+            n_ip.append(len(_IPV4_RE.findall(red)))
+            red = _IPV4_RE.sub("<IP>", red)
+            fps.append(hashlib.md5(red.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_emails": pa.array(n_em, pa.int64()),
+                "n_ips": pa.array(n_ip, pa.int64()),
+                "redacted_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def doc_term_df(sf_dir: str, top_n: int = 50) -> pd.DataFrame:
     """Document frequency: the ``top_n`` terms by number of documents
     containing them (lowercased, split on non-alphanumeric runs), ties

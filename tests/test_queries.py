@@ -64,6 +64,8 @@ def _to_df(x):
         "split_assign",
         "json_etl_flatten",
         "token_count_bpe",
+        "decontaminate",
+        "pii_scan",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
