@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII detect + redact over deterministically augmented text
         # (SQL-oracled incl. md5 of the redacted bytes)
         "pii_scan": textstats.pii_scan,
+        # top-k characteristic terms per doc by integer TF-IDF proxy
+        # (broadcast vocabulary; SQL-oracled: window row_number)
+        "tfidf_topk": textstats.tfidf_topk,
         # deterministic md5-bucket train/valid/test split (SQL-oracled)
         "split_assign": textstats.split_assign,
         # S11 nested-JSON -> flat-column ETL (real serialize + parse +
@@ -731,6 +734,35 @@ def oracle_sql() -> dict[str, str]:
                      s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                      '<IP>', 'g')) AS redacted_md5
             FROM em ORDER BY doc_id
+        """,
+        # integer TF-IDF proxy: score = tf * n_docs // df (floor division,
+        # nonnegative operands, so both engines agree bit-exactly); ties
+        # break by term ascending; top-5 per doc via row_number
+        "tfidf_topk": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                         AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM w WHERE term <> '' GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+              SELECT tf.doc_id, tf.term,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (SELECT n FROM nd) // df.df DESC,
+                                tf.term) AS rank
+              FROM tf JOIN df ON tf.term = df.term
+            )
+            SELECT doc_id, term, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         # S11 ETL: the oracle builds the nested JSON record ITS way (DuckDB
         # string concat, escaping irrelevant — fixture fields are plain

@@ -366,6 +366,80 @@ def pii_scan(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """(doc_id, term, rank): top-``k`` characteristic terms per document by
+    an integer TF-IDF proxy — score = tf * n_docs // df (term frequency
+    scaled by inverse document frequency without float log, so the SQL
+    oracle is bit-exact; ranking ties break by term ascending).  The
+    keyword-extraction step of a corpus-indexing pipeline.
+
+    Ray shape: document frequency is a combiner-pattern aggregate
+    (per-batch distinct-per-doc partials -> ONE groupby(term) sum);
+    vocabularies are tiny relative to corpora, so the {term: df} map is
+    broadcast once via ``ray.put`` and the per-doc top-k is a stateless
+    second corpus pass — the same two-pass broadcast shape as
+    ``decontaminate``, no row-level shuffle."""
+    import heapq
+
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(set(re.split(r"[^a-z0-9]+", text.lower())) - {""})
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_pd = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_pd["term"], df_pd["df"].astype(int))))
+
+    class TopK:
+        def __init__(self, ref):
+            self.df = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_id, out_term, out_rank = [], [], []
+            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                tf = Counter(re.split(r"[^a-z0-9]+", text.lower()))
+                tf.pop("", None)
+                scored = [
+                    (-(cnt * n_docs // self.df[w]), w) for w, cnt in tf.items()
+                ]
+                for r, (_neg, w) in enumerate(heapq.nsmallest(k, scored), 1):
+                    out_id.append(did)
+                    out_term.append(w)
+                    out_rank.append(r)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "term": pa.array(out_term, pa.string()),
+                    "rank": pa.array(out_rank, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        TopK,
+        fn_constructor_args=(df_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+
 def doc_term_df(sf_dir: str, top_n: int = 50) -> pd.DataFrame:
     """Document frequency: the ``top_n`` terms by number of documents
     containing them (lowercased, split on non-alphanumeric runs), ties

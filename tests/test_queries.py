@@ -66,6 +66,7 @@ def _to_df(x):
         "token_count_bpe",
         "decontaminate",
         "pii_scan",
+        "tfidf_topk",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
