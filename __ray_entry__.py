@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         dedup,
         etl,
+        media,
         prep,
         similarity,
         tables,
@@ -251,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k characteristic terms per doc by integer TF-IDF proxy
         # (broadcast vocabulary; SQL-oracled: window row_number)
         "tfidf_topk": textstats.tfidf_topk,
+        # multimodal ingest: real binary payload -> resize -> decode actor
+        # pipeline; SQL oracle = closed form of the deterministic payload
+        # rule (same oracle pattern as table_stats)
+        "media_meta": media.media_meta,
         # deterministic md5-bucket train/valid/test split (SQL-oracled)
         "split_assign": textstats.split_assign,
         # S11 nested-JSON -> flat-column ETL (real serialize + parse +
@@ -734,6 +739,41 @@ def oracle_sql() -> dict[str, str]:
                      s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                      '<IP>', 'g')) AS redacted_md5
             FROM em ORDER BY doc_id
+        """,
+        # multimodal metadata closed form: payload dims/format derive from
+        # doc_id; resize truncation reproduced with FLOOR/LEAST double math
+        # (int() on positive doubles == FLOOR); body cap = min(4096, w*h),
+        # header = 9 bytes; the Ray side runs the real binary round-trip
+        "media_meta": """
+            WITH p AS (
+              SELECT doc_id,
+                     100 + (doc_id * 7) % 900 AS w0,
+                     80 + (doc_id * 13) % 700 AS h0,
+                     CASE doc_id % 3 WHEN 0 THEN 'png'
+                                     WHEN 1 THEN 'jpeg'
+                                     ELSE 'webp' END AS fmt
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, w0, h0, fmt,
+                     LEAST(4096, w0 * h0) AS body0,
+                     (w0 <= 256 AND h0 <= 256) AS fits,
+                     GREATEST(1, CAST(FLOOR(
+                       w0 * LEAST(256.0 / w0, 256.0 / h0)) AS BIGINT)) AS nw,
+                     GREATEST(1, CAST(FLOOR(
+                       h0 * LEAST(256.0 / w0, 256.0 / h0)) AS BIGINT)) AS nh
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN fits THEN w0 ELSE nw END AS BIGINT) AS width,
+                   CAST(CASE WHEN fits THEN h0 ELSE nh END AS BIGINT) AS height,
+                   fmt AS format,
+                   CAST(9 + CASE WHEN fits THEN body0
+                        ELSE GREATEST(1, CAST(FLOOR(
+                          (body0 * (nw * nh)) / CAST(w0 * h0 AS DOUBLE))
+                          AS BIGINT)) END AS BIGINT) AS n_bytes,
+                   TRUE AS decode_ok
+            FROM r ORDER BY doc_id
         """,
         # integer TF-IDF proxy: score = tf * n_docs // df (floor division,
         # nonnegative operands, so both engines agree bit-exactly); ties

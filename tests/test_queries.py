@@ -67,6 +67,7 @@ def _to_df(x):
         "decontaminate",
         "pii_scan",
         "tfidf_topk",
+        "media_meta",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
