@@ -256,6 +256,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
         "media_meta": media.media_meta,
+        # video frame-sample explode -> per-frame decode (SQL-oracled:
+        # stepped range() regenerates the sampled rows in closed form)
+        "media_frames": media.media_frames,
+        # audio feature extraction (SQL-oracled: duration/rate closed form,
+        # rms recomputed from the deterministic byte rule via range() sum)
+        "media_audio": media.media_audio,
         # deterministic md5-bucket train/valid/test split (SQL-oracled)
         "split_assign": textstats.split_assign,
         # S11 nested-JSON -> flat-column ETL (real serialize + parse +
@@ -774,6 +780,50 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)) END AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM r ORDER BY doc_id
+        """,
+        # sampled video frames in closed form: stepped range() over
+        # doc_id-derived frame counts; ts_ms = fi*1000 // fps (fps=25)
+        "media_frames": """
+            WITH v AS (
+              SELECT doc_id,
+                     10 + doc_id % 40 AS nf,
+                     320 + (doc_id * 3) % 300 AS w,
+                     200 + (doc_id * 5) % 200 AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(fi AS BIGINT) AS frame_idx,
+                   CAST(fi * 1000 // 25 AS BIGINT) AS ts_ms,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height
+            FROM v, UNNEST(range(0, nf, 5)) AS r(fi)
+            ORDER BY doc_id, frame_idx
+        """,
+        # audio features: duration/rate closed form; rms_e6 recomputed from
+        # the deterministic fixture byte rule (seed + i*13) % 251 over the
+        # capped body — float-sum error ~1e-13 is far inside the e6 rounding
+        "media_audio": """
+            WITH a AS (
+              SELECT doc_id,
+                     4000 + (doc_id * 37) % 9000 AS ns,
+                     CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS rate,
+                     doc_id % 97 AS seed
+              FROM documents
+            ),
+            b AS (SELECT doc_id, ns, rate, seed,
+                         LEAST(8192, ns) AS bl FROM a),
+            x AS (
+              SELECT doc_id, ((seed + i * 13) % 251) / 255.0 AS v
+              FROM b, UNNEST(range(0, bl)) AS r(i)
+            ),
+            s AS (SELECT doc_id, sum(v * v) AS ss, count(*) AS n
+                  FROM x GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(ns * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(rate AS BIGINT) AS rate,
+                   CAST(round(sqrt(ss / n) * 1000000) AS BIGINT) AS rms_e6
+            FROM b JOIN s ON b.doc_id = s.doc_id
+            ORDER BY b.doc_id
         """,
         # integer TF-IDF proxy: score = tf * n_docs // df (floor division,
         # nonnegative operands, so both engines agree bit-exactly); ties

@@ -21,9 +21,13 @@ import pyarrow as pa
 import ray.data as rd
 
 from langscrape_ray.stages.multimodal import (
+    AudioFeatureStub,
     DecodeImageMeta,
     ResizeImageStub,
+    SampleVideoFrames,
+    make_audio_payload,
     make_image_payload,
+    make_video_payload,
 )
 
 _FMTS = ("png", "jpeg", "webp")
@@ -79,6 +83,106 @@ def media_meta(sf_dir: str, max_w: int = 256, max_h: int = 256) -> "rd.Dataset":
                 "format": t["format"],
                 "n_bytes": t["n_bytes"].cast(pa.int64()),
                 "decode_ok": t["decode_ok"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def media_frames(sf_dir: str, stride: int = 5) -> "rd.Dataset":
+    """(doc_id, frame_idx, ts_ms, width, height): video -> one row per
+    sampled frame, then per-frame image decode — the explode layout a
+    frame-level training pipeline feeds to downstream image stages.
+    Video params derive from doc_id (n_frames = 10 + doc_id % 40, fps 25);
+    the SQL oracle regenerates the sampled-frame rows with a stepped
+    range() and the frame metadata in closed form."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        payloads: List[bytes] = []
+        for did in t["doc_id"].to_pylist():
+            payloads.append(
+                make_video_payload(
+                    n_frames=10 + did % 40,
+                    width=320 + (did * 3) % 300,
+                    height=200 + (did * 5) % 200,
+                    fps=25,
+                    seed=did % 97,
+                )
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "video": pa.array(payloads, pa.binary())}
+        )
+
+    out = (
+        docs.map_batches(attach, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            SampleVideoFrames,
+            fn_constructor_kwargs={"stride": stride},
+            batch_format="pyarrow",
+            batch_size=64,  # explode stage: size for payload x stride growth
+            concurrency=(1, 8),
+            num_cpus=0.5,
+        )
+        .map_batches(
+            DecodeImageMeta,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+            num_cpus=0.5,
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "frame_idx": t["frame_idx"].cast(pa.int64()),
+                "ts_ms": t["ts_ms"].cast(pa.int64()),
+                "width": t["width"].cast(pa.int64()),
+                "height": t["height"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def media_audio(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, duration_ms, rate, rms_e6): audio feature extraction over
+    doc_id-derived payloads.  duration/rate are closed-form; rms_e6 is
+    recomputed by the oracle from the same deterministic byte rule
+    ((seed + i*13) % 251 over the capped body) via a range() sum."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        payloads: List[bytes] = []
+        for did in t["doc_id"].to_pylist():
+            payloads.append(
+                make_audio_payload(
+                    n_samples=4000 + (did * 37) % 9000,
+                    rate=16000 if did % 2 == 0 else 8000,
+                    seed=did % 97,
+                )
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "audio": pa.array(payloads, pa.binary())}
+        )
+
+    out = docs.map_batches(attach, batch_format="pyarrow", batch_size=256).map_batches(
+        AudioFeatureStub,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=0.5,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "duration_ms": t["duration_ms"].cast(pa.int64()),
+                "rate": t["rate"].cast(pa.int64()),
+                "rms_e6": t["rms_e6"].cast(pa.int64()),
             }
         )
 

@@ -68,6 +68,8 @@ def _to_df(x):
         "pii_scan",
         "tfidf_topk",
         "media_meta",
+        "media_frames",
+        "media_audio",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
