@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k characteristic terms per doc by integer TF-IDF proxy
         # (broadcast vocabulary; SQL-oracled: window row_number)
         "tfidf_topk": textstats.tfidf_topk,
+        # feature-hashing document embeddings (batched-inference actor
+        # pattern; SQL-oracled: md5 + hex-cast + integer group-sum)
+        "embed_docs": textstats.embed_docs,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -780,6 +783,27 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)) END AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM r ORDER BY doc_id
+        """,
+        # feature hashing: bucket = first 8 md5 hex digits % dim, sign from
+        # the 9th digit; integer weights summed per (doc, bucket), zeros
+        # dropped — bit-exact across engines (md5 hex is lowercase in both)
+        "embed_docs": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                          AS BIGINT) AS dim_idx,
+                     CASE WHEN ('0x' || substr(md5(tok), 9, 1))::UBIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS sgn
+              FROM w WHERE tok <> ''
+            )
+            SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS weight
+            FROM h GROUP BY doc_id, dim_idx
+            HAVING sum(sgn) <> 0
+            ORDER BY doc_id, dim_idx
         """,
         # sampled video frames in closed form: stepped range() over
         # doc_id-derived frame counts; ts_ms = fi*1000 // fps (fps=25)

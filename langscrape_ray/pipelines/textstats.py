@@ -440,6 +440,59 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
     )
 
 
+def embed_docs(sf_dir: str, dim: int = 64) -> "rd.Dataset":
+    """(doc_id, dim_idx, weight): feature-hashing document embeddings —
+    each token maps to bucket ``int(md5(tok)[:8], 16) % dim`` with sign
+    from the 9th hex digit, weights summed per bucket (the classic
+    hashing-vectorizer / signed feature hashing method).  Long-format
+    nonzero output keeps every column scalar, so the DuckDB oracle
+    (md5 + hex-cast + group-sum) is bit-exact — integer weights, no
+    float drift.
+
+    Ray shape: an actor-pool stage whose per-actor state is the token ->
+    (bucket, sign) memo cache — the batched-inference pattern (the
+    'model' loads/warms once per actor, batches stream through).  Pure
+    map-side; no shuffle."""
+
+    class Embed:
+        def __init__(self):
+            self.memo: dict = {}
+
+        def _tok(self, tok: str):
+            v = self.memo.get(tok)
+            if v is None:
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                v = (int(h[:8], 16) % dim, 1 if int(h[8], 16) % 2 == 0 else -1)
+                self.memo[tok] = v
+            return v
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_id, out_dim, out_w = [], [], []
+            for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                acc: dict = {}
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    b, s = self._tok(tok)
+                    acc[b] = acc.get(b, 0) + s
+                for b in sorted(acc):
+                    if acc[b] != 0:
+                        out_id.append(did)
+                        out_dim.append(b)
+                        out_w.append(acc[b])
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "dim_idx": pa.array(out_dim, pa.int64()),
+                    "weight": pa.array(out_w, pa.int64()),
+                }
+            )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Embed, batch_format="pyarrow", concurrency=(2, 8)
+    )
+
+
 def doc_term_df(sf_dir: str, top_n: int = 50) -> pd.DataFrame:
     """Document frequency: the ``top_n`` terms by number of documents
     containing them (lowercased, split on non-alphanumeric runs), ties

@@ -70,6 +70,7 @@ def _to_df(x):
         "media_meta",
         "media_frames",
         "media_audio",
+        "embed_docs",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
