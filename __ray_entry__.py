@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media,
         prep,
         similarity,
+        sketches,
         tables,
         textstats,
     )
@@ -255,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # feature-hashing document embeddings (batched-inference actor
         # pattern; SQL-oracled: md5 + hex-cast + integer group-sum)
         "embed_docs": textstats.embed_docs,
+        # HyperLogLog distinct-user sketch (rows-only: approximation has no
+        # SQL analog; error bound vs exact asserted in tests)
+        "hll_users": sketches.hll_users,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)

@@ -1,0 +1,91 @@
+"""Distributed sketch operators.
+
+HyperLogLog distinct counting: the scale path for COUNT(DISTINCT key) when
+the key cardinality itself is too large to shuffle (a 10^10-URL frontier's
+"how many unique users/hosts have we seen" question).  Exact distinct
+(`q_event_users` / `q_distinct_union`) stays as the oracle at test scale;
+the sketch's error bound is asserted in tests (~1.04/sqrt(2^p) relative).
+
+Ray shape: each batch folds into a 2^p-register partial (a few KB) inside
+``map_batches`` — the combiner pattern — and the driver merges the
+per-block partials with an elementwise max.  Nothing rowlike ever leaves
+the map side; merge cost is O(blocks * 2^p) bytes, independent of row
+count.  (Flat numpy register math, no per-row Python in the hash path.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanche int64 keys to uniform uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hll_partial(keys: np.ndarray, p: int) -> np.ndarray:
+    """Fold a key array into a 2^p uint8 register array (vectorized)."""
+    m = 1 << p
+    h = _mix64(keys)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    # rho = leading zeros of `rest` + 1, in [1, 64-p+1]
+    nlz = np.zeros(len(rest), dtype=np.uint8)
+    mask = rest >> np.uint64(63) == 0
+    cur = rest.copy()
+    shift = 32
+    while shift >= 1:
+        can = mask & (cur >> np.uint64(64 - shift) == 0)
+        nlz[can] += np.uint8(shift)
+        cur[can] = cur[can] << np.uint64(shift)
+        shift //= 2
+    rho = nlz.astype(np.uint8) + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with linear-counting small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_distinct(
+    ds: "rd.Dataset", key: str, p: int = 12
+) -> int:
+    """Approximate COUNT(DISTINCT ds[key]) for an int64 key column."""
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        regs = _hll_partial(keys, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return _hll_estimate(merged)
+
+
+def hll_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """One-row (n_users_hll,) estimate of distinct event users.  Rows-only
+    for the driver (approximation has no SQL analog); the error bound vs
+    exact COUNT(DISTINCT user_id) is asserted in tests."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return pd.DataFrame({"n_users_hll": [hll_distinct(ev, "user_id", p)]})

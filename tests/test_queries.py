@@ -224,6 +224,19 @@ def test_knn_ivf_recall_vs_exact(ray_session):
     assert recall >= 0.6, f"IVF recall {recall} too low"
 
 
+def test_hll_within_error_bound(ray_session, con):
+    """HLL estimate must land within ~4x the theoretical relative-error
+    std (1.04/sqrt(2^p)) of the exact distinct count."""
+    from langscrape_ray.pipelines.sketches import hll_users
+
+    est = int(hll_users(SF)["n_users_hll"].iloc[0])
+    exact = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    rel = abs(est - exact) / exact
+    assert rel <= 4 * 1.04 / (2 ** 12) ** 0.5, (est, exact, rel)
+
+
 def test_cc_local_matches_distributed(ray_session):
     """The small-edge-set union-find escape hatch must produce exactly the
     labels of the distributed join-iteration path (local_edge_limit=0
