@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperLogLog distinct-user sketch (rows-only: approximation has no
         # SQL analog; error bound vs exact asserted in tests)
         "hll_users": sketches.hll_users,
+        # count-min heavy-hitter terms (rows-only: linear-sketch sum merge;
+        # one-sided error + top-k recall asserted in tests)
+        "cms_heavy_terms": sketches.cms_heavy_terms,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)

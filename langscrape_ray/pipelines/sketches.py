@@ -89,3 +89,95 @@ def hll_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     exact COUNT(DISTINCT user_id) is asserted in tests."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return pd.DataFrame({"n_users_hll": [hll_distinct(ev, "user_id", p)]})
+
+
+# ---------------------------------------------------------------------------
+# count-min heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _cms_partial(tokens: list, width: int) -> np.ndarray:
+    """(depth, width) int64 count-min partial for a token list.  Rows use
+    independent splitmix64 streams; partials merge by elementwise SUM
+    (count-min is a linear sketch), so distributed merging is exact."""
+    import hashlib
+
+    depth = len(_CMS_SEEDS)
+    regs = np.zeros((depth, width), dtype=np.int64)
+    if not tokens:
+        return regs
+    # token -> stable 64-bit base hash (md5 fold), then per-row remix
+    base = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    for row, seed in enumerate(_CMS_SEEDS):
+        h = _mix64(base ^ np.uint64(seed))
+        idx = (h % np.uint64(width)).astype(np.int64)
+        np.add.at(regs[row], idx, 1)
+    return regs
+
+
+def _cms_query(regs: np.ndarray, token: str) -> int:
+    import hashlib
+
+    base = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
+    est = None
+    width = regs.shape[1]
+    for row, seed in enumerate(_CMS_SEEDS):
+        h = int(_mix64(np.array([base ^ seed], dtype=np.uint64))[0])
+        v = int(regs[row, h % width])
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+def cms_heavy_terms(sf_dir: str, width: int = 8192, top_n: int = 20) -> pd.DataFrame:
+    """(term, est): count-min estimates for candidate heavy-hitter terms.
+
+    Two-pass heavy-hitters: pass 1 folds every token occurrence into a
+    (3 x width) count-min partial per batch — a linear sketch, so the
+    driver merge is an exact elementwise sum of a few KB per block, and
+    no token ever shuffles.  Candidate terms come from per-batch local
+    top lists (a superset of true heavy hitters at these skews); pass 2
+    queries the merged sketch.  Guarantees: est >= true count always
+    (one-sided error), est <= true + eps*N w.h.p. — both asserted in
+    tests against exact counts."""
+    from collections import Counter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list = []
+        local = Counter()
+        for text in t["text"].to_pylist():
+            ws = [w for w in text.split(" ") if w]
+            toks.extend(ws)
+            local.update(ws)
+        regs = _cms_partial(toks, width)
+        cand = [w for w, _ in local.most_common(top_n * 2)]
+        return pa.table(
+            {
+                "regs": pa.array([regs.tobytes()], pa.binary()),
+                "cands": pa.array([cand], pa.list_(pa.string())),
+            }
+        )
+
+    depth = len(_CMS_SEEDS)
+    merged = np.zeros((depth, width), dtype=np.int64)
+    candidates: set = set()
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob, cand in zip(b["regs"].to_pylist(), b["cands"].to_pylist()):
+            merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+            candidates.update(cand)
+
+    rows = [(t, _cms_query(merged, t)) for t in candidates]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(rows[:top_n], columns=["term", "est"])

@@ -237,6 +237,31 @@ def test_hll_within_error_bound(ray_session, con):
     assert rel <= 4 * 1.04 / (2 ** 12) ** 0.5, (est, exact, rel)
 
 
+def test_cms_heavy_terms_bounds(ray_session, con):
+    """Count-min guarantees: est >= true count for every reported term
+    (one-sided error), and the exact top-5 terms all surface in the
+    sketch's top-20."""
+    from langscrape_ray.pipelines.sketches import cms_heavy_terms
+
+    got = cms_heavy_terms(SF)
+    exact = dict(
+        con.execute(
+            """
+            SELECT term, count(*) FROM (
+              SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ) WHERE term <> '' GROUP BY term
+            """
+        ).fetchall()
+    )
+    n_total = sum(exact.values())
+    for term, est in zip(got["term"], got["est"]):
+        true = exact.get(term, 0)
+        assert est >= true, (term, est, true)
+        assert est <= true + 3 * (2.718 / 8192) * n_total, (term, est, true)
+    top5_exact = sorted(exact, key=lambda t: (-exact[t], t))[:5]
+    assert set(top5_exact) <= set(got["term"]), (top5_exact, list(got["term"]))
+
+
 def test_cc_local_matches_distributed(ray_session):
     """The small-edge-set union-find escape hatch must produce exactly the
     labels of the distributed join-iteration path (local_edge_limit=0
