@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         etl,
         media,
         prep,
+        rule_eval,
         similarity,
         sketches,
         tables,
@@ -262,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-min heavy-hitter terms (rows-only: linear-sketch sum merge;
         # one-sided error + top-k recall asserted in tests)
         "cms_heavy_terms": sketches.cms_heavy_terms,
+        # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
+        # tp/fp/fn and the exact _prf float formula)
+        "rule_eval_scores": rule_eval.rule_eval_scores,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -790,6 +794,39 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)) END AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM r ORDER BY doc_id
+        """,
+        # rule-eval closed form: title h1 hits every page; the author div
+        # exists only on even doc_ids, so the decoy title xpath scores
+        # fp=e/fn=c and the author xpath tp=e/fn=c-e; P/R/F1 reproduce
+        # _prf's exact float ops (int/int -> double, ((2*p)*r)/(p+r))
+        "rule_eval_scores": """
+            WITH n AS (
+              SELECT count(*) AS c,
+                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS e
+              FROM documents
+            ),
+            rows_ AS (
+              SELECT 'author' AS field_name, '//div[@class=''a'']' AS xpath,
+                     e AS tp, 0 AS fp, c - e AS fn, e AS n_extracted FROM n
+              UNION ALL
+              SELECT 'title', '/html/body/h1', c, 0, 0, c FROM n
+              UNION ALL
+              SELECT 'title', '//div[@class=''a'']', 0, e, c, e FROM n
+            ),
+            pr AS (
+              SELECT field_name, xpath, tp, fp, fn, n_extracted,
+                     CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p,
+                     CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS r
+              FROM rows_
+            )
+            SELECT field_name, xpath,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CAST(n_extracted AS BIGINT) AS n_extracted,
+                   p AS "precision", r AS recall,
+                   CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                        ELSE 0.0 END AS f1
+            FROM pr ORDER BY field_name, xpath
         """,
         # feature hashing: bucket = first 8 md5 hex digits % dim, sign from
         # the 9th digit; integer weights summed per (doc, bucket), zeros

@@ -133,3 +133,45 @@ def rank_best_xpath(scored: pd.DataFrame) -> pd.DataFrame:
         ascending=[True, False, False, True],
     )
     return ordered.groupby("field_name", as_index=False).head(1).reset_index(drop=True)
+
+
+def rule_eval_scores(sf_dir: str) -> pd.DataFrame:
+    """Driver-visible rule-evaluation query: score candidate xpaths against
+    ground truth over pages planted deterministically from ``doc_id``
+    (title always present; an author div only on even ids), so every
+    tp/fp/fn/n_extracted cell — and the P/R/F1 floats computed from them
+    with the exact ``_prf`` formula — has a closed form the DuckDB oracle
+    reproduces.  Exercises the full A2/A3 path: per-page multiset
+    eval_array counts in map_batches -> ONE (field, xpath) groupby-sum ->
+    finalize."""
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        htmls, tt, ta = [], [], []
+        for did in t["doc_id"].to_pylist():
+            h = f"<html><body><h1>T{did}</h1>"
+            if did % 2 == 0:
+                h += f'<div class="a">A{did}</div>'
+            h += "</body></html>"
+            htmls.append(h.encode("utf-8"))
+            tt.append([f"T{did}"])
+            ta.append([f"A{did}"])
+        return pa.table(
+            {
+                "html": pa.array(htmls, pa.binary()),
+                "truth_title": pa.array(tt, pa.list_(pa.string())),
+                "truth_author": pa.array(ta, pa.list_(pa.string())),
+            }
+        )
+
+    pages = docs.map_batches(build, batch_format="pyarrow")
+    scored = evaluate_candidates(
+        pages,
+        {
+            "title": ["/html/body/h1", "//div[@class='a']"],
+            "author": ["//div[@class='a']"],
+        },
+        {"title": "truth_title", "author": "truth_author"},
+    )
+    return scored.sort_values(["field_name", "xpath"]).reset_index(drop=True)

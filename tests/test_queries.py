@@ -71,6 +71,7 @@ def _to_df(x):
         "media_frames",
         "media_audio",
         "embed_docs",
+        "rule_eval_scores",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
