@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,
+        # bloom runtime-filter semi-join, exact via survivor verification
+        # (SQL-oracled: plain JOIN + sum)
+        "q_bloom_semijoin": analytics.q_bloom_semijoin,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -794,6 +797,16 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)) END AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM r ORDER BY doc_id
+        """,
+        # bloom semi-join oracle: the bloom filter is an optimization, not
+        # semantics — survivors are exact, so a plain JOIN matches
+        "q_bloom_semijoin": """
+            SELECT CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
         """,
         # rule-eval closed form: title h1 hits every page; the author div
         # exists only on even doc_ids, so the decoy title xpath scores

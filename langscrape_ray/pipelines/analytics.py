@@ -698,3 +698,98 @@ def q_order_percentiles(sf_dir: str) -> pd.DataFrame:
         .astype({"n_orders": "int64", "median_c": "int64", "p90_c": "int64"})
     )
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_bloom_semijoin(sf_dir: str, n_bits: int = 1 << 20, n_hashes: int = 4) -> pd.DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, via a bloom
+    runtime-filter semi-join — per-priority revenue the oracle computes
+    with a plain JOIN.
+
+    Scale shape (runtime filter pushdown): the small side (urgent order
+    keys, a predicate-pushdown parquet read) folds into per-batch bloom
+    partials (bit arrays, a linear OR-mergeable sketch) that the driver
+    ORs and broadcasts once; the big side (lineitem) drops non-member
+    rows INSIDE map_batches with vectorized double hashing before any
+    shuffle — ~4/5 of rows never leave the scan at this selectivity.
+    Bloom false positives are removed by an exact membership check
+    against the true key set on the pre-filtered survivors (broadcast
+    here; co-partitioned join at cluster scale — the survivor set is
+    already bloom-thinned either way), so the result is EXACT and
+    SQL-oracled.  Output: single row (revenue_e4 int).
+    """
+    import numpy as np
+
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def _hash_mtx(keys: np.ndarray) -> np.ndarray:
+        """(n_hashes, n) bit positions via splitmix64 streams."""
+        from langscrape_ray.pipelines.sketches import _mix64
+
+        out = np.empty((n_hashes, len(keys)), dtype=np.int64)
+        for i in range(n_hashes):
+            h = _mix64(keys.astype(np.uint64) ^ np.uint64(0x9E3779B9 * (i + 1)))
+            out[i] = (h % np.uint64(n_bits)).astype(np.int64)
+        return out
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        bits = np.zeros(n_bits, dtype=bool)
+        bits[_hash_mtx(keys).ravel()] = True
+        return pa.table(
+            {
+                "bits": pa.array([np.packbits(bits).tobytes()], pa.binary()),
+                "keys": pa.array([keys.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    # ONE pass over the small side builds both the bloom (OR of partials)
+    # and the exact verification key set
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
+    exact_keys: set = set()
+    for b in urgent.map_batches(bloom_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob, keys in zip(b["bits"].to_pylist(), b["keys"].to_pylist()):
+            np.bitwise_or(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+            exact_keys.update(keys)
+    bloom_bits = np.unpackbits(merged).astype(bool)
+    state = ray.put((bloom_bits, frozenset(exact_keys)))
+
+    class FilterSum:
+        def __init__(self, ref):
+            self.bits, self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False))
+            member = np.ones(len(keys), dtype=bool)
+            for row in _hash_mtx(keys):
+                member &= self.bits[row]
+            if member.any():  # exact check only on bloom survivors
+                surv = np.nonzero(member)[0]
+                ok = np.fromiter(
+                    (int(keys[i]) in self.keys for i in surv),
+                    dtype=bool, count=len(surv),
+                )
+                member[surv] = ok
+            sub = t.filter(pa.array(member))
+            rev = pc.sum(
+                pc.multiply(
+                    _cents(sub["l_extendedprice"]),
+                    pc.subtract(
+                        pa.scalar(100, pa.int64()), _cents(sub["l_discount"])
+                    ),
+                )
+            ).as_py() or 0
+            return pa.table({"rev_e4": pa.array([rev], pa.int64())})
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(FilterSum, fn_constructor_args=(state,),
+                     batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue_e4": [int(parts["rev_e4"].sum())]})

@@ -72,6 +72,7 @@ def _to_df(x):
         "media_audio",
         "embed_docs",
         "rule_eval_scores",
+        "q_bloom_semijoin",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
