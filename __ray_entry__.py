@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom runtime-filter semi-join, exact via survivor verification
         # (SQL-oracled: plain JOIN + sum)
         "q_bloom_semijoin": analytics.q_bloom_semijoin,
+        # TPC-H Q5-style multi-hop join, every hop pre-reduced (SQL-oracled)
+        "q5_nation_revenue": analytics.q5_nation_revenue,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -797,6 +799,21 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)) END AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM r ORDER BY doc_id
+        """,
+        # Q5-style rollup: plain 4-table join; revenue in integer e4 space
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue_e4 DESC, n_name
+            LIMIT 5
         """,
         # bloom semi-join oracle: the bloom filter is an optimization, not
         # semantics — survivors are exact, so a plain JOIN matches

@@ -793,3 +793,82 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = 1 << 20, n_hashes: int = 4) -> p
         .to_pandas()
     )
     return pd.DataFrame({"revenue_e4": [int(parts["rev_e4"].sum())]})
+
+
+def q5_nation_revenue(sf_dir: str, top_n: int = 5, n_parts: int = 8) -> pd.DataFrame:
+    """Top nations by lineitem revenue — a TPC-H Q5-style multi-hop join
+    (lineitem ⋈ orders ⋈ customer ⋈ nation), every hop size-reduced first.
+
+    Scale shape: revenue collapses to one row per ORDER before the first
+    join (per-block pyarrow combiner + ONE groupby-sum, exactly q3's
+    reduction), then to one row per CUSTOMER before the second — each
+    ``ds.join`` therefore exchanges only the already-aggregated side
+    against a projected key/fk table, never raw lineitems.  The final
+    per-nation rollup is ~25 rows, and nation names attach driver-side
+    (the broadcast-small-side analog).  SQL oracle: the plain 4-table
+    join + GROUP BY."""
+    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev_e4 = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        out = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
+        out = out.group_by("l_orderkey").aggregate([("rev_e4", "sum")])
+        return out.rename_columns(["l_orderkey", "rev_e4"])
+
+    sch_order = pa.schema([("l_orderkey", pa.int64()), ("rev_e4", pa.int64())])
+    per_order = compact_for_join(ensure_schema(
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4")),
+        sch_order,
+    ))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = per_order.join(
+        orders, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    sch_cust = pa.schema([("o_custkey", pa.int64()), ("rev_e4", pa.int64())])
+    per_cust = compact_for_join(ensure_schema(
+        j1.map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"], "rev_e4": t["rev_e4"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4")),
+        sch_cust,
+    ))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j2 = per_cust.join(
+        cust, join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    per_nation = (
+        j2.map_batches(
+            lambda t: pa.table(
+                {"c_nationkey": t["c_nationkey"], "rev_e4": t["rev_e4"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_nationkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .to_pandas()
+    )
+
+    names = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = per_nation.merge(names, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["rev_e4", "n_name"], ascending=[False, True]).head(top_n)
+    out = out.rename(columns={"rev_e4": "revenue_e4"})
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return out[["n_name", "revenue_e4"]].reset_index(drop=True)

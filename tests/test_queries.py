@@ -73,6 +73,7 @@ def _to_df(x):
         "embed_docs",
         "rule_eval_scores",
         "q_bloom_semijoin",
+        "q5_nation_revenue",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
