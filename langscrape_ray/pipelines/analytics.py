@@ -795,7 +795,8 @@ def q_bloom_semijoin(sf_dir: str, n_bits: int = 1 << 20, n_hashes: int = 4) -> p
     return pd.DataFrame({"revenue_e4": [int(parts["rev_e4"].sum())]})
 
 
-def q5_nation_revenue(sf_dir: str, top_n: int = 5, n_parts: int = 8) -> pd.DataFrame:
+def q5_nation_revenue(sf_dir: str, top_n: int = 5,
+                      n_parts: Optional[int] = None) -> pd.DataFrame:
     """Top nations by lineitem revenue — a TPC-H Q5-style multi-hop join
     (lineitem ⋈ orders ⋈ customer ⋈ nation), every hop size-reduced first.
 
@@ -807,7 +808,14 @@ def q5_nation_revenue(sf_dir: str, top_n: int = 5, n_parts: int = 8) -> pd.DataF
     per-nation rollup is ~25 rows, and nation names attach driver-side
     (the broadcast-small-side analog).  SQL oracle: the plain 4-table
     join + GROUP BY."""
+    from langscrape_ray.pipelines.dedup import _join_parts
     from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
+
+    if n_parts is None:
+        # each hash-join partition is an aggregator ACTOR; bounding by
+        # cluster CPUs keeps the join + its surrounding shuffle tasks
+        # co-schedulable on tiny (4-CPU test) clusters
+        n_parts = _join_parts(8)
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
