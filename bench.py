@@ -279,6 +279,20 @@ def scaling() -> None:
             (b["urls_per_sec"] / a["urls_per_sec"]) / (n_hi / n_lo), 3
         )
         out["matched_pair_cal_loop_sec"] = [a["cal_loop_sec"], b["cal_loop_sec"]]
+    # cycles-normalized efficiency: multiply each best leg's throughput by
+    # ITS OWN single-core calibration (urls per normalized cycle).  This
+    # corrects for load-dependent frequency throttling — on this sandbox
+    # the 16-CPU legs can run at a visibly slower clock than the 4-CPU
+    # legs (cal 0.9-1.1 s vs 0.78 s, 2026-08-18), in which case raw
+    # urls/s under-reports how well the PIPELINE scaled vs how much the
+    # hardware delivered
+    if lo.get("cal_loop_sec") and hi.get("cal_loop_sec"):
+        out["value_cycles_normalized"] = round(
+            (hi["urls_per_sec"] * hi["cal_loop_sec"])
+            / (lo["urls_per_sec"] * lo["cal_loop_sec"])
+            / (n_hi / n_lo),
+            3,
+        )
     print(json.dumps(out))
 
 
