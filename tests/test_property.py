@@ -229,3 +229,59 @@ def test_fast_tokenizer_never_diverges(frags):
         return all(deep_eq(x, y) for x, y in zip(a.children, b.children))
 
     assert deep_eq(fast.root, ref.root)
+
+
+# ---------------------------------------------------------------------------
+# sketch invariants (pure numpy — no Ray session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=400),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_is_split_invariant(keys, n_chunks):
+    """Folding any partition of the keys and max-merging the partials must
+    equal folding the whole list — the property distributed merging
+    relies on."""
+    import numpy as np
+
+    from langscrape_ray.pipelines.sketches import _hll_partial
+
+    arr = np.asarray(keys, dtype=np.int64)
+    whole = _hll_partial(arr, p=8)
+    chunks = np.array_split(arr, n_chunks)
+    merged = np.zeros_like(whole)
+    for c in chunks:
+        np.maximum(merged, _hll_partial(c, p=8), out=merged)
+    assert np.array_equal(whole, merged)
+
+
+@given(
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=4),
+             min_size=0, max_size=200),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_cms_is_linear_and_one_sided(tokens, n_chunks):
+    """Count-min partials sum to the whole-list sketch (linearity), and
+    every point query upper-bounds the true count (one-sided error)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from langscrape_ray.pipelines.sketches import _cms_partial, _cms_query
+
+    width = 64
+    whole = _cms_partial(tokens, width)
+    step = max(1, (len(tokens) + n_chunks - 1) // n_chunks)
+    merged = sum(
+        (_cms_partial(tokens[i : i + step], width)
+         for i in range(0, len(tokens), step)),
+        start=np.zeros_like(whole),
+    )
+    assert np.array_equal(whole, merged)
+    true = Counter(tokens)
+    for tok, cnt in true.items():
+        assert _cms_query(whole, tok) >= cnt
