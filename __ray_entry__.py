@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected-components cluster labeling over near-dup pairs
         # (iterative join + groupby-min; SQL oracle = recursive closure)
         "dedup_cc": dedup.embedding_cc_clusters,
+        # incremental ingestion dedup: incoming batch vs kept corpus via
+        # broadcast bloom + exact-on-hits (SQL-oracled: md5 anti-join)
+        "dedup_incremental": dedup.dedup_incremental,
         # similarity search
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
         "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
@@ -799,6 +802,22 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)) END AS BIGINT) AS n_bytes,
                    TRUE AS decode_ok
             FROM r ORDER BY doc_id
+        """,
+        # incremental dedup oracle: plain md5 anti-join on the leading-2-
+        # token fingerprint — the bloom is an optimization, not semantics
+        "dedup_incremental": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5(array_to_string((string_split(text, ' '))[1:2], ' '))
+                         AS h
+              FROM documents
+            ),
+            ex AS (
+              SELECT DISTINCT h FROM k WHERE doc_id % 3 <> 0
+            )
+            SELECT doc_id, h NOT IN (SELECT h FROM ex) AS is_new
+            FROM k WHERE doc_id % 3 = 0
+            ORDER BY doc_id
         """,
         # Q5-style rollup: plain 4-table join; revenue in integer e4 space
         "q5_nation_revenue": """

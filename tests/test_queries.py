@@ -74,6 +74,7 @@ def _to_df(x):
         "rule_eval_scores",
         "q_bloom_semijoin",
         "q5_nation_revenue",
+        "dedup_incremental",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
