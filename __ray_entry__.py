@@ -274,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semijoin": analytics.q_bloom_semijoin,
         # TPC-H Q5-style multi-hop join, every hop pre-reduced (SQL-oracled)
         "q5_nation_revenue": analytics.q5_nation_revenue,
+        # time-windowed event dedup (streaming-dedup shape; SQL-oracled:
+        # lag() window)
+        "q_event_dedup_window": analytics.q_event_dedup_window,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -818,6 +821,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h NOT IN (SELECT h FROM ex) AS is_new
             FROM k WHERE doc_id % 3 = 0
             ORDER BY doc_id
+        """,
+        # windowed event dedup: duplicate = same (user, type) within 600 s
+        # of the previous occurrence (3600 s window); epoch() matches pandas
+        # total_seconds() bit-exactly (both microsecond-resolution doubles)
+        "q_event_dedup_window": """
+            SELECT event_id,
+                   COALESCE(
+                     epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) <= 3600,
+                     FALSE) AS is_dup
+            FROM events ORDER BY event_id
         """,
         # Q5-style rollup: plain 4-table join; revenue in integer e4 space
         "q5_nation_revenue": """

@@ -880,3 +880,35 @@ def q5_nation_revenue(sf_dir: str, top_n: int = 5,
     out = out.rename(columns={"rev_e4": "revenue_e4"})
     out["revenue_e4"] = out["revenue_e4"].astype("int64")
     return out[["n_name", "revenue_e4"]].reset_index(drop=True)
+
+
+def q_event_dedup_window(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """(event_id, is_dup): time-windowed event dedup — an event is a
+    duplicate if the PREVIOUS event with the same (user_id, event_type)
+    is within ``window_s`` seconds.  The streaming-dedup shape of a log
+    ingestion pipeline (suppress retries/double-fires) expressed batch:
+    per-key ordered scan, no global state.
+
+    Ray shape: ``groupby((user, type)).map_groups`` with a vectorized
+    pandas diff per group — key cardinality is users x types, orders of
+    magnitude below event count, and each group is independently
+    sortable, so the single shuffle co-locates keys and everything else
+    is map-side.  (At 10^10 events, hash-partition by user and sort
+    within partitions — same semantics, documented assumption.)  SQL
+    oracle: lag() OVER (PARTITION BY ... ORDER BY ts, event_id)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "is_dup": (gap <= window_s).fillna(False)}
+        )
+
+    out = (
+        ev.groupby(["user_id", "event_type"])
+        .map_groups(mark, batch_format="pandas")
+        .to_pandas()
+        .astype({"event_id": "int64", "is_dup": "bool"})
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -75,6 +75,7 @@ def _to_df(x):
         "q_bloom_semijoin",
         "q5_nation_revenue",
         "dedup_incremental",
+        "q_event_dedup_window",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
