@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-min heavy-hitter terms (rows-only: linear-sketch sum merge;
         # one-sided error + top-k recall asserted in tests)
         "cms_heavy_terms": sketches.cms_heavy_terms,
+        # mergeable quantile sketch over o_totalprice (rows-only:
+        # rank-error vs exact quantile_disc asserted in tests)
+        "orders_quantile_sketch": sketches.orders_quantile_sketch,
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,

@@ -181,3 +181,75 @@ def cms_heavy_terms(sf_dir: str, width: int = 8192, top_n: int = 20) -> pd.DataF
     rows = [(t, _cms_query(merged, t)) for t in candidates]
     rows.sort(key=lambda r: (-r[1], r[0]))
     return pd.DataFrame(rows[:top_n], columns=["term", "est"])
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles (weighted stride-sample sketch)
+# ---------------------------------------------------------------------------
+
+def _quantile_partial(values: np.ndarray, k: int):
+    """(points, weights) sorted stride sample of one block: sort, take k
+    evenly spaced elements, each carrying weight n/k (remainder spread
+    deterministically).  Rank error of one block <= n/k; merged error is
+    bounded by the max block stride — the standard per-block-sample
+    construction behind distributed approxQuantile implementations."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.float64)
+    s = np.sort(values.astype(np.float64))
+    if n <= k:
+        return s, np.ones(n, dtype=np.float64)
+    idx = ((np.arange(k, dtype=np.float64) + 0.5) * n / k).astype(np.int64)
+    w = np.full(k, n / k, dtype=np.float64)
+    return s[idx], w
+
+
+def _quantile_query(points: np.ndarray, weights: np.ndarray, q: float) -> float:
+    order = np.argsort(points, kind="stable")
+    p, w = points[order], weights[order]
+    cum = np.cumsum(w)
+    target = q * cum[-1]
+    i = int(np.searchsorted(cum, target, side="left"))
+    return float(p[min(i, len(p) - 1)])
+
+
+def quantile_sketch(
+    ds: "rd.Dataset", col: str, qs=(0.5, 0.9, 0.99), k: int = 256
+) -> dict:
+    """Approximate quantiles of ``ds[col]`` via mergeable per-block
+    weighted samples: each block contributes k sorted points (a few KB),
+    the driver merges by weighted rank — no global sort, no shuffle, and
+    the exchange volume is blocks x k regardless of row count.  Completes
+    the sketch family: HLL (distinct), count-min (frequency), this
+    (distribution)."""
+    def partial(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        pts, w = _quantile_partial(vals, k)
+        return pa.table(
+            {
+                "pts": pa.array([pts.tolist()], pa.list_(pa.float64())),
+                "w": pa.array([w.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    all_p, all_w = [], []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for pts, w in zip(b["pts"].to_pylist(), b["w"].to_pylist()):
+            all_p.extend(pts)
+            all_w.extend(w)
+    points = np.asarray(all_p, dtype=np.float64)
+    weights = np.asarray(all_w, dtype=np.float64)
+    return {q: _quantile_query(points, weights, q) for q in qs}
+
+
+def orders_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """(quantile, est): sketched o_totalprice quantiles.  Rows-only for
+    the driver (approximation); rank-error vs exact quantile_disc is
+    asserted in tests."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    est = quantile_sketch(ds, "o_totalprice")
+    return pd.DataFrame(
+        {"quantile": list(est.keys()), "est": [est[q] for q in est]}
+    )

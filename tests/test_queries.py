@@ -267,6 +267,24 @@ def test_cms_heavy_terms_bounds(ray_session, con):
     assert set(top5_exact) <= set(got["term"]), (top5_exact, list(got["term"]))
 
 
+def test_quantile_sketch_rank_error(ray_session, con):
+    """Sketched quantiles must land within 2% rank error of the exact
+    distribution (k=256 stride samples per block bound the per-block
+    rank error at n/k << 2% of the total)."""
+    from langscrape_ray.pipelines.sketches import orders_quantile_sketch
+
+    got = orders_quantile_sketch(SF)
+    vals = con.execute(
+        "SELECT o_totalprice FROM orders ORDER BY o_totalprice"
+    ).df()["o_totalprice"].to_numpy()
+    n = len(vals)
+    for q, est in zip(got["quantile"], got["est"]):
+        import numpy as np
+
+        rank = np.searchsorted(vals, est, side="right") / n
+        assert abs(rank - q) <= 0.02, (q, est, rank)
+
+
 def test_cc_local_matches_distributed(ray_session):
     """The small-edge-set union-find escape hatch must produce exactly the
     labels of the distributed join-iteration path (local_edge_limit=0
