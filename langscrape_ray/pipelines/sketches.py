@@ -241,6 +241,8 @@ def quantile_sketch(
             all_w.extend(w)
     points = np.asarray(all_p, dtype=np.float64)
     weights = np.asarray(all_w, dtype=np.float64)
+    if len(points) == 0:  # empty input dataset
+        return {q: float("nan") for q in qs}
     return {q: _quantile_query(points, weights, q) for q in qs}
 
 

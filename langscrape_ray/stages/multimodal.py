@@ -208,7 +208,13 @@ class SampleVideoFrames:
                 frames.append(
                     _MAGIC + struct.pack("<HHB", w, h, 0) + blob
                 )
-        cols = {n: pa.array(v) for n, v in out_keys.items()}
+        # pin key-column types from the input schema — an untyped
+        # pa.array([]) on an empty/all-invalid batch would emit null-typed
+        # columns and break the downstream schema union
+        cols = {
+            n: pa.array(v, type=batch.schema.field(n).type)
+            for n, v in out_keys.items()
+        }
         cols["frame_idx"] = pa.array(frame_idx, pa.int32())
         cols["ts_ms"] = pa.array(ts_ms, pa.int64())
         cols["image"] = pa.array(frames, pa.binary())

@@ -286,3 +286,31 @@ def test_multimodal_resize_video_audio(ray_session):
 
     with _pytest.raises(NotImplementedError):
         SampleVideoFrames(fake=False)(vids)
+
+
+def test_video_frames_empty_batch_keeps_schema():
+    """An empty (or all-invalid) batch through SampleVideoFrames must emit
+    typed key columns, not null-typed pa.array([]) — null types break the
+    downstream schema union."""
+    import pyarrow as pa
+
+    from langscrape_ray.stages.multimodal import SampleVideoFrames
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "video": pa.array([], pa.binary()),
+        }
+    )
+    out = SampleVideoFrames(stride=2)(empty)
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.num_rows == 0
+    bad = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "video": pa.array([b"NOTVID"], pa.binary()),
+        }
+    )
+    out2 = SampleVideoFrames(stride=2)(bad)
+    assert out2.schema.field("doc_id").type == pa.int64()
+    assert out2.num_rows == 0
