@@ -314,3 +314,41 @@ def test_video_frames_empty_batch_keeps_schema():
     out2 = SampleVideoFrames(stride=2)(bad)
     assert out2.schema.field("doc_id").type == pa.int64()
     assert out2.num_rows == 0
+
+
+def test_resumable_write_skips_completed(ray_session, tmp_path):
+    """Generic resumable sink: first write creates all partitions; a rerun
+    skips them; deleting one partition's sentinel rebuilds exactly that
+    partition; read-back equals the input."""
+    import ray.data as rd
+
+    from langscrape_ray.sources.sinks import (
+        completed_partitions,
+        read_partitioned,
+        resumable_write,
+    )
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = str(tmp_path / "parts")
+    r1 = resumable_write(docs, out, "lang")
+    assert r1["skipped"] == [] and len(r1["written"]) >= 2
+    r2 = resumable_write(docs, out, "lang")
+    assert r2["written"] == [] and r2["skipped"] == r1["written"]
+
+    # kill one partition's sentinel -> only it is rebuilt
+    victim = r1["written"][0]
+    import os
+
+    os.unlink(os.path.join(out, victim, "_COMPLETE"))
+    r3 = resumable_write(docs, out, "lang")
+    assert r3["written"] == [victim]
+    assert set(r3["skipped"]) == set(r1["written"]) - {victim}
+
+    back = read_partitioned(out).to_pandas()
+    src = docs.to_pandas()
+    assert len(back) == len(src)
+    assert sorted(back["doc_id"]) == sorted(src["doc_id"])
+    assert completed_partitions(out) == sorted(r1["written"])
