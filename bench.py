@@ -68,7 +68,7 @@ def bench_world(sf: float):
                          n_seeds=max(64, n_pages // 25), body_scale=3.0)
 
 
-def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
+def run_crawl_bench(sf_dir: str, num_cpus: int, resident: bool = True) -> dict:
     from langscrape_ray.frontier.politeness import CrawlPolicy
     from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
     from langscrape_ray.sources.fixtures_gen import (
@@ -103,12 +103,18 @@ def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
     ).run(_bst(warm_cfg))
 
     # shard-partitioned store: K parallel worker tasks each read + index
-    # their own shard=N parquet dir — the driver never loads the table
-    store = PagesStore(path=pages_path, partitioned=True, num_shards=PAGES_SHARDS)
-    refs = store._shard_refs()  # launch shard loads untimed (setup)
-    import ray
+    # their own shard=N parquet dir — the driver never loads the table.
+    # resident=False is the 100 TB configuration: no shard pinned in the
+    # object store, every lookup is a predicate-pushdown shard read.
+    store = PagesStore(
+        path=pages_path, partitioned=True, num_shards=PAGES_SHARDS,
+        resident=resident,
+    )
+    if resident:
+        refs = store._shard_refs()  # launch shard loads untimed (setup)
+        import ray
 
-    ray.wait(refs, num_returns=len(refs))  # loads complete before the clock starts
+        ray.wait(refs, num_returns=len(refs))  # loads complete pre-clock
 
     crawl = RayCrawl(
         store,
@@ -139,6 +145,7 @@ def run_crawl_bench(sf_dir: str, num_cpus: int) -> dict:
         "rounds": res["rounds"],
         "n_pages": cfg.n_pages,
         "n_hosts": cfg.n_hosts,
+        "store": "resident" if resident else "nonresident",
     }
 
 
@@ -185,26 +192,33 @@ def main() -> None:
     # leave the object store draining, which skews query timings taken
     # right after it.  A small warm-up pass spins the worker pool first.
     queries = {}
+    crawl_nr = None
     if not headline_only:
         run_query_bench("/root/testdata/sf0.01")  # untimed warm-up
         queries = run_query_bench(sf_dir)
-    crawl = run_crawl_bench(sf_dir, num_cpus)
+    store_env = os.environ.get("GRAFT_STORE", "")
+    resident = "--store=nonresident" not in sys.argv and store_env != "nonresident"
+    crawl = run_crawl_bench(sf_dir, num_cpus, resident=resident)
+    if not headline_only and resident:
+        # the 100 TB pages-store configuration, recorded every round as a
+        # regression guard (reported separately — "value" stays the
+        # resident-crawl + queries total for cross-round comparability)
+        crawl_nr = run_crawl_bench(sf_dir, num_cpus, resident=False)
 
     total = crawl["crawl_sec"] + sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "frontier_crawl_plus_queries_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": _sf_of(sf_dir),
-                "num_cpus": num_cpus,
-                "crawl": crawl,
-                "host_calibration": cpu_reference(),
-            }
-        )
-    )
+    payload = {
+        "metric": "frontier_crawl_plus_queries_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+        "host_calibration": cpu_reference(),
+    }
+    if crawl_nr is not None:
+        payload["crawl_nonresident"] = crawl_nr
+    print(json.dumps(payload))
     ray.shutdown()
 
 

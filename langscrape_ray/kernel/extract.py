@@ -187,9 +187,15 @@ def extract_outlinks(root: Node, base_url: str) -> List[str]:
         href = href.strip()
         if href.startswith(("javascript:", "mailto:", "#")):
             continue
-        if href.startswith(("http://", "https://")):
+        if href.startswith(("http://", "https://")) and not (
+            href.endswith(("?", "#")) or "?#" in href
+        ):
             # urljoin returns absolute http(s) refs verbatim (it does not
-            # dot-normalize them); skipping it saves ~6% of extract time
+            # dot-normalize them); skipping it saves ~6% of extract time.
+            # Degenerate empty query/fragment delimiters are excluded: the
+            # urlsplit round-trip DROPS those ('http://a/b?' -> that same
+            # outlink key without the '?'), so they must keep taking the
+            # urljoin path for key stability.
             out.append(href)
             continue
         try:

@@ -297,7 +297,12 @@ def _compile_cached(expr: str) -> List[List[Step]]:
         for si, (axis, tok) in enumerate(_tokenize_path(part)):
             m = _AXIS_STEP_RE.match(tok)
             if m:
-                if axis == "descendant" and si > 0:
+                # a named-axis step can only follow a direct '/': with a
+                # descendant axis (leading '//', a relative first step, or
+                # '//' mid-path) the implied descendant hop would silently
+                # be dropped and the step would evaluate relative to the
+                # wrong node — fail loudly per the module contract
+                if axis == "descendant":
                     raise XPathError("'//' before a named axis is unsupported")
                 name, pred_srcs = _split_preds(m.group(2))
                 if not re.fullmatch(rf"{_NAME}|\*", name):

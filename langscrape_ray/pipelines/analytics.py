@@ -199,6 +199,9 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     agg["sum_value"] = agg["sum_e6"] / 1e6
+    # floor_temporal keeps the source resolution but Ray's groupby can land
+    # the key at [s]; the oracle's date_trunc is timestamp[us] — pin it
+    agg["window_start"] = agg["window_start"].astype("datetime64[us]")
     out = agg[["event_type", "window_start", "n_events", "sum_value", "max_value"]]
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
@@ -644,6 +647,9 @@ def q_rolling_revenue(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         .sort_values("day")
         .reset_index(drop=True)
     )
+    # Ray's sort-aggregate can downcast the day key to second resolution;
+    # the oracle's date_trunc lands as timestamp[us] — pin it for the hash.
+    daily["day"] = daily["day"].astype("datetime64[us]")
     daily["rolling_revenue_c"] = (
         daily["revenue_c"].rolling(window_days, min_periods=1).sum().astype("int64")
     )

@@ -92,6 +92,23 @@ class PagesStore:
         # configuration; resident=True is the fits-in-memory fast path.
         self.resident = resident
         self._refs = None  # lazy (ray may not be initialised yet)
+        if partitioned and path is not None and os.path.isdir(path):
+            # the cache layout pins K (shard = url_hash64 % K): a mismatched
+            # num_shards would make every lookup miss its shard and drop
+            # pages silently as fetch_miss — validate against the shard=N
+            # dirs on disk (ids >= num_shards are proof of a different K;
+            # missing top dirs are fine, small caches leave shards empty)
+            on_disk = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("shard=") and d.split("=", 1)[1].isdigit()
+            ]
+            if on_disk and max(on_disk) >= num_shards:
+                raise ValueError(
+                    f"pages cache at {path} has shard ids up to "
+                    f"{max(on_disk)} but num_shards={num_shards}; pass the "
+                    "K the cache was written with"
+                )
 
     def _shard_slice(self, sid: int, urls: List[str]) -> Tuple[pa.Table, dict]:
         """Non-resident gather: filtered read of one shard dir restricted

@@ -621,12 +621,22 @@ def _cc_union_find(pairs: pd.DataFrame) -> dict:
 
 def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
                           max_iters: int = 25,
-                          local_edge_limit: int = 2_000_000) -> pd.DataFrame:
+                          local_edge_limit: int = 2_000_000,
+                          pairs_fn=None) -> pd.DataFrame:
     """Connected-components dedup clustering: every vector labeled with the
     MIN vec_id of its near-duplicate component (edges = cosine >= threshold
     pairs).  This is the step after pair generation in a real dedup
     pipeline — pairs alone can't drop rows; components pick one keeper per
     duplicate cluster.
+
+    ``pairs_fn`` is the edge source — (sf_dir, threshold=...) -> DataFrame
+    with (vec_a, vec_b, ...) columns.  The DEFAULT is the bucketed LSH
+    generator (``embedding_neardup_lsh``): no corpus broadcast, no
+    full-matrix matmul — the 10^9-vector shape.  Pass
+    ``embedding_neardup_pairs`` (exact all-pairs) for the exactness
+    baseline; ``embedding_cc_clusters_exact`` wraps that and backs the
+    SQL-oracled ``dedup_cc`` query, while the LSH default is rows-only
+    with a cluster-recall test vs the exact labels.
 
     Hybrid shape: the edge set after near-dup detection is orders of
     magnitude smaller than the corpus, so when it fits on one node
@@ -645,7 +655,9 @@ def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
     from ray.data.aggregate import Min
 
     emb_ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-    pairs = embedding_neardup_pairs(sf_dir, threshold=threshold)
+    if pairs_fn is None:
+        pairs_fn = embedding_neardup_lsh
+    pairs = pairs_fn(sf_dir, threshold=threshold)
 
     if not pairs.empty and len(pairs) <= local_edge_limit:
         rep_ref = ray.put(_cc_union_find(pairs))
@@ -753,6 +765,17 @@ def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
     out = full.to_pandas().astype({"vec_id": "int64", "label": "int64"})
     out = out.rename(columns={"label": "cluster_rep"})
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_cc_clusters_exact(sf_dir: str, threshold: float = 0.4,
+                                **kw) -> pd.DataFrame:
+    """CC clustering over the EXACT all-pairs edge source — the oracle /
+    test baseline (broadcast matmul; see embedding_neardup_pairs).  The
+    default ``embedding_cc_clusters`` uses the LSH edge source and is the
+    at-scale shape."""
+    return embedding_cc_clusters(
+        sf_dir, threshold=threshold, pairs_fn=embedding_neardup_pairs, **kw
+    )
 
 
 def embedding_neardup_lsh(
@@ -1002,23 +1025,32 @@ def dedup_incremental(sf_dir: str, n_bits: int = 1 << 20) -> pd.DataFrame:
     actually dedups: the corpus is already on disk; each new crawl batch
     checks against it, not against itself.
 
-    Ray shape: ONE pass over the existing side folds md5-hash partials
-    into a bloom filter (OR-merge) AND collects the exact hash set; the
-    incoming side then checks the broadcast bloom inside map_batches —
-    bloom misses are DEFINITELY new (no false negatives), and only bloom
-    hits pay the exact-set lookup.  At cluster scale the exact set
-    becomes a hash-partitioned anti-join over just the bloom-hit
-    survivors (already thinned ~99%); the bloom itself stays a few MB
-    regardless of corpus size.  The exact set holds 64-bit md5 prefixes
-    (collision odds ~n^2/2^65 — switch to the full digest beyond ~10^8
-    docs).  The dedup key is the leading-2-token fingerprint (title-style
-    near-exact key) because the synthetic corpus contains no exact
-    duplicate texts — full-text md5 would mark every incoming doc new and
-    test nothing; swap ``_key`` for the whole text in production.  SQL
-    oracle: md5 anti-join on the same key."""
+    Ray shape (fully out-of-driver exactness — the round-2 driver-resident
+    exact hash set is gone):
+      1. ONE pass over the existing side folds md5-hash partials into a
+         bloom filter (OR-merge of fixed ``n_bits/8``-byte blobs on the
+         driver — a few MB regardless of corpus size; at 10^10 docs the
+         OR-merge itself runs as a tree reduce, still KB/s of driver work).
+      2. The incoming side checks the broadcast bloom inside map_batches:
+         bloom misses are DEFINITELY new (no false negatives) and finish
+         right there.
+      3. Only the bloom-HIT survivors (true dups + the ~1% false-positive
+         tail) pay an exact check: a hash-partitioned LEFT OUTER join of
+         survivor hashes against the distinct existing-key table — the
+         anti-join's probe side is O(survivors), its build side shuffles
+         by key hash, and NOTHING corpus-sized ever lands on the driver.
+    The keys are 64-bit md5 prefixes (collision odds ~n^2/2^65 — switch
+    to the full digest beyond ~10^8 docs).  The dedup key is the
+    leading-2-token fingerprint (title-style near-exact key) because the
+    synthetic corpus contains no exact duplicate texts — full-text md5
+    would mark every incoming doc new and test nothing; swap ``_key`` for
+    the whole text in production.  SQL oracle: md5 anti-join on the same
+    key."""
     import hashlib
 
     import ray
+
+    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -1030,7 +1062,7 @@ def dedup_incremental(sf_dir: str, n_bits: int = 1 << 20) -> pd.DataFrame:
             hashlib.md5(_key(text).encode("utf-8")).digest()[:8], "little"
         )
 
-    def existing_partial(t: pa.Table) -> pa.Table:
+    def existing_bloom_partial(t: pa.Table) -> pa.Table:
         hs = [
             _h(x)
             for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
@@ -1042,49 +1074,125 @@ def dedup_incremental(sf_dir: str, n_bits: int = 1 << 20) -> pd.DataFrame:
             bits[(arr % np.uint64(n_bits)).astype(np.int64)] = True
             bits[((arr >> np.uint64(32)) % np.uint64(n_bits)).astype(np.int64)] = True
         return pa.table(
-            {
-                "bits": pa.array([np.packbits(bits).tobytes()], pa.binary()),
-                "hashes": pa.array([hs], pa.list_(pa.uint64())),
-            }
+            {"bits": pa.array([np.packbits(bits).tobytes()], pa.binary())}
         )
 
     merged = np.zeros(n_bits // 8, dtype=np.uint8)
-    exact: set = set()
-    for b in docs.map_batches(existing_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob, hs in zip(b["bits"].to_pylist(), b["hashes"].to_pylist()):
+    for b in docs.map_batches(
+        existing_bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["bits"].to_pylist():
             np.bitwise_or(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
-            exact.update(hs)
     bloom = np.unpackbits(merged).astype(bool)
-    state = ray.put((bloom, frozenset(exact)))
+    bloom_ref = ray.put(bloom)  # the ONLY broadcast: fixed-size bloom bits
 
-    class CheckNew:
+    class BloomCheck:
+        """Incoming-side gate: (doc_id, h, bloom_hit) — int64 bit-view of
+        the uint64 key hash (join keys only need equality)."""
+
         def __init__(self, ref):
-            self.bloom, self.exact = ray.get(ref)
+            self.bloom = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            out_id, out_new = [], []
+            out_id, out_h, out_hit = [], [], []
             for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
                 if did % 3 != 0:
                     continue
                 h = _h(text)
-                hit = (
-                    self.bloom[h % n_bits]
-                    and self.bloom[(h >> 32) % n_bits]
-                    and h in self.exact  # exact check only on bloom hits
-                )
                 out_id.append(did)
-                out_new.append(not hit)
+                out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
+                out_hit.append(
+                    bool(self.bloom[h % n_bits] and self.bloom[(h >> 32) % n_bits])
+                )
             return pa.table(
                 {
                     "doc_id": pa.array(out_id, pa.int64()),
-                    "is_new": pa.array(out_new, pa.bool_()),
+                    "h": pa.array(out_h, pa.int64()),
+                    "bloom_hit": pa.array(out_hit, pa.bool_()),
                 }
             )
 
-    out = docs.map_batches(
-        CheckNew, fn_constructor_args=(state,),
+    incoming = docs.map_batches(
+        BloomCheck, fn_constructor_args=(bloom_ref,),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5,
-    ).to_pandas()
+    ).materialize()
+
+    # bloom misses need no further work: definitely new
+    def miss_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(t["bloom_hit"]))
+        return pa.table(
+            {
+                "doc_id": f["doc_id"],
+                "is_new": pa.array([True] * f.num_rows, pa.bool_()),
+            }
+        )
+
+    misses = incoming.map_batches(miss_rows, batch_format="pyarrow").to_pandas()
+
+    survivors_pd_parts = [misses]
+    survivors = compact_for_join(
+        ensure_schema(
+            incoming.map_batches(
+                lambda t: t.filter(t["bloom_hit"]).select(["doc_id", "h"]),
+                batch_format="pyarrow",
+            ),
+            pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
+        )
+    )
+    n_survivors = survivors.count()
+    if n_survivors > 0:
+        def existing_keys(t: pa.Table) -> pa.Table:
+            hs = [
+                _h(x)
+                for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+                if did % 3 != 0
+            ]
+            return pa.table(
+                {
+                    "h_ex": pa.array(
+                        [h - (1 << 64) if h >= (1 << 63) else h for h in hs],
+                        pa.int64(),
+                    )
+                }
+            )
+
+        from ray.data.aggregate import Count
+
+        # distinct existing keys (groupby = the hash partitioning), with a
+        # match marker the left-outer join turns into the anti-join bit
+        keys = compact_for_join(
+            ensure_schema(
+                docs.map_batches(existing_keys, batch_format="pyarrow")
+                .groupby("h_ex")
+                .aggregate(Count(alias_name="_n"))
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "h_ex": t["h_ex"],
+                            "hit": pa.array([1] * t.num_rows, pa.int32()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                pa.schema([("h_ex", pa.int64()), ("hit", pa.int32())]),
+            )
+        )
+        joined = survivors.join(
+            keys, join_type="left_outer",
+            num_partitions=_join_parts(n_rows=n_survivors),
+            on=("h",), right_on=("h_ex",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "is_new": pc.is_null(t["hit"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        survivors_pd_parts.append(joined.to_pandas())
+
+    out = pd.concat(survivors_pd_parts, ignore_index=True)
+    out = out.astype({"doc_id": "int64", "is_new": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -89,6 +89,57 @@ def media_meta(sf_dir: str, max_w: int = 256, max_h: int = 256) -> "rd.Dataset":
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def pdf_extract(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_pages, n_chars, pdf_text): REAL PDF round-trip — build a
+    deterministic multi-page FlateDecode PDF per doc (kernel/pdf.py
+    build_minimal_pdf: real xref, page tree, compressed content streams,
+    Tj ops) and run the real text-object extractor over the bytes
+    (reference parity: langscrape/pdf/pdf_utils.py:17-34 page-join +
+    normalize semantics).  The SQL oracle reconstructs the expected
+    normalized text in closed form from the same doc_id rule.
+
+    Scale notes: payload synthesis + extraction are one fused actor-pool
+    stage over binary batches (batch_size capped for payload growth);
+    zlib compress/decompress happens on the workers, never the driver."""
+    from langscrape_ray.kernel.pdf import build_minimal_pdf, extract_pdf_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    class BuildAndExtract:
+        """Fused synth -> parse stage (one actor-pool hop: the PDF bytes
+        never cross a stage boundary, so block size stays text-sized)."""
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            n_pages, n_chars, texts = [], [], []
+            for did in ids:
+                np_ = 1 + did % 3
+                pages = [
+                    [f"Doc {did} page {p}", f"body.. {(did * 7 + p) % 100}"]
+                    for p in range(np_)
+                ]
+                text = extract_pdf_text(build_minimal_pdf(pages))
+                n_pages.append(np_)
+                n_chars.append(len(text))
+                texts.append(text)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_pages": pa.array(n_pages, pa.int64()),
+                    "n_chars": pa.array(n_chars, pa.int64()),
+                    "pdf_text": pa.array(texts, pa.string()),
+                }
+            )
+
+    return docs.map_batches(
+        BuildAndExtract,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=0.5,
+    )
+
+
 def media_frames(sf_dir: str, stride: int = 5) -> "rd.Dataset":
     """(doc_id, frame_idx, ts_ms, width, height): video -> one row per
     sampled frame, then per-frame image decode — the explode layout a

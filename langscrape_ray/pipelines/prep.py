@@ -74,6 +74,20 @@ class PrepStage:
             if best == "und":
                 continue
             low = _TOKEN_RE.findall(text.lower().strip())[:CANOPY_TOKENS]
+            # loud overflow guard (mirrors dedup._with_pair_key): a value
+            # past its field width would silently corrupt the neighboring
+            # fields and the Min-keeper arg_min invariant
+            if n_tokens >= (1 << _PACK_TOKENS_BITS):
+                raise ValueError(
+                    f"n_tokens={n_tokens} exceeds the {_PACK_TOKENS_BITS}-bit "
+                    "pack field; widen _PACK_TOKENS_BITS"
+                )
+            if int(doc_id) >= (1 << (63 - _PACK_TOKENS_BITS - _PACK_LANG_BITS)) \
+                    or int(doc_id) < 0:
+                raise ValueError(
+                    f"doc_id={doc_id} exceeds the packed int64 id range; "
+                    "shard the id space before packing"
+                )
             packed = (
                 (int(doc_id) << (_PACK_TOKENS_BITS + _PACK_LANG_BITS))
                 | (n_tokens << _PACK_LANG_BITS)

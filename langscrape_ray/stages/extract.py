@@ -45,18 +45,25 @@ def is_pdf_url(url: str) -> bool:
 def extract_one_pdf(url: str, data: bytes) -> dict:
     """PDF branch (S5/M14): the reference downloads bytes and extracts page
     text with pymupdf, then normalizes (collapse dots + whitespace,
-    /root/reference/langscrape/pdf/pdf_utils.py:7-34).  pymupdf is not
-    available here, so the byte->text step is a deterministic stand-in
-    (strip a %PDF header if present, decode text); the normalization and
-    the pipeline plumbing (branching, schema, flags) are real.
+    /root/reference/langscrape/pdf/pdf_utils.py:7-34).  Structured PDFs
+    (COS objects present) go through the REAL text-object extractor
+    (kernel/pdf.py: page tree -> FlateDecode streams -> Tj/TJ ops; pymupdf
+    preferred when importable).  Payloads that merely carry a %PDF magic
+    with loose text after it (legacy test fixtures, truncated fetches)
+    fall back to the plain-text decode so the branch still yields the
+    normalized body instead of nothing.
     """
     from langscrape_ray.kernel.dom import decode_html_bytes
+    from langscrape_ray.kernel.pdf import extract_pdf_text
     from langscrape_ray.kernel.textops import collapse_dots
 
     raw = bytes(data or b"")
-    if raw.startswith(b"%PDF"):
-        raw = raw.split(b"\n", 1)[1] if b"\n" in raw else b""
-    text = collapse_dots(decode_html_bytes(raw))
+    if b" obj" in raw or b"\nobj" in raw or b"stream" in raw:
+        text = extract_pdf_text(raw)
+    else:
+        if raw.startswith(b"%PDF"):
+            raw = raw.split(b"\n", 1)[1] if b"\n" in raw else b""
+        text = collapse_dots(decode_html_bytes(raw))
     fields = {f: ["(Empty Result)"] for f in FIELDS}
     if text:
         fields["article_body"] = [text]

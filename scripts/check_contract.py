@@ -66,13 +66,23 @@ for name, fn in qs.items():
     ok_rows = len(a) == len(b)
     ok_cols = list(a.columns) == list(b.columns)
     ok_vals = False
+    ok_dtypes = False
     if ok_rows and ok_cols:
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             ok_vals = True
         except AssertionError as e:
             print(f"[{name}] VALUE MISMATCH: {str(e)[:300]}")
-    status = "OK" if (ok_rows and ok_cols and ok_vals) else f"FAIL rows={ok_rows}({len(a)}/{len(b)}) cols={ok_cols} vals={ok_vals}"
+        # the driver's value hash is dtype-sensitive (HUGEINT->float64 and
+        # timestamp-resolution artifacts hash differently): check strictly
+        ok_dtypes = list(map(str, a.dtypes)) == list(map(str, b.dtypes))
+        if ok_vals and not ok_dtypes:
+            print(f"[{name}] DTYPE MISMATCH: ray={dict(a.dtypes.astype(str))} "
+                  f"sql={dict(b.dtypes.astype(str))}")
+    ok_all = ok_rows and ok_cols and ok_vals and ok_dtypes
+    status = "OK" if ok_all else (
+        f"FAIL rows={ok_rows}({len(a)}/{len(b)}) cols={ok_cols} "
+        f"vals={ok_vals} dtypes={ok_dtypes}")
     if not ok_cols:
         print(f"[{name}] cols ray={list(a.columns)} sql={list(b.columns)}")
     print(f"[{name}] {status} ({dt:.1f}s)")

@@ -261,3 +261,23 @@ def test_crawl_nonresident_store_parity(ray_session, small_cfg, small_world,
     assert nr["trace_fetched"] == base["trace_fetched"]
     assert nr["counters"] == base["counters"]
     assert nr["seen_size"] == base["seen_size"]
+
+
+def test_pages_store_shard_count_mismatch_raises(tmp_path):
+    """partitioned=True with a num_shards smaller than the cache's on-disk
+    shard=N layout would silently drop every lookup as fetch_miss — it must
+    raise instead (round-2 advisory).  Larger K is fine (small caches leave
+    top shards empty)."""
+    import os
+
+    import pytest as _pytest
+
+    from langscrape_ray.pipelines.crawl import PagesStore
+
+    path = tmp_path / "pages"
+    for s in range(4):
+        os.makedirs(path / f"shard={s}")
+    with _pytest.raises(ValueError):
+        PagesStore(path=str(path), partitioned=True, num_shards=2)
+    PagesStore(path=str(path), partitioned=True, num_shards=4)
+    PagesStore(path=str(path), partitioned=True, num_shards=8)

@@ -261,3 +261,15 @@ def test_fast_tokenizer_differential():
         n_fast += 1
         assert deep_eq(f, stdlib_parse(s)), f"fast/stdlib divergence on {s!r}"
     assert n_fast >= len(corpus)  # the well-formed corpus takes the fast path
+
+
+def test_outlinks_degenerate_delimiters_take_urljoin_path():
+    """Absolute hrefs with EMPTY query/fragment delimiters must not take
+    the verbatim fast path: the urlsplit round-trip drops the bare '?'/'#'
+    and the outlink key must stay identical to the urljoin behavior."""
+    from urllib.parse import urljoin
+
+    hrefs = ["http://x/y?", "http://x/y#", "https://x/a?#frag", "http://x/?"]
+    base = "https://base.example/dir/page"
+    root = parse_html("".join(f'<a href="{h}">l</a>' for h in hrefs))
+    assert extract_outlinks(root, base) == [urljoin(base, h) for h in hrefs]

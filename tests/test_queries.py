@@ -295,3 +295,95 @@ def test_cc_local_matches_distributed(ray_session):
     dist = embedding_cc_clusters(SF, local_edge_limit=0)
     pd.testing.assert_frame_equal(local, dist)
     assert (local["cluster_rep"] <= local["vec_id"]).all()
+
+
+def test_dedup_incremental_no_corpus_broadcast(ray_session, monkeypatch):
+    """Round-2 regression guard: the exact hash set must never be collected
+    on the driver or broadcast — the only broadcast is the fixed-size bloom
+    bit array; exactness comes from the hash-partitioned anti-join."""
+    import hashlib
+
+    import numpy as np
+    import ray as ray_mod
+
+    from langscrape_ray.pipelines import dedup as dd
+
+    real_put = ray_mod.put
+    puts = []
+
+    def spy_put(obj, *a, **k):
+        puts.append(obj)
+        return real_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray_mod, "put", spy_put)
+    out = dd.dedup_incremental(SF)
+
+    def has_setlike(o):
+        if isinstance(o, (set, frozenset)):
+            return True
+        if isinstance(o, tuple):
+            return any(has_setlike(x) for x in o)
+        return False
+
+    assert not any(has_setlike(o) for o in puts), "exact set broadcast!"
+    blooms = [o for o in puts if isinstance(o, np.ndarray) and o.dtype == bool]
+    assert blooms, "bloom broadcast missing"
+
+    # value parity with the brute-force pandas anti-join
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def key(t):
+        return " ".join(t.split(" ")[:2])
+
+    docs["h"] = docs["text"].map(
+        lambda t: hashlib.md5(key(t).encode()).hexdigest()
+    )
+    existing = set(docs.loc[docs["doc_id"] % 3 != 0, "h"])
+    inc = docs[docs["doc_id"] % 3 == 0].sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == inc["doc_id"].tolist()
+    assert got["is_new"].tolist() == (~inc["h"].isin(existing)).tolist()
+
+
+def test_cc_lsh_refines_exact_clusters(ray_session):
+    """dedup_cc_lsh (LSH edge source, no corpus broadcast) vs the exact
+    clustering: LSH pairs are verified-cosine subsets of the exact pair
+    set, so every LSH cluster must sit INSIDE one exact cluster
+    (refinement), and label agreement (recall proxy) must stay high."""
+    from langscrape_ray.pipelines.dedup import (
+        embedding_cc_clusters,
+        embedding_cc_clusters_exact,
+    )
+
+    lsh = embedding_cc_clusters(SF)
+    ex = embedding_cc_clusters_exact(SF)
+    m = lsh.merge(ex, on="vec_id", suffixes=("_lsh", "_ex"))
+    assert len(m) == len(ex)
+    # refinement: one exact label per LSH cluster
+    assert (m.groupby("cluster_rep_lsh")["cluster_rep_ex"].nunique() == 1).all()
+    # recall proxy: measured 0.994 at sf0.001/0.01 with the default bands
+    assert (m["cluster_rep_lsh"] == m["cluster_rep_ex"]).mean() >= 0.97
+
+
+def test_prep_pack_overflow_raises(ray_session):
+    """The (doc_id, n_tokens, lang) int64 packing must fail loudly outside
+    its field widths instead of corrupting neighboring fields (round-2
+    advisory; mirrors dedup._with_pair_key's guard)."""
+    import pyarrow as pa
+
+    from langscrape_ray.pipelines.prep import PrepStage
+
+    text = " ".join(["abcdefghijklmnopqrstuvwxyz"] * 29 + ["the"])
+    big_id = 1 << 40  # > 2^39 id field
+    t = pa.table(
+        {"doc_id": pa.array([big_id], pa.int64()),
+         "text": pa.array([text], pa.string())}
+    )
+    with pytest.raises(ValueError):
+        PrepStage()(t)
+    # in-range ids still pack
+    ok = pa.table(
+        {"doc_id": pa.array([7], pa.int64()),
+         "text": pa.array([text], pa.string())}
+    )
+    assert PrepStage()(ok).num_rows == 1

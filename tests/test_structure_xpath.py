@@ -431,3 +431,19 @@ def test_udf_registry_and_extract_stage():
     assert "text_len" in out.column_names
     assert out["text_len"][0].as_py() == len(out["text"][0].as_py())
     assert apply_udfs(batch, []) is batch
+
+
+def test_xpath_leading_named_axis_raises():
+    """A named axis in the FIRST step rides an implied descendant axis
+    ('//axis::x', or a relative 'axis::x') which the evaluator cannot
+    honor — it must raise per the module contract, never silently return
+    [] (round-2 advisory)."""
+    r = parse_html(DL_HTML)
+    for expr in ("//following-sibling::dd", "following-sibling::dd",
+                 "preceding-sibling::dt"):
+        with pytest.raises(XPathError):
+            xpath_eval(r, expr)
+    # a named axis after a direct '/' is still fine
+    assert _texts(
+        xpath_eval(r, "//dt[text()='Author']/following-sibling::dd[1]")
+    ) == ["Jane"]
