@@ -193,7 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so every
-    # SQL-oracled query comes first (47 as of round 3), then the rows-only
+    # SQL-oracled query comes first (48 as of round 3), then the rows-only
     # approximations, with the three crawl_* queries (no SQL analog at all)
     # last.  Rows-only entries past the cap are covered by pytest
     # (error-bound / recall / parity tests) instead.
@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audio feature extraction (SQL-oracled: duration/rate closed form,
         # rms recomputed from the deterministic byte rule via range() sum)
         "media_audio": media.media_audio,
+        # REAL codec path: genuine RIFF/WAV bytes decoded by the stdlib
+        # ``wave`` module (fake=False branch live, no external dep);
+        # SQL-oracled: header fields in closed form, rms exactness in pytest
+        "media_wav": media.media_wav,
         # S5 real PDF round-trip: deterministic FlateDecode PDFs built and
         # parsed by the real text-object extractor (SQL-oracled: the
         # expected normalized text reconstructed in closed form)
@@ -999,6 +1003,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sqrt(ss / n) * 1000000) AS BIGINT) AS rms_e6
             FROM b JOIN s ON b.doc_id = s.doc_id
             ORDER BY b.doc_id
+        """,
+        # REAL WAV decode: the Ray side reads duration/rate out of genuine
+        # RIFF headers via stdlib ``wave``; the oracle reproduces them from
+        # the deterministic payload rule (n_samples = 2000 + (doc_id*29)%3000,
+        # rate alternating 16k/8k) — integer math on both sides
+        "media_wav": """
+            SELECT doc_id,
+                   CAST((2000 + (doc_id * 29) % 3000) * 1000
+                        // (CASE WHEN doc_id % 2 = 0 THEN 16000
+                            ELSE 8000 END) AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 16000
+                        ELSE 8000 END AS BIGINT) AS rate,
+                   TRUE AS decode_ok
+            FROM documents
+            ORDER BY doc_id
         """,
         # integer TF-IDF proxy: score = tf * n_docs // df (floor division,
         # nonnegative operands, so both engines agree bit-exactly); ties

@@ -28,6 +28,7 @@ from langscrape_ray.stages.multimodal import (
     make_audio_payload,
     make_image_payload,
     make_video_payload,
+    make_wav_payload,
 )
 
 _FMTS = ("png", "jpeg", "webp")
@@ -192,6 +193,59 @@ def media_frames(sf_dir: str, stride: int = 5) -> "rd.Dataset":
                 "ts_ms": t["ts_ms"].cast(pa.int64()),
                 "width": t["width"].cast(pa.int64()),
                 "height": t["height"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def media_wav(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, duration_ms, rate, decode_ok): REAL codec path — genuine
+    RIFF/WAV bytes (stdlib ``wave`` writer, 16-bit PCM) decoded by
+    ``AudioFeatureStub(fake=False)``, i.e. the fake=False branch runs live
+    in this container with no external dependency.  duration/rate come from
+    the actual WAV header, so the SQL oracle reproduces them in closed form
+    from the doc_id payload rule.  rms_e6 is intentionally NOT in the
+    oracled projection: numpy's pairwise float sum and DuckDB's sequential
+    sum disagree in the last ulps over thousands of samples — its
+    exactness vs a closed-form numpy recompute is asserted in pytest
+    (tests/test_stages_misc.py::test_audio_real_wav_decode) instead.
+
+    Scale notes: WAV payloads are 2 B/sample — the attach stage caps
+    batch_size so batch x concurrency stays inside the worker heap; decode
+    is an actor pool (codec state once per actor)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        payloads: List[bytes] = []
+        for did in t["doc_id"].to_pylist():
+            payloads.append(
+                make_wav_payload(
+                    n_samples=2000 + (did * 29) % 3000,
+                    rate=16000 if did % 2 == 0 else 8000,
+                    seed=did % 97,
+                )
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "audio": pa.array(payloads, pa.binary())}
+        )
+
+    out = docs.map_batches(attach, batch_format="pyarrow", batch_size=256).map_batches(
+        AudioFeatureStub,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=0.5,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "duration_ms": t["duration_ms"].cast(pa.int64()),
+                "rate": t["rate"].cast(pa.int64()),
+                "decode_ok": t["decode_ok"],
             }
         )
 

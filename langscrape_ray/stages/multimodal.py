@@ -2,12 +2,18 @@
 
 A 100 TB training-data pipeline carries image/audio/video as binary columns
 with typed metadata, decoded/feature-extracted in actor-pool map_batches
-stages (task brief).  The actual codec libraries (PIL/ffmpeg/torchaudio) are
-NOT in this container, so the decode kernels are explicitly gated: with
-``fake=True`` (default) they parse a deterministic fixture header; with
-``fake=False`` they raise NotImplementedError at the exact integration
-point.  Everything Ray-side — schema handling, batch sizing, actor
-signature, output layout — is real and tested.
+stages (task brief).  Codec wiring (round 3):
+
+- ``fake=True`` (default) parses the deterministic fixture header —
+  driver-oracled end to end.
+- ``fake=False`` runs the REAL codec path: images via PIL, video demux via
+  pyav (both import-guarded — absent in this container, the stage raises
+  NotImplementedError at the exact integration point), and audio via the
+  stdlib ``wave`` module, which needs NO external dependency, so the real
+  WAV decode path runs and is tested HERE.
+
+Everything Ray-side — schema handling, batch sizing, actor signature,
+output layout — is identical between the two modes.
 
 Fixture payload format (deterministic, produced by make_image_payload):
     b"IMG1" + width:uint16 + height:uint16 + fmt:1byte + pixels-ish bytes
@@ -45,10 +51,20 @@ class DecodeImageMeta:
 
     def _decode_one(self, payload: bytes):
         if not self.fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/imageio — not available in "
-                "this environment; run with fake=True for fixture payloads"
-            )
+            try:
+                from io import BytesIO
+
+                from PIL import Image  # optional dep, absent in container
+            except ImportError:
+                raise NotImplementedError(
+                    "real image decode requires PIL — not available in this "
+                    "environment; run with fake=True for fixture payloads"
+                ) from None
+            try:
+                with Image.open(BytesIO(payload)) as im:
+                    return im.width, im.height, (im.format or "unknown").lower()
+            except Exception:
+                return None
         if payload is None or not payload.startswith(_MAGIC):
             return None
         w, h, f = struct.unpack("<HHB", payload[4:9])
@@ -123,10 +139,26 @@ class ResizeImageStub:
 
     def _resize_one(self, payload: bytes):
         if not self.fake:
-            raise NotImplementedError(
-                "real image resize requires PIL — not available here; "
-                "run with fake=True for fixture payloads"
-            )
+            try:
+                from io import BytesIO
+
+                from PIL import Image  # optional dep, absent in container
+            except ImportError:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not available here; "
+                    "run with fake=True for fixture payloads"
+                ) from None
+            try:
+                with Image.open(BytesIO(payload)) as im:
+                    fmt = im.format or "PNG"
+                    if im.width <= self.max_w and im.height <= self.max_h:
+                        return payload
+                    im.thumbnail((self.max_w, self.max_h))
+                    buf = BytesIO()
+                    im.save(buf, format=fmt)
+                    return buf.getvalue()
+            except Exception:
+                return payload
         if payload is None or not payload.startswith(_MAGIC):
             return payload
         w, h, f = struct.unpack("<HHB", payload[4:9])
@@ -182,13 +214,56 @@ class SampleVideoFrames:
         self.stride = stride
         self.fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
+    def _demux_real(self, payload: bytes):
+        """Real path: pyav demux -> every ``stride``-th decoded frame as
+        (frame_idx, ts_ms, IMG1-wrapped grayscale head).  Import-guarded —
+        pyav is absent in this container."""
+        try:
+            import av  # optional dep, absent in container
+        except ImportError:
             raise NotImplementedError(
                 "real frame sampling requires ffmpeg/pyav — not available "
                 "here; run with fake=True for fixture payloads"
-            )
+            ) from None
+        from io import BytesIO
+
+        out = []
+        with av.open(BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            tb = stream.time_base
+            for fi, frame in enumerate(container.decode(stream)):
+                if fi % self.stride:
+                    continue
+                ts_ms = int((frame.pts or 0) * tb * 1000) if tb else 0
+                arr = frame.to_ndarray(format="gray")
+                blob = arr.tobytes()[:64].ljust(64, b"\0")
+                out.append(
+                    (fi, ts_ms,
+                     _MAGIC + struct.pack("<HHB", frame.width, frame.height, 0)
+                     + blob)
+                )
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         key_cols = [n for n in batch.column_names if n != "video"]
+        if not self.fake:
+            out_keys = {n: [] for n in key_cols}
+            frame_idx, ts_ms, frames = [], [], []
+            for row, payload in enumerate(batch["video"].to_pylist()):
+                for fi, ts, blob in self._demux_real(payload):
+                    for n in key_cols:
+                        out_keys[n].append(batch[n][row].as_py())
+                    frame_idx.append(fi)
+                    ts_ms.append(ts)
+                    frames.append(blob)
+            cols = {
+                n: pa.array(v, type=batch.schema.field(n).type)
+                for n, v in out_keys.items()
+            }
+            cols["frame_idx"] = pa.array(frame_idx, pa.int32())
+            cols["ts_ms"] = pa.array(ts_ms, pa.int64())
+            cols["image"] = pa.array(frames, pa.binary())
+            return pa.table(cols)
         out_keys: dict = {n: [] for n in key_cols}
         frame_idx: List[int] = []
         ts_ms: List[int] = []
@@ -235,33 +310,80 @@ def make_audio_payload(n_samples: int, rate: int = 16000, seed: int = 0) -> byte
     return _AUD_MAGIC + struct.pack("<II", n_samples, rate) + body
 
 
+def make_wav_payload(n_samples: int, rate: int = 16000, seed: int = 0) -> bytes:
+    """Deterministic REAL RIFF/WAV payload (16-bit mono PCM) via the stdlib
+    ``wave`` writer — exercises the fake=False decode path with no external
+    dependency."""
+    import wave
+    from io import BytesIO
+
+    pcm = np.empty(n_samples, dtype=np.int16)
+    idx = np.arange(n_samples, dtype=np.int64)
+    pcm[:] = ((seed * 7919 + idx * 2654435761) % 65536 - 32768).astype(np.int16)
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 class AudioFeatureStub:
     """Actor-pool stage: audio payload -> (duration_ms, rate, rms_e6).
-    rms is computed over the fixture body bytes (stands in for a real
-    PCM decode + frame-level features); fake=False raises where a
-    torchaudio/soundfile load belongs."""
+
+    fake=True parses the AUD1 fixture header and computes rms over the
+    fixture body bytes.  fake=False decodes REAL RIFF/WAV via the stdlib
+    ``wave`` module (16-bit PCM, any channel count) — no external
+    dependency, so the real branch runs in this container; non-WAV bytes
+    land as decode_ok=False rather than raising, matching the fixture
+    path's invalid-payload contract."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
+    def _decode_wav(self, payload: bytes):
+        """(n_samples, rate, rms[0..1]) from RIFF/WAV bytes, or None."""
+        import wave
+        from io import BytesIO
+
+        try:
+            with wave.open(BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                n_frames = w.getnframes()
+                width = w.getsampwidth()
+                raw = w.readframes(n_frames)
+        except Exception:
+            return None
+        if width == 2:
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            return None
+        r = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        return n_frames, rate, r
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "real audio decode requires soundfile/torchaudio — not "
-                "available here; run with fake=True for fixture payloads"
-            )
         dur: List[int] = []
         rates: List[int] = []
         rms: List[int] = []
         ok: List[bool] = []
         for payload in batch["audio"].to_pylist():
-            if payload is None or not payload.startswith(_AUD_MAGIC):
-                dur.append(0); rates.append(0); rms.append(0); ok.append(False)
-                continue
-            n_samples, rate = struct.unpack("<II", payload[4:12])
-            body = np.frombuffer(payload[12:], dtype=np.uint8)
-            x = body.astype(np.float64) / 255.0
-            r = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            if not self.fake:
+                meta = self._decode_wav(payload) if payload else None
+                if meta is None:
+                    dur.append(0); rates.append(0); rms.append(0); ok.append(False)
+                    continue
+                n_samples, rate, r = meta
+            else:
+                if payload is None or not payload.startswith(_AUD_MAGIC):
+                    dur.append(0); rates.append(0); rms.append(0); ok.append(False)
+                    continue
+                n_samples, rate = struct.unpack("<II", payload[4:12])
+                body = np.frombuffer(payload[12:], dtype=np.uint8)
+                x = body.astype(np.float64) / 255.0
+                r = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
             dur.append(n_samples * 1000 // max(1, rate))
             rates.append(rate)
             rms.append(int(round(r * 1_000_000)))
