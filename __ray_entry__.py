@@ -193,7 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so every
-    # SQL-oracled query comes first (48 as of round 3), then the rows-only
+    # SQL-oracled query comes first (49 as of round 3), then the rows-only
     # approximations, with the three crawl_* queries (no SQL analog at all)
     # last.  Rows-only entries past the cap are covered by pytest
     # (error-bound / recall / parity tests) instead.
@@ -297,6 +297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S11 nested-JSON -> flat-column ETL (real serialize + parse +
         # dotted-path flatten; SQL-oracled via DuckDB json_extract)
         "json_etl_flatten": etl.json_etl_flatten,
+        # S11 with the REAL binary spreadsheet format: every flat batch
+        # round-trips through genuine xlsx bytes (stdlib zip+OOXML codec,
+        # sources/xlsx.py); same oracle as json_etl_flatten, so the hash
+        # proves the encode/decode lossless
+        "xlsx_roundtrip": etl.xlsx_roundtrip,
         # language id (stopword-overlap heuristic — SQL-oracled: the
         # deterministic argmax is expressible)
         "lang_id": textstats.lang_id,
@@ -1053,6 +1058,30 @@ def oracle_sql() -> dict[str, str]:
         # tokens) and extracts the dotted paths back with json_extract, so
         # both engines genuinely round-trip JSON
         "json_etl_flatten": """
+            WITH rec AS (
+              SELECT doc_id,
+                     '{"meta_data": {"id": "' || CAST(doc_id AS VARCHAR) ||
+                     '", "lang": "' || lang ||
+                     '", "source": "' || source ||
+                     '"}, "summary": {"title": "Doc ' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     '", "n_chars": ' || CAST(n_chars AS VARCHAR) || '}}'
+                         AS rec_json
+              FROM documents
+            )
+            SELECT doc_id,
+                   json_extract_string(rec_json, '$.meta_data.id') AS meta_id,
+                   json_extract_string(rec_json, '$.meta_data.lang') AS meta_lang,
+                   json_extract_string(rec_json, '$.meta_data.source') AS meta_source,
+                   json_extract_string(rec_json, '$.summary.title') AS sum_title,
+                   CAST(json_extract(rec_json, '$.summary.n_chars') AS BIGINT)
+                       AS sum_n_chars
+            FROM rec ORDER BY doc_id
+        """,
+        # xlsx_roundtrip emits the same flat record table as
+        # json_etl_flatten (the xlsx hop must be lossless), so the
+        # oracle is identical
+"xlsx_roundtrip": """
             WITH rec AS (
               SELECT doc_id,
                      '{"meta_data": {"id": "' || CAST(doc_id AS VARCHAR) ||

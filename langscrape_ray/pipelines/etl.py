@@ -5,9 +5,10 @@ Reference analog: the xlsx<->json notebooks
 nested final-record shape ``{meta_data: {...}, summary: {...}}``
 (/root/reference/langscrape/nodes/data_collator.py:46-62) to flat
 spreadsheet columns (``meta_data.id``, ``summary.title``, ...) and back.
-openpyxl is absent from this container, so the flat side here is an Arrow
-table (write_csv-able); the mapping semantics — dotted-path flattening and
-its inverse — are the real ETL and are exercised end to end.
+The mapping semantics — dotted-path flattening and its inverse — are the
+real ETL; round 3 adds the real BINARY format too: ``xlsx_roundtrip``
+pushes every flat batch through genuine xlsx bytes (stdlib zip+XML codec
+in ``sources/xlsx.py`` — no openpyxl needed) and parses them back.
 
 All stages are stateless ``map_batches``: per-row json loads/dumps is the
 unavoidable per-record work (the reference does the same row-wise in
@@ -105,6 +106,38 @@ def json_etl_flatten(sf_dir: str) -> rd.Dataset:
         return pa.table(arrays)
 
     return build_records(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def xlsx_roundtrip(sf_dir: str) -> rd.Dataset:
+    """The FULL spreadsheet ETL with the real binary format: nested JSON
+    records -> flat columns -> genuine xlsx bytes (zip of OOXML parts,
+    stdlib codec) -> parsed back to flat columns.  Output is identical to
+    ``json_etl_flatten`` (same SQL oracle), so the driver hash proves the
+    xlsx encode/decode is lossless for the record schema.
+
+    Scale notes: each batch becomes ONE in-memory workbook on a worker —
+    the spreadsheet stage is embarrassingly parallel and never touches the
+    driver; batch_size bounds workbook size (xlsx XML is ~10x the cell
+    payload before deflate)."""
+    from langscrape_ray.sources.xlsx import read_xlsx_bytes, xlsx_bytes
+
+    def via_xlsx(t: pa.Table) -> pa.Table:
+        out = read_xlsx_bytes(xlsx_bytes(t))
+        # xlsx numerics are untyped: re-pin the record schema's int columns
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "meta_id": out["meta_id"].cast(pa.string()),
+                "meta_lang": out["meta_lang"].cast(pa.string()),
+                "meta_source": out["meta_source"].cast(pa.string()),
+                "sum_title": out["sum_title"].cast(pa.string()),
+                "sum_n_chars": out["sum_n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return json_etl_flatten(sf_dir).map_batches(
+        via_xlsx, batch_format="pyarrow", batch_size=512
+    )
 
 
 def json_etl_nest(flat: rd.Dataset) -> rd.Dataset:

@@ -63,6 +63,8 @@ def _to_df(x):
         "repetition_stats",
         "split_assign",
         "json_etl_flatten",
+        "xlsx_roundtrip",
+        "media_wav",
         "token_count_bpe",
         "decontaminate",
         "pii_scan",
