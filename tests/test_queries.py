@@ -78,6 +78,7 @@ def _to_df(x):
         "q5_nation_revenue",
         "dedup_incremental",
         "q_event_dedup_window",
+        "link_pagerank",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -389,3 +390,34 @@ def test_prep_pack_overflow_raises(ray_session):
          "text": pa.array([text], pa.string())}
     )
     assert PrepStage()(ok).num_rows == 1
+
+
+def test_pagerank_tiers_identical(ray_session):
+    """The broadcast-vector tier and the BSP join tier must produce
+    bit-identical ranks/degrees (the tier switch at _BROADCAST_MAX_NODES
+    is a pure execution-strategy choice)."""
+    from langscrape_ray.pipelines.graph import link_pagerank
+
+    fast = link_pagerank(SF).reset_index(drop=True)
+    bsp = (
+        link_pagerank(SF, force_bsp=True)
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, bsp, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_pagerank_invariants(ray_session):
+    """Closed-form spot checks: isolated nodes settle at 0.15*SCALE; total
+    rank mass never exceeds the initial mass (weak variant only leaks)."""
+    from langscrape_ray.pipelines.graph import SCALE, link_pagerank
+
+    df = link_pagerank(SF)
+    isolated = df[(df.out_deg == 0) & (df.in_deg == 0)]
+    if len(isolated):
+        assert set(isolated.rank_e9) == {15 * SCALE // 100}
+    assert df.rank_e9.sum() <= len(df) * SCALE
+    # bipartite: parts only link suppliers and vice versa, so in==out
+    # per node under the symmetric edge construction
+    assert (df.out_deg == df.in_deg).all()
