@@ -75,25 +75,32 @@ def list_sites(root: str, category: str) -> List[Tuple[str, str]]:
 # ground truth (one task per site; in-task J1 outer merge)
 # ---------------------------------------------------------------------------
 
+def parse_gt_text(text: str) -> Dict[str, List[str]]:
+    """page_id -> [normalized values] for ONE attribute file's contents
+    (dataset.py:194-231: skip 2 header lines, drop <NULL> rows, normalize
+    values).  Shared by the directory reader below and the archive ingest
+    (sources/archive.py)."""
+    rows: Dict[str, List[str]] = {}
+    for line in text.splitlines()[2:]:
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split("\t")
+        if len(parts) < 3 or parts[2] == "<NULL>":
+            continue
+        rows[parts[0]] = [normalize_text(v) for v in parts[2:]]
+    return rows
+
+
 def parse_site_ground_truth(root: str, category: str, site: str) -> Dict[str, Dict]:
-    """page_id -> {attr: [normalized values]} for one site
-    (dataset.py:194-231: skip 2 header lines, drop <NULL> rows,
-    normalize values; missing attrs fill as [])."""
+    """page_id -> {attr: [normalized values]} for one site; missing attrs
+    fill as []."""
     gt_dir = Path(root) / _SRC / "groundtruth" / category
     per_attr: Dict[str, Dict[str, List[str]]] = {}
     for fp in sorted(gt_dir.rglob(f"{category}-{site}-*.txt")):
         attr = fp.stem.split("-")[-1]
-        rows: Dict[str, List[str]] = {}
         with open(fp, "r", encoding="utf-8") as f:
-            lines = f.readlines()[2:]
-        for line in lines:
-            line = line.strip()
-            if not line:
-                continue
-            parts = line.split("\t")
-            if len(parts) < 3 or parts[2] == "<NULL>":
-                continue
-            rows[parts[0]] = [normalize_text(v) for v in parts[2:]]
+            rows = parse_gt_text(f.read())
         per_attr[attr] = rows
     all_pages = sorted({pid for rows in per_attr.values() for pid in rows})
     return {
