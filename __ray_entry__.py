@@ -178,6 +178,15 @@ def _crawl_trace(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _crawl_host_rank(sf_dir: str) -> pd.DataFrame:
+    """Host-graph PageRank over the deterministic crawl world's pages
+    (outlink parse -> host edges -> integer PageRank; pipelines/graph.py)."""
+    from langscrape_ray.pipelines.graph import host_pagerank
+
+    _cfg, pages, _seeds, _robots = _world(*_crawl_world_size(sf_dir))
+    return host_pagerank(pages, level="url")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
@@ -347,6 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trace": _crawl_trace,
         "crawl_extract": _crawl_extract,
         "crawl_records": _crawl_records,
+        # host-level link-graph PageRank over the crawl world's outlinks
+        # (frontier-priority signal; integer-exact vs a single-process
+        # replay in tests/test_graph.py — no SQL analog of the HTML parse)
+        "crawl_host_rank": _crawl_host_rank,
     }
 
 

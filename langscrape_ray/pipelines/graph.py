@@ -156,8 +156,6 @@ def link_pagerank(sf_dir: str, iters: int = ITERS,
       join + one union-with-zeros groupby gather; only the node-sized
       rank table materializes between supersteps.
     """
-    import ray
-
     nodes_df = _node_ids(sf_dir).to_pandas()
     n_nodes = len(nodes_df)
     if n_nodes * SCALE * DAMP_NUM >= (1 << 63):
@@ -170,53 +168,7 @@ def link_pagerank(sf_dir: str, iters: int = ITERS,
 
     node_sorted = np.sort(nodes_df["node"].to_numpy())
     edges = _distinct_edges(sf_dir).materialize()
-    nodes_ref = ray.put(node_sorted)
-
-    def deg_partial(t: pa.Table) -> pa.Table:
-        ns = ray.get(nodes_ref)
-        si = np.searchsorted(ns, t["src"].to_numpy())
-        di = np.searchsorted(ns, t["dst"].to_numpy())
-        out_v = np.zeros(len(ns), np.int64)
-        in_v = np.zeros(len(ns), np.int64)
-        np.add.at(out_v, si, 1)
-        np.add.at(in_v, di, 1)
-        return pa.table(
-            {
-                "out_vec": pa.array([out_v.tobytes()], pa.large_binary()),
-                "in_vec": pa.array([in_v.tobytes()], pa.large_binary()),
-            }
-        )
-
-    out_deg = np.zeros(n_nodes, np.int64)
-    in_deg = np.zeros(n_nodes, np.int64)
-    for row in edges.map_batches(deg_partial, batch_format="pyarrow").take_all():
-        out_deg += np.frombuffer(row["out_vec"], np.int64)
-        in_deg += np.frombuffer(row["in_vec"], np.int64)
-
-    deg_ref = ray.put(out_deg)
-    ranks = np.full(n_nodes, SCALE, np.int64)
-    for _ in range(iters):
-        rank_ref = ray.put(ranks)
-
-        def gather_partial(t: pa.Table) -> pa.Table:
-            ns = ray.get(nodes_ref)
-            deg = ray.get(deg_ref)
-            r = ray.get(rank_ref)
-            si = np.searchsorted(ns, t["src"].to_numpy())
-            di = np.searchsorted(ns, t["dst"].to_numpy())
-            per_edge = r[si] // deg[si]  # deg[si] >= 1: src has this edge
-            vec = np.zeros(len(ns), np.int64)
-            np.add.at(vec, di, per_edge)
-            return pa.table(
-                {"vec": pa.array([vec.tobytes()], pa.large_binary())}
-            )
-
-        agg = np.zeros(n_nodes, np.int64)
-        for row in edges.map_batches(
-            gather_partial, batch_format="pyarrow"
-        ).take_all():
-            agg += np.frombuffer(row["vec"], np.int64)
-        ranks = (BASE_NUM * SCALE + DAMP_NUM * agg) // DEN
+    out_deg, in_deg, ranks = _pagerank_vectors(edges, node_sorted, iters)
 
     import pandas as pd
 
@@ -383,4 +335,204 @@ def _link_pagerank_bsp(sf_dir: str, iters: int = ITERS) -> "pd.DataFrame":
         .to_pandas()
         .sort_values("node_id")
         .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-graph PageRank over crawled pages (frontier-priority input)
+# ---------------------------------------------------------------------------
+
+def _pagerank_vectors(edges: rd.Dataset, node_sorted: np.ndarray,
+                      iters: int = ITERS):
+    """Broadcast-tier PageRank core shared by link_pagerank and
+    host_pagerank: streaming partial-gather passes over an int64
+    (src, dst) edge Dataset against broadcast rank/degree vectors.
+    Returns (out_deg, in_deg, ranks) int64 arrays aligned to
+    ``node_sorted``."""
+    import ray
+
+    n = len(node_sorted)
+    if n * SCALE * DAMP_NUM >= (1 << 63):
+        raise ValueError(
+            f"{n} nodes overflows the 1e9 fixed-point PageRank "
+            "accumulator; lower SCALE (1e6 supports ~1e10 nodes)"
+        )
+    nodes_ref = ray.put(node_sorted)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ns = ray.get(nodes_ref)
+        si = np.searchsorted(ns, t["src"].to_numpy())
+        di = np.searchsorted(ns, t["dst"].to_numpy())
+        out_v = np.zeros(len(ns), np.int64)
+        in_v = np.zeros(len(ns), np.int64)
+        np.add.at(out_v, si, 1)
+        np.add.at(in_v, di, 1)
+        return pa.table(
+            {
+                "out_vec": pa.array([out_v.tobytes()], pa.large_binary()),
+                "in_vec": pa.array([in_v.tobytes()], pa.large_binary()),
+            }
+        )
+
+    out_deg = np.zeros(n, np.int64)
+    in_deg = np.zeros(n, np.int64)
+    for row in edges.map_batches(deg_partial, batch_format="pyarrow").take_all():
+        out_deg += np.frombuffer(row["out_vec"], np.int64)
+        in_deg += np.frombuffer(row["in_vec"], np.int64)
+
+    deg_ref = ray.put(out_deg)
+    ranks = np.full(n, SCALE, np.int64)
+    for _ in range(iters):
+        rank_ref = ray.put(ranks)
+
+        def gather_partial(t: pa.Table) -> pa.Table:
+            ns = ray.get(nodes_ref)
+            deg = ray.get(deg_ref)
+            r = ray.get(rank_ref)
+            si = np.searchsorted(ns, t["src"].to_numpy())
+            di = np.searchsorted(ns, t["dst"].to_numpy())
+            per_edge = r[si] // deg[si]
+            vec = np.zeros(len(ns), np.int64)
+            np.add.at(vec, di, per_edge)
+            return pa.table(
+                {"vec": pa.array([vec.tobytes()], pa.large_binary())}
+            )
+
+        agg = np.zeros(n, np.int64)
+        for row in edges.map_batches(
+            gather_partial, batch_format="pyarrow"
+        ).take_all():
+            agg += np.frombuffer(row["vec"], np.int64)
+        ranks = (BASE_NUM * SCALE + DAMP_NUM * agg) // DEN
+    return out_deg, in_deg, ranks
+
+
+def host_pagerank(pages, iters: int = ITERS,
+                  level: str = "host") -> "pd.DataFrame":
+    """PageRank over the link graph a crawl discovers: parse every page's
+    outlinks (the real extraction kernel), canonicalize, distinct edges
+    (self-loops dropped), then the shared integer PageRank core.  This is
+    the frontier-priority signal a production crawler feeds back into
+    scheduling (crawl.py's priority hook).
+
+    ``level``: 'host' aggregates the graph to host->host edges; 'url'
+    ranks individual canonical URLs (the per-URL frontier priority).
+
+    ``pages``: a Ray Dataset or pyarrow Table with (url, html) columns.
+    Returns (node, out_deg, in_deg, rank_e9) sorted by node (the node
+    column is the host or canonical URL).  Exactness: pure-integer
+    recurrence — pytest replays it single-process on the same fixture
+    world and asserts equality (tests/test_graph.py).
+
+    Scale: outlink parse is an embarrassingly parallel map_batches; node
+    ids come from ONE small groupby (hosts are ~1e7-1e8 even at 10^10
+    pages; URL-level above the broadcast threshold needs the BSP tier —
+    the guard says so), sorted once on the driver and broadcast; edges
+    are distinct-ified via a packed-int64 groupby, then the
+    broadcast-tier vector core streams them."""
+    import pandas as pd
+
+    from langscrape_ray.frontier.canonical import canonicalize_url as canonicalize
+    from langscrape_ray.kernel.dom import parse_html
+    from langscrape_ray.kernel.extract import extract_outlinks
+
+    if level not in ("host", "url"):
+        raise ValueError("level must be 'host' or 'url'")
+    if isinstance(pages, pa.Table):
+        pages = rd.from_arrow(pages)
+
+    def page_host_edges(t: pa.Table) -> pa.Table:
+        srcs: list = []
+        dsts: list = []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            c = canonicalize(url)
+            if c is None:
+                continue
+            src_key = c[1] if level == "host" else c[0]
+            seen = set()
+            for link in extract_outlinks(parse_html(html), url):
+                lc = canonicalize(link)
+                if lc is None:
+                    continue
+                dst_key = lc[1] if level == "host" else lc[0]
+                if dst_key != src_key:
+                    seen.add(dst_key)
+            srcs.extend([src_key] * len(seen))
+            dsts.extend(sorted(seen))
+        return pa.table(
+            {
+                "src_host": pa.array(srcs, pa.string()),
+                "dst_host": pa.array(dsts, pa.string()),
+            }
+        )
+
+    raw_edges = pages.map_batches(
+        page_host_edges, batch_format="pyarrow"
+    ).materialize()
+
+    # host id map: one small groupby over both endpoint columns
+    hosts_ds = raw_edges.map_batches(
+        lambda t: pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        t["src_host"].combine_chunks(),
+                        t["dst_host"].combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    host_list = sorted(
+        r["host"] for r in hosts_ds.groupby("host").count().take_all()
+    )
+    host_to_id = {h: i for i, h in enumerate(host_list)}
+    n = len(host_list)
+    if n > _BROADCAST_MAX_NODES:
+        raise ValueError(
+            "host graph exceeds the broadcast tier; wire the BSP path "
+            "(link_pagerank's _link_pagerank_bsp shape) for this size"
+        )
+
+    import ray
+
+    map_ref = ray.put(host_to_id)
+
+    def to_int_pairs(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        src = np.fromiter(
+            (m[h] for h in t["src_host"].to_pylist()), np.int64,
+            count=t.num_rows,
+        )
+        dst = np.fromiter(
+            (m[h] for h in t["dst_host"].to_pylist()), np.int64,
+            count=t.num_rows,
+        )
+        pair = np.unique(src * np.int64(_BROADCAST_MAX_NODES + 1) + dst)
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    def unpack_pairs(t: pa.Table) -> pa.Table:
+        src = pc.divide(t["pair"], _BROADCAST_MAX_NODES + 1)
+        dst = pc.subtract(
+            t["pair"], pc.multiply(src, _BROADCAST_MAX_NODES + 1)
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    edges = (
+        raw_edges.map_batches(to_int_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .count()
+        .map_batches(unpack_pairs, batch_format="pyarrow")
+    )
+
+    node_sorted = np.arange(n, dtype=np.int64)
+    out_deg, in_deg, ranks = _pagerank_vectors(edges, node_sorted, iters)
+    return pd.DataFrame(
+        {
+            "node": host_list,
+            "out_deg": out_deg,
+            "in_deg": in_deg,
+            "rank_e9": ranks,
+        }
     )
