@@ -22,16 +22,38 @@ required) return None.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Optional, Tuple
 from urllib.parse import parse_qsl, urlencode, urlsplit
 
 _TRACKING_PARAMS = ("fbclid", "gclid", "igshid", "mc_eid")
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# Fast path: URLs that are ALREADY canonical under every rule above —
+# lowercase http(s) scheme, lowercase dotted host with no trailing dot /
+# port / userinfo, no query or fragment, no surrounding whitespace.  The
+# only remaining transforms are "empty path -> /" (append) and the
+# trailing-slash strip (excluded in code below -> falls back).  Identity
+# with the general path is differential-fuzz-tested in
+# tests/test_frontier.py::test_canonical_fast_path_identity.
+_FAST_RE = re.compile(
+    r"^(http|https)://((?:[a-z0-9-]+\.)+[a-z0-9-]+)((?:/[^/?#\s]*)*)$"
+)
+
 
 def canonicalize_url(url: str) -> Optional[Tuple[str, str]]:
     """Return (canonical_url, host), or None when the URL is invalid."""
-    if not isinstance(url, str) or not url.strip():
+    if not isinstance(url, str):
+        return None
+    m = _FAST_RE.match(url)
+    if m is not None:
+        path = m.group(3)
+        if not path:
+            return url + "/", m.group(2)
+        if len(path) == 1 or not path.endswith("/"):
+            return url, m.group(2)
+        # trailing slash needs the strip rule -> general path
+    if not url.strip():
         return None
     try:
         parts = urlsplit(url.strip())

@@ -9,7 +9,6 @@ reproduces the oracle's crawl order and seen set exactly.
 from __future__ import annotations
 
 from typing import Dict, List, Optional
-from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
@@ -39,10 +38,14 @@ class CanonicalizeBatch:
 
     def __init__(self, robots_rules: Dict[str, tuple]):
         self.robots = robots_rules
+        # host-hash memo: host cardinality is tiny next to URL volume, so
+        # the blake2b per host amortizes to a dict hit per row
+        self._hh: Dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         canons, hosts, uhashes, hhashes, statuses = [], [], [], [], []
+        hh_memo = self._hh
         for url in urls:
             res = canonicalize_url(url)
             if res is None:
@@ -55,7 +58,13 @@ class CanonicalizeBatch:
             canon, host = res
             rules = self.robots.get(host)
             if rules is not None:
-                path = urlsplit(canon).path or "/"
+                # canon is scheme://netloc + path [+ ?query]: slice the
+                # path out directly instead of a second urlsplit
+                i = canon.find("/", canon.find("://") + 3)
+                path = canon[i:] if i != -1 else "/"
+                qi = path.find("?")
+                if qi != -1:
+                    path = path[:qi]
                 if any(p and path.startswith(p) for p in rules[0]):
                     canons.append(canon)
                     hosts.append(host)
@@ -67,7 +76,11 @@ class CanonicalizeBatch:
             hosts.append(host)
             # store 64-bit hashes as signed int64 (two's complement view)
             uhashes.append(np.uint64(url_hash64(canon)).astype(np.int64).item())
-            hhashes.append(np.uint64(host_hash64(host)).astype(np.int64).item())
+            hh = hh_memo.get(host)
+            if hh is None:
+                hh = np.uint64(host_hash64(host)).astype(np.int64).item()
+                hh_memo[host] = hh
+            hhashes.append(hh)
             statuses.append(STATUS_OK)
         cols = {name: batch[name] for name in batch.column_names}
         cols["canon_url"] = pa.array(canons, pa.string())

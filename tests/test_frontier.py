@@ -145,3 +145,66 @@ def test_oracle_politeness_budget_defers():
     )
     assert sum(r["status"] == "fetched" for r in trace) == 4
     assert sum(r["status"] == "deferred" for r in trace) == 6
+
+
+def test_canonical_fast_path_identity():
+    """The regex fast path in canonicalize_url must be EXACTLY the general
+    path's output wherever it fires — differential check over adversarial
+    URL shapes plus the fixture-world shapes (where it must mostly fire)."""
+    import re
+
+    from langscrape_ray.frontier import canonical as C
+
+    def general(url):
+        # re-run the general path by making the fast regex never match
+        orig = C._FAST_RE
+        C._FAST_RE = re.compile(r"(?!)")
+        try:
+            return C.canonicalize_url(url)
+        finally:
+            C._FAST_RE = orig
+
+    cases = [
+        "http://host-001.example/page/7",
+        "https://a.b.c/x/y/z",
+        "http://host.example",          # empty path -> '/'
+        "http://host.example/",
+        "http://host.example//double//slash",
+        "http://host.example/trailing/",
+        "http://HOST.example/Upper",
+        "http://host.example./dot",
+        "http://host.example:80/port",
+        "http://host.example:8080/port",
+        "https://host.example:443/x",
+        "http://user@host.example/x",
+        "http://host.example/x?b=2&a=1",
+        "http://host.example/x?utm_source=t&a=1",
+        "http://host.example/x#frag",
+        "  http://host.example/pad  ",
+        "http://host.example/%41%2f",
+        "http://host.example/a b",      # space in path: fast must not fire
+        "ftp://host.example/x",
+        "http:///nopath",
+        "not a url",
+        "",
+        "http://host.example/a?",       # bare '?' (advisory edge)
+        "http://host.example/a#",
+        "http://host.example/a/./b",
+        "http://host.example/a/../b",
+        "http://xn--nxasmq6b.example/x",
+        "http://host.example/comma,colon:semi;",
+        "http://host.example/~tilde+plus'quote'",
+    ]
+    # fixture-world shapes: the fast path must fire and agree
+    for i in range(2000):
+        cases.append(f"http://host-{i % 37:03d}.example/page/{i}")
+        cases.append(f"http://host-{i % 37:03d}.example/page/{i}?q={i}&p=1")
+    hits = 0
+    for url in cases:
+        full = general(url)
+        fast_or_full = C.canonicalize_url(url)
+        assert fast_or_full == full, url
+        m = C._FAST_RE.match(url) if isinstance(url, str) else None
+        if m:
+            hits += 1
+    assert hits > 2000  # the plain fixture shapes all took the fast lane
