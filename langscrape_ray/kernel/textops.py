@@ -95,9 +95,14 @@ def normalize_text(text: str) -> str:
     for src, dst in _ENTITY_TABLE:
         if src in text:
             text = text.replace(src, dst)
-    text = _htmllib.unescape(text)
-    text = text.replace("\xa0", " ")
-    text = _MULTI_SPACE_RE.sub(" ", text)
+    # guards are exact identities: unescape only acts on '&', the NBSP
+    # replace on '\xa0', and the 2+-space collapse on a literal '  '
+    if "&" in text:
+        text = _htmllib.unescape(text)
+    if "\xa0" in text:
+        text = text.replace("\xa0", " ")
+    if "  " in text:
+        text = _MULTI_SPACE_RE.sub(" ", text)
     return text.strip()
 
 
