@@ -1,0 +1,93 @@
+"""WARC source/sink: round-trips against the fixture pages table, both
+plain and Common-Crawl member-gzip layouts, loud on malformed framing."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from langscrape_ray.sources.warc import (
+    WarcError,
+    read_warc,
+    read_warc_ds,
+    write_warc,
+)
+
+
+def _pages():
+    from langscrape_ray.sources.fixtures_gen import FixtureConfig, build_pages_table
+
+    return build_pages_table(FixtureConfig(n_pages=60, n_hosts=5, n_seeds=10))
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_warc_roundtrip(tmp_path, gz):
+    pages = _pages()
+    path = str(tmp_path / ("p.warc.gz" if gz else "p.warc"))
+    write_warc(pages, path, per_record_gzip=gz)
+    back = read_warc(path)
+    assert back["url"].to_pylist() == pages["url"].to_pylist()
+    assert back["html"].to_pylist() == pages["html"].to_pylist()
+    # WARC-Date is second-granular; the fixture warc_ts is too
+    orig_ts = pages["warc_ts"].cast(pa.timestamp("us")).to_pylist()
+    got_ts = back["warc_ts"].to_pylist()
+    for a, b in zip(got_ts, orig_ts):
+        assert abs((a - b).total_seconds()) < 1.0
+
+
+def test_warc_ray_ingest_parity(ray_session, tmp_path):
+    pages = _pages()
+    # split across two files: one gz, one plain
+    t1, t2 = pages.slice(0, 30), pages.slice(30)
+    p1 = str(tmp_path / "a.warc.gz")
+    p2 = str(tmp_path / "b.warc")
+    write_warc(t1, p1, per_record_gzip=True)
+    write_warc(t2, p2, per_record_gzip=False)
+    df = read_warc_ds([p1, p2]).to_pandas().sort_values("url").reset_index(drop=True)
+    want = (
+        pa.table(
+            {
+                "url": pages["url"],
+                "html": pages["html"],
+            }
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(df["url"]) == list(want["url"])
+    assert list(df["html"]) == list(want["html"])
+
+
+def test_warc_bad_framing_is_loud(tmp_path):
+    p = str(tmp_path / "bad.warc")
+    with open(p, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nmissing length")
+    with pytest.raises(WarcError):
+        read_warc(p)
+    with open(p, "wb") as f:
+        f.write(b"NOTWARC")
+    with pytest.raises(WarcError):
+        read_warc(p)
+
+
+def test_warc_skips_non_response_records(tmp_path):
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/a\r\n"
+        b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+        b"Content-Length: 3\r\n\r\n"
+        b"abc\r\n\r\n"
+    )
+    p = str(tmp_path / "mixed.warc")
+    with open(p, "wb") as f:
+        f.write(rec)
+    t = read_warc(p)
+    assert t.num_rows == 1
+    assert t["url"][0].as_py() == "http://x.example/a"
+    assert t["html"][0].as_py() == b"abc"
