@@ -179,8 +179,10 @@ class SeenShard:
     # propose barrier, admits exactly the min-okey proposer that is not
     # already in the cross-round seen set; the decision is deterministic, so
     # admit retries return the same answer (round_admitted memo).
-    def propose(self, keys: List[int], okeys: List[int]) -> int:
+    def propose(self, keys, okeys) -> int:
         p = self.proposals
+        if isinstance(keys, np.ndarray):  # RPC fast path: ndarray payloads
+            keys, okeys = keys.tolist(), okeys.tolist()
         for k, o in zip(keys, okeys):
             cur = p.get(k)
             if cur is None or o < cur:
@@ -190,6 +192,7 @@ class SeenShard:
     def admit(self, keys: List[int], okeys: List[int]) -> List[bool]:
         out: List[bool] = []
         ukeys = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        admitted: List[int] = []
         for (k, o, uk) in zip(keys, okeys, ukeys.tolist()):
             if self.proposals.get(k) != o:
                 out.append(False)  # within-round duplicate (lost min-okey)
@@ -208,8 +211,10 @@ class SeenShard:
             if self.exact is not None:
                 self.exact.add(uk)
             self.cuckoo.add(uk)
-            self.bloom.add(np.asarray([uk], dtype=np.uint64))
+            admitted.append(uk)
             out.append(True)
+        if admitted:
+            self.bloom.add(np.asarray(admitted, dtype=np.uint64))
         return out
 
     def end_round(self) -> None:
@@ -230,6 +235,8 @@ class SeenShard:
         memo), so Ray task retries cannot double-enqueue.  Returns rows
         processed (informational)."""
         ukeys = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        admitted: List[int] = []
+        backlog = self.backlog
         for k, o, u, h, p, uk in zip(
             keys, okeys, urls, hosts, priorities, ukeys.tolist()
         ):
@@ -246,9 +253,25 @@ class SeenShard:
             if self.exact is not None:
                 self.exact.add(uk)
             self.cuckoo.add(uk)
-            self.bloom.add(np.asarray([uk], dtype=np.uint64))
-            self.backlog.setdefault(h, []).append((u, int(p), int(o)))
+            admitted.append(uk)
+            backlog.setdefault(h, []).append((u, int(p), int(o)))
+        if admitted:
+            # ONE vectorized bloom update per RPC (a per-row 1-element
+            # bloom.add dominated this actor's service time)
+            self.bloom.add(np.asarray(admitted, dtype=np.uint64))
         return len(self.round_admitted)
+
+    def enqueue_admitted_tbl(self, tbl: pa.Table) -> int:
+        """Arrow-payload variant of enqueue_admitted (the RPC fast path:
+        the caller ships one sub-table per shard instead of five Python
+        lists; identical admit semantics)."""
+        return self.enqueue_admitted(
+            tbl["url_hash"].to_pylist(),
+            tbl["order_key"].to_pylist(),
+            tbl["canon_url"].to_pylist(),
+            tbl["host"].to_pylist(),
+            tbl["priority"].to_pylist(),
+        )
 
     def schedule_round(self) -> tuple:
         """Schedule every backlogged host for one round (politeness.py
@@ -414,16 +437,17 @@ class CanonProposeBatch:
         out = self.canon(batch)
         ok_rows = out.filter(pc.equal(out["status"], STATUS_OK))
         if ok_rows.num_rows:
-            uh = ok_rows["url_hash"].to_pylist()
-            ok = ok_rows["order_key"].to_pylist()
+            # numpy payloads: zero-copy off the Arrow columns, C-speed
+            # fancy-index per shard, and Ray serializes ndarrays without
+            # the per-element cost of Python lists
+            uh = ok_rows["url_hash"].to_numpy(zero_copy_only=False)
+            ok = ok_rows["order_key"].to_numpy(zero_copy_only=False)
             shard_ids = _shard_route(ok_rows, len(self.shards))
             futs = []
             for sid in np.unique(shard_ids):
                 idx = np.nonzero(shard_ids == sid)[0]
                 futs.append(
-                    self.shards[int(sid)].propose.remote(
-                        [uh[i] for i in idx], [ok[i] for i in idx]
-                    )
+                    self.shards[int(sid)].propose.remote(uh[idx], ok[idx])
                 )
             ray.get(futs)
         return out
@@ -438,16 +462,14 @@ class ProposeBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            uh = batch["url_hash"].to_pylist()
-            ok = batch["order_key"].to_pylist()
+            uh = batch["url_hash"].to_numpy(zero_copy_only=False)
+            ok = batch["order_key"].to_numpy(zero_copy_only=False)
             shard_ids = _shard_route(batch, len(self.shards))
             futs = []
             for sid in np.unique(shard_ids):
                 idx = np.nonzero(shard_ids == sid)[0]
                 futs.append(
-                    self.shards[int(sid)].propose.remote(
-                        [uh[i] for i in idx], [ok[i] for i in idx]
-                    )
+                    self.shards[int(sid)].propose.remote(uh[idx], ok[idx])
                 )
             ray.get(futs)
         return batch
@@ -495,22 +517,18 @@ class EnqueueBatch:
         if "status" in batch.column_names:
             batch = batch.filter(pc.equal(batch["status"], STATUS_OK))
         if batch.num_rows:
-            uh = batch["url_hash"].to_pylist()
-            ok = batch["order_key"].to_pylist()
-            urls = batch["canon_url"].to_pylist()
-            hosts = batch["host"].to_pylist()
-            prios = batch["priority"].to_pylist()
+            # one C-speed take per shard; the sub-table ships as Arrow
+            # buffers (no per-element Python list serialization)
+            sub_cols = batch.select(
+                ["url_hash", "order_key", "canon_url", "host", "priority"]
+            )
             shard_ids = _shard_route(batch, len(self.shards))
             futs = []
             for sid in np.unique(shard_ids):
                 idx = np.nonzero(shard_ids == sid)[0]
                 futs.append(
-                    self.shards[int(sid)].enqueue_admitted.remote(
-                        [uh[i] for i in idx],
-                        [ok[i] for i in idx],
-                        [urls[i] for i in idx],
-                        [hosts[i] for i in idx],
-                        [prios[i] for i in idx],
+                    self.shards[int(sid)].enqueue_admitted_tbl.remote(
+                        sub_cols.take(pa.array(idx))
                     )
                 )
             ray.get(futs)
