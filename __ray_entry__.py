@@ -203,18 +203,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so every
-    # SQL-oracled query comes first (50 as of round 3 — the window is now
-    # fully SQL-oracled), then the rows-only approximations, with the
-    # three crawl_* queries (no SQL analog at all) last.  Rows-only
-    # entries past the cap are covered by pytest (error-bound / recall /
-    # parity tests) instead.
+    # SQL-oracled query comes first (51 exist as of round 3; the window
+    # holds 50, so q_region_customers — whose §2 coverage, A6 match
+    # counts, is also driver-checked via q_order_priority — sits at #51
+    # and is verified locally by scripts/check_contract.py instead), then
+    # the rows-only approximations, with the three crawl_* queries (no
+    # SQL analog at all) last.  Rows-only entries past the cap are
+    # covered by pytest (error-bound / recall / parity tests) instead.
     return {
         # relational / windowed analytics (SQL-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_orders": analytics.q3_top_orders,
         "q_order_priority": analytics.q_order_priority,
         "q_events_hourly": analytics.q_events_hourly,
-        "q_region_customers": analytics.q_region_customers,
         "q_sessionize": analytics.q_sessionize,
         "q_lineitem_stats": analytics.q_lineitem_stats,
         "q_grouped_sample": analytics.q_grouped_sample,
@@ -332,6 +333,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groupby gather) over the lineitem supplier<->part link graph,
         # scaled-int64 exact so the unrolled-CTE SQL oracle hash-matches
         "link_pagerank": graph.link_pagerank,
+        # concat-then-split LLM sequence packing: two-level distributed
+        # prefix scan (bucket totals -> driver exclusive cumsum -> per-
+        # bucket vectorized scan); SQL-oracled via window cumsum
+        "pack_sequences": textstats.pack_sequences,
+        # ---- past the driver's 50-entry window from here ----
+        # SQL-oracled but displaced by pack_sequences (A6 coverage remains
+        # driver-checked via q_order_priority); locally exact via
+        # scripts/check_contract.py
+        "q_region_customers": analytics.q_region_customers,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1229,5 +1239,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'valid'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+        # concat-then-split sequence packing: global token offsets are a
+        # plain window cumsum over doc_id order; integer sums make the
+        # distributed two-level scan bit-equal to the sequential window.
+        "pack_sequences": f"""
+            WITH toks AS (
+              SELECT doc_id, CAST({n_tokens_sql} AS BIGINT) AS n_tokens
+              FROM documents),
+            scanned AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_start
+              FROM toks)
+            SELECT doc_id, n_tokens, tok_start,
+                   CAST(tok_start // 2048 AS BIGINT) AS seq_first,
+                   CAST((tok_start + GREATEST(n_tokens, 1) - 1) // 2048
+                        AS BIGINT) AS seq_last
+            FROM scanned ORDER BY doc_id
         """,
     }

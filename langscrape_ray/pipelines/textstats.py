@@ -536,3 +536,103 @@ def doc_term_df(sf_dir: str, top_n: int = 50) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out[["term", "df"]]
+
+
+def pack_sequences(
+    sf_dir: str, seq_len: int = 2048, bucket_width: int = 4096
+) -> "rd.Dataset":
+    """(doc_id, n_tokens, tok_start, seq_first, seq_last): concat-then-split
+    sequence packing — the LLM-training step that lays every document's
+    tokens end-to-end in doc_id order and cuts the stream into fixed
+    ``seq_len`` training sequences.  ``tok_start`` is the document's global
+    token offset; ``seq_first``/``seq_last`` are the first/last sequence
+    ids the document lands in (documents span boundaries, as in GPT-style
+    packing).  Empty documents occupy their boundary sequence
+    (``GREATEST(n_tokens, 1)`` on both sides).
+
+    Ray shape — a two-level distributed prefix scan (no reference analog;
+    the windowed-cumsum ask of the task brief's training-data ops):
+
+    1. one vectorized pass computes ``n_tokens`` and a coarse
+       ``bucket = doc_id // bucket_width``; the text column is dropped and
+       the narrow (doc_id, n_tokens, bucket) table is materialized — 24
+       B/doc, so the token counting over a 100 TB corpus runs ONCE and the
+       two consumers below re-read only the 0.25%-sized intermediate;
+    2. per-bucket token totals via ``groupby(bucket)`` (n/bucket_width
+       rows cross the wire — ~2.4 M rows at 10^10 docs), the driver runs
+       an exclusive cumsum over that tiny frame and broadcasts the
+       bucket→offset map once via ``ray.put``;
+    3. ``groupby(bucket).map_groups`` sorts each ≤bucket_width group by
+       doc_id and adds a numpy exclusive cumsum to the bucket's offset —
+       ONE hash shuffle of the narrow table, vectorized per group.
+
+    At >10^10 docs the driver scan generalizes to a 3-level tree (scan the
+    bucket totals with a second groupby on ``bucket // K``); the per-doc
+    work never changes.  All columns int64: the DuckDB oracle is the
+    standard ``SUM() OVER (ORDER BY doc_id ROWS ... 1 PRECEDING)`` window
+    cumsum, bit-exact because integer sums are order-independent.
+    """
+    import numpy as np
+    import ray
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "bucket": pa.array(ids // bucket_width, pa.int64()),
+            }
+        )
+
+    counted = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_fn, batch_format="pyarrow")
+        .materialize()  # narrow; avoids re-tokenizing for the two consumers
+    )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        counted.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    csum = totals["bucket_tokens"].astype("int64").cumsum()
+    excl = (csum - totals["bucket_tokens"]).to_numpy()
+    offsets = {int(b): int(o) for b, o in zip(totals["bucket"], excl)}
+    off_ref = ray.put(offsets)
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "tok_start": pa.array([], pa.int64()),
+                    "seq_first": pa.array([], pa.int64()),
+                    "seq_last": pa.array([], pa.int64()),
+                }
+            )
+        g = group.sort_by([("doc_id", "ascending")])
+        n = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ray.get(off_ref)[int(g["bucket"][0].as_py())]
+        start = base + np.concatenate(
+            ([0], np.cumsum(n[:-1], dtype=np.int64))
+        )
+        span = np.maximum(n, 1)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "tok_start": pa.array(start, pa.int64()),
+                "seq_first": pa.array(start // seq_len, pa.int64()),
+                "seq_last": pa.array(
+                    (start + span - 1) // seq_len, pa.int64()
+                ),
+            }
+        )
+
+    return counted.groupby("bucket").map_groups(scan, batch_format="pyarrow")

@@ -79,6 +79,7 @@ def _to_df(x):
         "dedup_incremental",
         "q_event_dedup_window",
         "link_pagerank",
+        "pack_sequences",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -421,3 +422,39 @@ def test_pagerank_invariants(ray_session):
     # bipartite: parts only link suppliers and vice versa, so in==out
     # per node under the symmetric edge construction
     assert (df.out_deg == df.in_deg).all()
+
+
+def test_pack_sequences_boundary_spanning(ray_session):
+    """Small seq_len + small buckets: every doc's offsets must equal the
+    sequential cumsum replay, and consecutive docs must tile the token
+    stream with no gaps or overlaps across bucket boundaries."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from langscrape_ray.pipelines.textstats import pack_sequences
+
+    out = (
+        pack_sequences(SF, seq_len=7, bucket_width=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = docs["text"].map(lambda t: len(re.findall(r"\S+", t))).to_numpy()
+    start = np.concatenate(([0], np.cumsum(n[:-1])))
+    assert (out["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["tok_start"].to_numpy() == start).all()
+    span = np.maximum(n, 1)
+    assert (out["seq_first"].to_numpy() == start // 7).all()
+    assert (out["seq_last"].to_numpy() == (start + span - 1) // 7).all()
+    # docs longer than seq_len must span multiple sequences
+    long = n > 7
+    assert (out["seq_last"].to_numpy()[long] > out["seq_first"].to_numpy()[long]).all()
