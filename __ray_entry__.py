@@ -202,14 +202,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
-    # ORDER MATTERS: the driver checks only the FIRST 50 entries, so every
-    # SQL-oracled query comes first (51 exist as of round 3; the window
-    # holds 50, so q_region_customers — whose §2 coverage, A6 match
-    # counts, is also driver-checked via q_order_priority — sits at #51
-    # and is verified locally by scripts/check_contract.py instead), then
-    # the rows-only approximations, with the three crawl_* queries (no
-    # SQL analog at all) last.  Rows-only entries past the cap are
-    # covered by pytest (error-bound / recall / parity tests) instead.
+    # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
+    # SQL-oracled queries come first (53 exist as of round 3 — more than
+    # the window holds, so the three whose coverage is redundant with an
+    # in-window sibling sit just past the cap: q_region_customers (A6,
+    # driver-checked via q_order_priority), token_count_bpe (M22, via
+    # token_count), media_frames (multimodal, via media_meta/media_audio/
+    # media_wav).  All three stay in tests/test_queries.py's oracle gate
+    # and scripts/check_contract.py), then the rows-only approximations,
+    # with the three crawl_* queries (no SQL analog at all) last.
+    # Rows-only entries past the cap are covered by pytest (error-bound /
+    # recall / parity tests) instead.
     return {
         # relational / windowed analytics (SQL-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -238,8 +241,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_percentiles": analytics.q_order_percentiles,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
-        # whitespace + BPE-ish regex pieces (subword-budget proxy; oracled)
-        "token_count_bpe": textstats.token_count_bpe,
         "fingerprint": textstats.fingerprint,
         "quality_score": textstats.quality_score,
         # dedup family (SQL-oracled members; the LSH approximations are in
@@ -290,9 +291,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
         "media_meta": media.media_meta,
-        # video frame-sample explode -> per-frame decode (SQL-oracled:
-        # stepped range() regenerates the sampled rows in closed form)
-        "media_frames": media.media_frames,
         # audio feature extraction (SQL-oracled: duration/rate closed form,
         # rms recomputed from the deterministic byte rule via range() sum)
         "media_audio": media.media_audio,
@@ -337,11 +335,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix scan (bucket totals -> driver exclusive cumsum -> per-
         # bucket vectorized scan); SQL-oracled via window cumsum
         "pack_sequences": textstats.pack_sequences,
+        # corpus-frequency boilerplate n-gram removal (C4/RefinedWeb line-
+        # dedup analog: count grams -> broadcast hot set -> rebuild text;
+        # SQL-oracled: anti-join + ordered string_agg reconstruction)
+        "boilerplate_prune": textstats.boilerplate_prune,
+        # per-source training-mix sampling weights with a domain cap
+        # (ONE source-cardinality groupby; SQL-oracled in exact int64)
+        "source_mix_weights": textstats.source_mix_weights,
         # ---- past the driver's 50-entry window from here ----
-        # SQL-oracled but displaced by pack_sequences (A6 coverage remains
-        # driver-checked via q_order_priority); locally exact via
-        # scripts/check_contract.py
+        # SQL-oracled but displaced (coverage redundant with in-window
+        # siblings — see the ORDER MATTERS note); locally exact via
+        # scripts/check_contract.py and tests/test_queries.py
         "q_region_customers": analytics.q_region_customers,
+        "token_count_bpe": textstats.token_count_bpe,
+        "media_frames": media.media_frames,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1259,5 +1266,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST((tok_start + GREATEST(n_tokens, 1) - 1) // 2048
                         AS BIGINT) AS seq_last
             FROM scanned ORDER BY doc_id
+        """,
+        # boilerplate removal: hot grams by distinct-doc frequency, token
+        # positions covered by any hot window anti-joined out, survivors
+        # re-joined in position order — bit-exact text reconstruction
+        "boilerplate_prune": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ),
+            hot AS (
+              SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+              ) WHERE nd >= 5
+            ),
+            removed AS (
+              SELECT DISTINCT gr.doc_id, gr.i + o.k AS j
+              FROM grams gr JOIN hot USING (g),
+                   UNNEST(range(0, 3)) AS o(k)
+            ),
+            tokens AS (
+              SELECT doc_id, i AS j, t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+            )
+            SELECT tk.doc_id,
+                   coalesce(string_agg(tk.tok, ' ' ORDER BY tk.j)
+                            FILTER (WHERE rm.j IS NULL), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE rm.j IS NOT NULL) AS BIGINT)
+                       AS n_removed
+            FROM tokens tk
+            LEFT JOIN removed rm ON tk.doc_id = rm.doc_id AND tk.j = rm.j
+            GROUP BY tk.doc_id
+            ORDER BY tk.doc_id
+        """,
+        # capped proportional-to-tokens mixing weights; all int64 floor
+        # arithmetic so the window-total normalization hash-matches
+        "source_mix_weights": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum({n_tokens_sql}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            capped AS (
+              SELECT *,
+                     LEAST(n_tokens,
+                           CAST(sum(n_tokens) OVER () * 8 // 100 AS BIGINT))
+                         AS capped_tokens
+              FROM per)
+            SELECT source, n_docs, n_tokens,
+                   CAST(capped_tokens AS BIGINT) AS capped_tokens,
+                   CAST(capped_tokens * 1000000 //
+                        sum(capped_tokens) OVER () AS BIGINT) AS weight_ppm
+            FROM capped ORDER BY source
         """,
     }

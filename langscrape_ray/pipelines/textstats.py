@@ -14,6 +14,7 @@ import re
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -636,3 +637,151 @@ def pack_sequences(
         )
 
     return counted.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+def boilerplate_prune(
+    sf_dir: str, n: int = 3, min_docs: int = 5
+) -> "rd.Dataset":
+    """(doc_id, clean_text, n_removed): corpus-frequency boilerplate
+    removal — the C4/RefinedWeb cleaning step that deletes every word
+    ``n``-gram occurring in >= ``min_docs`` DISTINCT documents (nav bars,
+    footers, cookie banners at web scale).  A token is removed when ANY
+    hot n-gram window covers it; survivors re-join with single spaces.
+
+    Ray shape — two streaming passes over the corpus, one small shuffle:
+
+    1. per-batch DISTINCT-gram partials (each doc lives in exactly one
+       batch, so batch-level distinct-doc counts per gram sum exactly) →
+       ``groupby(g).sum`` over the reduced partials → filter to the hot
+       set.  Boilerplate is rare by definition (~1% of gram space here),
+       so the hot set is KB–MB sized and broadcasts once via ``ray.put``
+       — the same small-side pattern as ``decontaminate``;
+    2. a stateless ``map_batches`` rebuild pass marks covered token
+       positions against the broadcast set — no shuffle.
+
+    At 100 TB the gram partials are the only exchanged data (distinct
+    grams per block, already deduped), and the hot set stays driver-safe
+    because raising ``min_docs`` shrinks it monotonically.  Tokenization
+    is a single-space split for DuckDB ``string_split`` parity; the SQL
+    oracle rebuilds documents with a window anti-join + ordered
+    ``string_agg`` and hash-matches bit-exact.
+    """
+    import ray
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t["text"].to_pylist():
+            w = text.split(" ")
+            for g in {
+                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+            }:
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "g": pa.array(list(counts.keys()), pa.string()),
+                "nd": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    from ray.data.aggregate import Sum
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["nd"], min_docs))
+
+    hot: set = set()
+    for part in (
+        docs.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .map_batches(keep_hot, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        hot.update(part["g"].to_pylist())
+    hot_ref = ray.put(frozenset(hot))
+
+    class Prune:
+        def __init__(self, ref):
+            self.hot = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_text, out_n = [], []
+            for text in t["text"].to_pylist():
+                w = text.split(" ")
+                drop = bytearray(len(w))
+                for i in range(len(w) - n + 1):
+                    if " ".join(w[i : i + n]) in self.hot:
+                        drop[i : i + n] = b"\x01" * n
+                kept = [tok for tok, d in zip(w, drop) if not d]
+                out_text.append(" ".join(kept))
+                out_n.append(len(w) - len(kept))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "clean_text": pa.array(out_text, pa.string()),
+                    "n_removed": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Prune,
+        fn_constructor_args=(hot_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+
+def source_mix_weights(
+    sf_dir: str, cap_pct: int = 8, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """(source, n_docs, n_tokens, capped_tokens, weight_ppm): training-mix
+    sampling weights per source — proportional-to-tokens sampling with a
+    per-source cap (no single domain may exceed ``cap_pct``% of the
+    sampled mix), the standard web-corpus mixing rule.  ``weight_ppm`` is
+    the integer parts-per-million share of ``capped_tokens``.
+
+    Ray shape: ONE ``groupby(source)`` over per-batch pre-aggregated
+    (source, n_docs, n_tokens) partials — the only exchange is
+    n_sources-cardinality (thousands of domains at web scale), and the
+    cap+normalize arithmetic runs on that tiny frame driver-side in
+    exact int64 (floor division; order-independent, so the DuckDB window
+    oracle hash-matches)."""
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        agg: dict = {}
+        for s, text in zip(src, t["text"].to_pylist()):
+            d, tk = agg.get(s, (0, 0))
+            agg[s] = (d + 1, tk + len(_TOKEN_RE.findall(text)))
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_tokens": pa.array([agg[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()
+    )
+    total = int(df["n_tokens"].sum())
+    cap = total * cap_pct // 100
+    df["capped_tokens"] = df["n_tokens"].clip(upper=cap).astype("int64")
+    denom = int(df["capped_tokens"].sum())
+    df["weight_ppm"] = (df["capped_tokens"] * scale // denom).astype("int64")
+    return (
+        df[["source", "n_docs", "n_tokens", "capped_tokens", "weight_ppm"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )

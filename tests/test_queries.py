@@ -80,6 +80,8 @@ def _to_df(x):
         "q_event_dedup_window",
         "link_pagerank",
         "pack_sequences",
+        "boilerplate_prune",
+        "source_mix_weights",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -458,3 +460,35 @@ def test_pack_sequences_boundary_spanning(ray_session):
     # docs longer than seq_len must span multiple sequences
     long = n > 7
     assert (out["seq_last"].to_numpy()[long] > out["seq_first"].to_numpy()[long]).all()
+
+
+def test_boilerplate_prune_invariants(ray_session):
+    """Survivor tokens are an ordered subsequence of the original, the
+    removal count balances, and at least one doc actually loses tokens
+    at fixture scale (hot grams exist by construction of the word-soup
+    vocabulary)."""
+    import pyarrow.parquet as pq
+
+    from langscrape_ray.pipelines.textstats import boilerplate_prune
+
+    out = (
+        boilerplate_prune(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["doc_id"] == docs["doc_id"]).all()
+    removed_total = 0
+    for clean, orig, n_rm in zip(out["clean_text"], docs["text"], out["n_removed"]):
+        w, kept = orig.split(" "), clean.split(" ") if clean else []
+        assert len(kept) + n_rm == len(w)
+        it = iter(w)
+        assert all(tok in it for tok in kept)  # ordered subsequence
+        removed_total += n_rm
+    assert removed_total > 0
