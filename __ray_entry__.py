@@ -187,6 +187,15 @@ def _crawl_host_rank(sf_dir: str) -> pd.DataFrame:
     return host_pagerank(pages, level="url")
 
 
+def _crawl_anchor_text(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text table over the crawl world's link graph (per-target
+    link counts + top normalized anchor; pipelines/graph.py)."""
+    from langscrape_ray.pipelines.graph import anchor_text_table
+
+    _cfg, pages, _seeds, _robots = _world(*_crawl_world_size(sf_dir))
+    return anchor_text_table(pages)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
@@ -377,6 +386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (frontier-priority signal; integer-exact vs a single-process
         # replay in tests/test_graph.py — no SQL analog of the HTML parse)
         "crawl_host_rank": _crawl_host_rank,
+        # anchor-text table of the crawl world's link graph (per-target
+        # link counts + most-common normalized anchor; parity vs a
+        # single-process replay in tests/test_graph.py — no SQL analog)
+        "crawl_anchor_text": _crawl_anchor_text,
     }
 
 

@@ -167,6 +167,28 @@ def page_text(html_content: str | bytes) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+def _abs_href(href: str, base_url: str) -> Optional[str]:
+    """Shared outlink absolutization: strip, drop javascript:/mailto:/#,
+    fast-path clean absolute http(s) refs (urljoin returns those verbatim
+    and skipping it saves ~6% of extract time; degenerate empty
+    query/fragment delimiters are excluded because the urlsplit round-trip
+    DROPS those — 'http://a/b?' must keep taking the urljoin path for
+    outlink-key stability), else urljoin against base_url."""
+    from urllib.parse import urljoin
+
+    href = href.strip()
+    if not href or href.startswith(("javascript:", "mailto:", "#")):
+        return None
+    if href.startswith(("http://", "https://")) and not (
+        href.endswith(("?", "#")) or "?#" in href
+    ):
+        return href
+    try:
+        return urljoin(base_url, href)
+    except ValueError:
+        return None
+
+
 def extract_outlinks(root: Node, base_url: str) -> List[str]:
     """All <a href> targets in document order, absolutized against base_url.
 
@@ -175,8 +197,6 @@ def extract_outlinks(root: Node, base_url: str) -> List[str]:
     and mailto: links are dropped; duplicates are kept (dedup is the
     frontier's job).
     """
-    from urllib.parse import urljoin
-
     out: List[str] = []
     for node in root.iter():
         if node.tag != "a":
@@ -184,24 +204,42 @@ def extract_outlinks(root: Node, base_url: str) -> List[str]:
         href = node.attrs.get("href")
         if not href:
             continue
-        href = href.strip()
-        if href.startswith(("javascript:", "mailto:", "#")):
+        a = _abs_href(href, base_url)
+        if a is not None:
+            out.append(a)
+    return out
+
+
+def extract_outlinks_with_text(
+    root: Node, base_url: str
+) -> List[tuple]:
+    """(absolute_href, anchor_text) pairs in document order — the
+    anchor-text harvesting pass of a web-graph pipeline.  Same href
+    semantics as :func:`extract_outlinks`; ``anchor_text`` is the
+    normalized concatenation of the <a> subtree's string children
+    (whitespace-collapsed via normalize_text, Comments excluded), ''
+    when the anchor has no text."""
+
+    def _subtree_text(node: Node, parts: List[str]) -> None:
+        for c in node.children:
+            if isinstance(c, Node):
+                _subtree_text(c, parts)
+            elif isinstance(c, str) and not isinstance(c, Comment):
+                parts.append(c)
+
+    out: List[tuple] = []
+    for node in root.iter():
+        if node.tag != "a":
             continue
-        if href.startswith(("http://", "https://")) and not (
-            href.endswith(("?", "#")) or "?#" in href
-        ):
-            # urljoin returns absolute http(s) refs verbatim (it does not
-            # dot-normalize them); skipping it saves ~6% of extract time.
-            # Degenerate empty query/fragment delimiters are excluded: the
-            # urlsplit round-trip DROPS those ('http://a/b?' -> that same
-            # outlink key without the '?'), so they must keep taking the
-            # urljoin path for key stability.
-            out.append(href)
+        href = node.attrs.get("href")
+        if not href:
             continue
-        try:
-            out.append(urljoin(base_url, href))
-        except ValueError:
+        a = _abs_href(href, base_url)
+        if a is None:
             continue
+        parts: List[str] = []
+        _subtree_text(node, parts)
+        out.append((a, normalize_text(" ".join(parts))))
     return out
 
 

@@ -536,3 +536,90 @@ def host_pagerank(pages, iters: int = ITERS,
             "rank_e9": ranks,
         }
     )
+
+
+def anchor_text_table(pages, top_k: int = 1) -> "pd.DataFrame":
+    """(dst_url, n_links, n_unique_anchors, top_anchor): the anchor-text
+    table of the link graph — for every canonical target URL, how many
+    links point at it, how many distinct (normalized) anchor strings those
+    links carry, and the most common anchor (ties broken lexicographically
+    smallest).  This is the classic web-corpus signal harvested for both
+    ranking and training data ("what does the web call this page").
+
+    ``pages``: Ray Dataset or pyarrow Table with (url, html) columns.
+
+    Ray shape: parse+harvest is an embarrassingly parallel ``map_batches``
+    over pages (the real extraction kernel, one parse per page); pairs
+    collapse through ONE (dst_url, anchor)-keyed ``groupby().count()``
+    whose per-block combine already dedups repeats (anchors repeat a lot —
+    nav bars), then a second groupby on dst_url alone runs the vectorized
+    per-group top-1/count fold.  Both exchanges carry (url, anchor, n)
+    triples — bytes proportional to UNIQUE pairs, not links.  At 10^10
+    pages the pair key would pack (url_hash64, anchor_hash64) into two
+    int64s with the strings attached once per unique pair — the same
+    single-int-key shuffle trick as _distinct_edges; the string-keyed
+    groupby here keeps the sf-scale parity test readable.
+
+    Parity: tests replay the same kernel single-process over the fixture
+    world and assert frame equality (no SQL analog of the HTML parse).
+    Reference analog: none (reference never follows or aggregates links);
+    brief-driven web-graph operator.
+    """
+    import pandas as pd
+
+    from langscrape_ray.frontier.canonical import canonicalize_url
+    from langscrape_ray.kernel.dom import parse_html
+    from langscrape_ray.kernel.extract import extract_outlinks_with_text
+
+    if isinstance(pages, pa.Table):
+        pages = rd.from_arrow(pages)
+
+    def harvest(t: pa.Table) -> pa.Table:
+        dsts: list = []
+        anchors: list = []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for href, anchor in extract_outlinks_with_text(
+                parse_html(html), url
+            ):
+                c = canonicalize_url(href)
+                if c is None:
+                    continue
+                dsts.append(c[0])
+                anchors.append(anchor)
+        return pa.table(
+            {
+                "dst_url": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    pair_counts = (
+        pages.map_batches(harvest, batch_format="pyarrow")
+        .groupby(["dst_url", "anchor"])
+        .count()
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n_links = int(g["count()"].sum())
+        top = g.sort_values(
+            ["count()", "anchor"], ascending=[False, True]
+        ).iloc[0]["anchor"]
+        return pd.DataFrame(
+            {
+                "dst_url": [g["dst_url"].iloc[0]],
+                "n_links": [n_links],
+                "n_unique_anchors": [len(g)],
+                "top_anchor": [top],
+            }
+        )
+
+    out = (
+        pair_counts.groupby("dst_url")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("dst_url")
+        .reset_index(drop=True)
+    )
+    out["n_links"] = out["n_links"].astype("int64")
+    out["n_unique_anchors"] = out["n_unique_anchors"].astype("int64")
+    return out

@@ -64,3 +64,40 @@ def test_crawl_pagerank_matches_replay(ray_session, level):
         # URL-level ranks differentiate (the 10-host fixture world's
         # HOST graph is complete, so host ranks are legitimately uniform)
         assert got["rank_e9"].nunique() > 1
+
+
+def test_anchor_text_matches_replay(ray_session):
+    """Distributed anchor-text table == dict-based single-process replay
+    with the same kernel parse/canonicalize/normalize chain."""
+    from collections import Counter, defaultdict
+
+    from langscrape_ray.frontier.canonical import canonicalize_url
+    from langscrape_ray.kernel.dom import parse_html
+    from langscrape_ray.kernel.extract import extract_outlinks_with_text
+    from langscrape_ray.pipelines.graph import anchor_text_table
+    from langscrape_ray.sources.fixtures_gen import (
+        FixtureConfig,
+        build_pages_table,
+    )
+
+    pages = build_pages_table(FixtureConfig(n_pages=300, n_hosts=10, n_seeds=30))
+    got = anchor_text_table(pages)
+
+    per_dst = defaultdict(Counter)
+    for url, html in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        for href, anchor in extract_outlinks_with_text(parse_html(html), url):
+            c = canonicalize_url(href)
+            if c is not None:
+                per_dst[c[0]][anchor] += 1
+    rows = []
+    for dst in sorted(per_dst):
+        cnt = per_dst[dst]
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        rows.append((dst, sum(cnt.values()), len(cnt), top))
+    want = pd.DataFrame(
+        rows, columns=["dst_url", "n_links", "n_unique_anchors", "top_anchor"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+    # anchors with text exist in the fixture world (links carry labels)
+    assert (got["top_anchor"] != "").any()
