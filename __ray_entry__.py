@@ -212,16 +212,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (53 exist as of round 3 — more than
-    # the window holds, so the three whose coverage is redundant with an
+    # SQL-oracled queries come first (54 exist as of round 3 — more than
+    # the window holds, so the four whose coverage is redundant with an
     # in-window sibling sit just past the cap: q_region_customers (A6,
     # driver-checked via q_order_priority), token_count_bpe (M22, via
-    # token_count), media_frames (multimodal, via media_meta/media_audio/
-    # media_wav).  All three stay in tests/test_queries.py's oracle gate
-    # and scripts/check_contract.py), then the rows-only approximations,
-    # with the three crawl_* queries (no SQL analog at all) last.
-    # Rows-only entries past the cap are covered by pytest (error-bound /
-    # recall / parity tests) instead.
+    # token_count), media_frames and media_audio (multimodal, via
+    # media_meta + the real-codec media_wav).  All four stay in
+    # tests/test_queries.py's oracle gate and scripts/check_contract.py),
+    # then the rows-only approximations, with the crawl_* queries (no
+    # SQL analog at all) last.  Rows-only entries past the cap are
+    # covered by pytest (error-bound / recall / parity tests) instead.
     return {
         # relational / windowed analytics (SQL-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -300,9 +300,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
         "media_meta": media.media_meta,
-        # audio feature extraction (SQL-oracled: duration/rate closed form,
-        # rms recomputed from the deterministic byte rule via range() sum)
-        "media_audio": media.media_audio,
         # REAL codec path: genuine RIFF/WAV bytes decoded by the stdlib
         # ``wave`` module (fake=False branch live, no external dep);
         # SQL-oracled: header fields in closed form, rms exactness in pytest
@@ -351,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source training-mix sampling weights with a domain cap
         # (ONE source-cardinality groupby; SQL-oracled in exact int64)
         "source_mix_weights": textstats.source_mix_weights,
+        # RefinedWeb-style exact substring dedup, first-occurrence-wins
+        # (packed occurrence keys -> per-gram min -> co-partitioned join
+        # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
+        "substring_dedup": dedup.substring_dedup,
         # ---- past the driver's 50-entry window from here ----
         # SQL-oracled but displaced (coverage redundant with in-window
         # siblings — see the ORDER MATTERS note); locally exact via
@@ -358,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_customers": analytics.q_region_customers,
         "token_count_bpe": textstats.token_count_bpe,
         "media_frames": media.media_frames,
+        "media_audio": media.media_audio,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1334,5 +1336,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(capped_tokens * 1000000 //
                         sum(capped_tokens) OVER () AS BIGINT) AS weight_ppm
             FROM capped ORDER BY source
+        """,
+        # exact substring dedup: first occurrence = min packed key per
+        # gram; every later occurrence's window is anti-joined out of the
+        # ordered string_agg rebuild (same reconstruction proof as
+        # boilerplate_prune)
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS g,
+                     doc_id * 1048576 + i AS k
+              FROM toks, UNNEST(range(1, len(t) - 2)) AS r(i)
+            ),
+            firsts AS (
+              SELECT g, min(k) AS kmin FROM grams GROUP BY g
+            ),
+            removed AS (
+              SELECT DISTINCT gr.doc_id, gr.i + o.j AS j
+              FROM grams gr
+              JOIN firsts f ON gr.g = f.g AND gr.k > f.kmin,
+                   UNNEST(range(0, 4)) AS o(j)
+            ),
+            tokens AS (
+              SELECT doc_id, i AS j, t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+            )
+            SELECT tk.doc_id,
+                   coalesce(string_agg(tk.tok, ' ' ORDER BY tk.j)
+                            FILTER (WHERE rm.j IS NULL), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE rm.j IS NOT NULL) AS BIGINT)
+                       AS n_removed
+            FROM tokens tk
+            LEFT JOIN removed rm ON tk.doc_id = rm.doc_id AND tk.j = rm.j
+            GROUP BY tk.doc_id
+            ORDER BY tk.doc_id
         """,
     }

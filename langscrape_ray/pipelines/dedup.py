@@ -1196,3 +1196,152 @@ def dedup_incremental(sf_dir: str, n_bits: int = 1 << 20) -> pd.DataFrame:
     out = pd.concat(survivors_pd_parts, ignore_index=True)
     out = out.astype({"doc_id": "int64", "is_new": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SUBSTR_POS_BITS = 20  # token positions per doc < 2^20
+
+
+def substring_dedup(sf_dir: str, n: int = 4) -> "rd.Dataset":
+    """(doc_id, clean_text, n_removed): exact substring deduplication,
+    first-occurrence-wins — the RefinedWeb/suffix-array-style cleaning
+    step at word-``n``-gram granularity.  A token is removed when some
+    ``n``-token window covering it is an exact repeat of a window that
+    occurs EARLIER in the corpus (smaller doc_id, or smaller position in
+    the same doc); the globally first occurrence of every span survives.
+    Unlike boilerplate_prune (which removes ALL occurrences of hot grams
+    past a frequency threshold), this keeps one canonical copy of every
+    duplicated span — the dedup semantics, not the cleaning semantics.
+
+    Ray shape:
+
+    1. explode windows as (gram, k) with ONE packed int64 occurrence key
+       ``k = doc_id << 20 | pos`` (loud overflow guards) — the key's
+       integer order IS the corpus order, so "first occurrence" is a
+       plain ``min``;
+    2. ``groupby(gram).map_groups``: each group emits every key except
+       its min — ONE shuffle of the narrow occurrence table, vectorized
+       numpy per group (groups are occurrence lists, tiny);
+    3. removed keys unpack to (doc_id, pos) and collapse per doc into a
+       position list (int64-keyed groupby — removed spans only, a small
+       fraction of the corpus);
+    4. the corpus LEFT-OUTER joins the per-doc removal lists on doc_id
+       (co-partitioned hash join, partitions bounded by _join_parts) and
+       a stateless rebuild masks the covered positions.
+
+    Nothing corpus-sized lands on the driver and no broadcast grows with
+    duplication volume.  At 100 TB the gram strings in the step-2 shuffle
+    pack to (md5-int64, k) pairs — same trick as _with_pair_key; the
+    string key here keeps sf-scale SQL parity readable.  Oracle: window
+    ``min() OVER`` is inexpressible per-gram, so the SQL uses the same
+    grams CTE + groupby-min + self-join + anti-join string_agg rebuild —
+    bit-exact.
+    """
+    from langscrape_ray.pipelines.util import compact_for_join
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        gs: List[str] = []
+        ks: List[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did >= (1 << (63 - _SUBSTR_POS_BITS)):
+                raise ValueError(f"doc_id {did} overflows the pack key")
+            w = text.split(" ")
+            if len(w) >= (1 << _SUBSTR_POS_BITS):
+                raise ValueError(
+                    f"doc {did} has {len(w)} tokens >= 2^{_SUBSTR_POS_BITS}; "
+                    "widen _SUBSTR_POS_BITS"
+                )
+            base = did << _SUBSTR_POS_BITS
+            for i in range(len(w) - n + 1):
+                gs.append(" ".join(w[i : i + n]))
+                ks.append(base + i)
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "k": pa.array(ks, pa.int64())}
+        )
+
+    def emit_non_first(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        if len(k) < 2:
+            return pa.table({"k": pa.array([], pa.int64())})
+        return pa.table({"k": pa.array(k[k != k.min()], pa.int64())})
+
+    removed_keys = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(emit_non_first, batch_format="pyarrow")
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(k >> _SUBSTR_POS_BITS, pa.int64()),
+                "pos": pa.array(
+                    k & ((1 << _SUBSTR_POS_BITS) - 1), pa.int64()
+                ),
+            }
+        )
+
+    def collapse(g: pa.Table) -> pa.Table:
+        # positions pack into one little-endian int64 blob per doc: Arrow
+        # hash joins reject list-typed non-key fields, binary is fine
+        pos = np.unique(g["pos"].to_numpy(zero_copy_only=False))
+        if len(pos) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rm_pos": pa.array([], pa.binary()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+                "rm_pos": pa.array(
+                    [pos.astype("<i8").tobytes()], pa.binary()
+                ),
+            }
+        )
+
+    removal_lists = compact_for_join(
+        removed_keys.map_batches(unpack, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(collapse, batch_format="pyarrow")
+    )
+
+    joined = docs.join(
+        removal_lists,
+        join_type="left_outer",
+        num_partitions=_join_parts(),
+        on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        out_id, out_text, out_n = [], [], []
+        rm_col = t["rm_pos"].to_pylist()
+        for did, text, rm in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), rm_col
+        ):
+            w = text.split(" ")
+            if not rm:
+                out_id.append(did)
+                out_text.append(text)
+                out_n.append(0)
+                continue
+            drop = bytearray(len(w))
+            for i in np.frombuffer(rm, "<i8"):
+                drop[i : i + n] = b"\x01" * n
+            kept = [tok for tok, d in zip(w, drop) if not d]
+            out_id.append(did)
+            out_text.append(" ".join(kept))
+            out_n.append(len(w) - len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_removed": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

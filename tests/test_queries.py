@@ -82,6 +82,7 @@ def _to_df(x):
         "pack_sequences",
         "boilerplate_prune",
         "source_mix_weights",
+        "substring_dedup",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
