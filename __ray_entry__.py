@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable quantile sketch over o_totalprice (rows-only:
         # rank-error vs exact quantile_disc asserted in tests)
         "orders_quantile_sketch": sketches.orders_quantile_sketch,
+        # DEFLATE-compressibility quality signal (rows-only: DuckDB has no
+        # zlib; single-process replay equality asserted in tests)
+        "compression_ratio": textstats.compression_ratio,
         # flagship crawl (rows-only: no SQL analog)
         "crawl_trace": _crawl_trace,
         "crawl_extract": _crawl_extract,

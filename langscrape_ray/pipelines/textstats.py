@@ -785,3 +785,36 @@ def source_mix_weights(
         .sort_values("source")
         .reset_index(drop=True)
     )
+
+
+def compression_ratio(sf_dir: str, level: int = 6) -> "rd.Dataset":
+    """(doc_id, raw_len, zlib_len, ratio_e4): DEFLATE compressibility — the
+    CCNet/Gopher-family quality heuristic (machine-generated / repetitive
+    text compresses far better than natural prose; pipelines gate on the
+    ratio).  ``ratio_e4 = zlib_len * 10000 // max(raw_len, 1)`` in integer
+    space.  Stateless vectorized ``map_batches``; the per-row zlib call
+    dominates, as it should.  No SQL analog (DuckDB has no DEFLATE) —
+    rows-only at the driver; pytest replays zlib single-process and
+    asserts frame equality, plus the discriminative property (a repetitive
+    doc scores materially below a unique-text doc)."""
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = [len(x.encode("utf-8")) for x in texts]
+        comp = [len(zlib.compress(x.encode("utf-8"), level)) for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "raw_len": pa.array(raw, pa.int64()),
+                "zlib_len": pa.array(comp, pa.int64()),
+                "ratio_e4": pa.array(
+                    [c * 10000 // max(r, 1) for r, c in zip(raw, comp)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -163,3 +163,28 @@ def test_substring_dedup_edges(ray_session, edge_dir):
         out.loc[i, "clean_text"] for i in range(8, 14) if out.loc[i, "clean_text"]
     ]
     assert kept_copies == ["hot gram here now"]
+
+
+def test_compression_ratio_replay(ray_session, edge_dir):
+    """Distributed output == single-process zlib replay; repetitive text
+    compresses materially better than unique text."""
+    import zlib
+
+    from langscrape_ray.pipelines.textstats import compression_ratio
+
+    out = (
+        compression_ratio(edge_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    texts = _texts(edge_dir)
+    raw = [len(t.encode()) for t in texts]
+    comp = [len(zlib.compress(t.encode(), 6)) for t in texts]
+    assert out["raw_len"].tolist() == raw
+    assert out["zlib_len"].tolist() == comp
+    assert out["ratio_e4"].tolist() == [
+        c * 10000 // max(r, 1) for r, c in zip(raw, comp)
+    ]
+    # doc 4 is a 3x-repeated span; doc 2 is unique text of similar length
+    assert out.loc[4, "ratio_e4"] < out.loc[2, "ratio_e4"]
