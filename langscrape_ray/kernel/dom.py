@@ -222,6 +222,11 @@ class _TreeBuilder(HTMLParser):
         return self.stack[-1]
 
     def handle_starttag(self, tag, attrs):
+        # stdlib path: attrs is a list of pairs; dict() keeps the last
+        # duplicate, matching the fast tokenizer's dict assignment
+        self._start(tag, dict(attrs) if attrs else None)
+
+    def _start(self, tag, attrs):
         if tag == "p" or tag in _P_CLOSERS:
             # implicit </p>
             for i in range(len(self.stack) - 1, 0, -1):
@@ -230,13 +235,13 @@ class _TreeBuilder(HTMLParser):
                     break
                 if self.stack[i].tag in ("div", "section", "article", "td", "th", "li"):
                     break
-        node = Node(tag, dict(attrs))
+        node = Node(tag, attrs)
         self.top.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        self.top.append(Node(tag, dict(attrs)))
+        self.top.append(Node(tag, dict(attrs) if attrs else None))
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
@@ -362,26 +367,35 @@ def _fast_tokenize(s: str):
                 return None
             tag = m.group(1).lower()
             i = m.end()
-            attrs = []
-            while True:
-                am = _F_ATTR.match(s, i)
-                if not am:
-                    break
-                name = am.group(1).lower()
-                val = am.group(2)
-                if val is None:
-                    val = am.group(3)
-                if val is None:
-                    val = am.group(4)
-                if val is not None and "&" in val:
-                    val = unescape(val)
-                attrs.append((name, val))
-                i = am.end()
-            em = _F_TAGEND.match(s, i)
-            if not em:
-                return None
-            i = em.end()
-            if em.group(1):
+            # attrs build as a dict directly (last occurrence wins — same
+            # as the stdlib path's dict(attr_list)); the common attr-less
+            # '>' ending skips both the attr and tag-end regexes
+            if i < n and s[i] == ">":
+                attrs: dict = {}
+                i += 1
+                em_selfclose = ""
+            else:
+                attrs = {}
+                while True:
+                    am = _F_ATTR.match(s, i)
+                    if not am:
+                        break
+                    name = am.group(1).lower()
+                    val = am.group(2)
+                    if val is None:
+                        val = am.group(3)
+                    if val is None:
+                        val = am.group(4)
+                    if val is not None and "&" in val:
+                        val = unescape(val)
+                    attrs[name] = val
+                    i = am.end()
+                em = _F_TAGEND.match(s, i)
+                if not em:
+                    return None
+                i = em.end()
+                em_selfclose = em.group(1)
+            if em_selfclose:
                 events.append(("startend", tag, attrs))
             elif tag in ("script", "style"):
                 events.append(("start", tag, attrs))
@@ -421,16 +435,19 @@ def parse_html(html_str: Union[str, bytes]) -> Node:
     builder = _TreeBuilder()
     events = _fast_tokenize(html_str)
     if events is not None:
+        # fast-path events carry attrs as ready dicts (no per-node
+        # dict(list) conversion; `or None` normalizes empties so both
+        # paths hand Node.__init__ the same argument shapes)
         for ev in events:
             kind = ev[0]
             if kind == "data":
                 builder.handle_data(ev[1])
             elif kind == "start":
-                builder.handle_starttag(ev[1], ev[2])
+                builder._start(ev[1], ev[2] or None)
             elif kind == "end":
                 builder.handle_endtag(ev[1])
             elif kind == "startend":
-                builder.handle_startendtag(ev[1], ev[2])
+                builder.top.append(Node(ev[1], ev[2] or None))
             else:
                 builder.handle_comment(ev[1])
         return builder.root
