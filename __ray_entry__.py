@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textstats.token_count_bpe,
         "media_frames": media.media_frames,
         "media_audio": media.media_audio,
+        # capped-mix application: deterministic md5 down-sampling of over-
+        # cap sources (SQL-oracled; past-cap placement, pytest-verified)
+        "mix_sample": textstats.mix_sample,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1375,5 +1378,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN removed rm ON tk.doc_id = rm.doc_id AND tk.j = rm.j
             GROUP BY tk.doc_id
             ORDER BY tk.doc_id
+        """,
+        # capped-mix sampling: same md5 fold as split_assign ('mix:'
+        # prefix, mod 1e6) against the per-source window-total fraction
+        "mix_sample": f"""
+            WITH per AS (
+              SELECT source, CAST(sum({n_tokens_sql}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            capped AS (
+              SELECT source, n_tokens,
+                     LEAST(n_tokens,
+                           CAST(sum(n_tokens) OVER () * 8 // 100 AS BIGINT))
+                         AS capped_tokens
+              FROM per),
+            frac AS (
+              SELECT source,
+                     CAST(capped_tokens * 1000000 // n_tokens AS BIGINT)
+                         AS frac_e6
+              FROM capped),
+            b AS (
+              SELECT doc_id, source,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (strpos('0123456789abcdef',
+                               substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                      i, 1)) - 1)
+                       * CAST(pow(16, 8 - i) AS BIGINT))) % 1000000
+                         AS bucket_e6
+              FROM documents)
+            SELECT b.doc_id, b.source,
+                   CAST(b.bucket_e6 AS BIGINT) AS bucket_e6, f.frac_e6
+            FROM b JOIN frac f USING (source)
+            WHERE b.bucket_e6 < f.frac_e6
+            ORDER BY b.doc_id
         """,
     }

@@ -818,3 +818,60 @@ def compression_ratio(sf_dir: str, level: int = 6) -> "rd.Dataset":
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def mix_sample(
+    sf_dir: str, cap_pct: int = 8, scale: int = 1_000_000
+) -> "rd.Dataset":
+    """(doc_id, source, bucket_e6, frac_e6): APPLY the capped training mix
+    — deterministically down-sample each over-cap source to its
+    ``source_mix_weights`` allowance and pass under-cap sources through.
+    Keep rule: ``bucket_e6 < frac_e6[source]`` where ``bucket_e6`` is the
+    first 32 bits of md5('mix:' || doc_id) mod 1e6 (hash-seeded like
+    split_assign: reproducible across runs, resumes, engines) and
+    ``frac_e6 = capped_tokens * 1e6 // n_tokens`` per source.  Returns
+    only the kept rows — the sampled corpus manifest.
+
+    Ray shape: the per-source fraction table is the output of ONE
+    source-cardinality groupby (see source_mix_weights), broadcast via
+    ``ray.put``; the keep pass is a stateless ``map_batches`` filter —
+    no second shuffle.  SQL oracle: the same md5 fold + window-total CTE.
+    """
+    import ray
+
+    frac = source_mix_weights(sf_dir, cap_pct=cap_pct, scale=scale)
+    frac_map = {
+        s: int(c) * scale // int(n)
+        for s, c, n in zip(
+            frac["source"], frac["capped_tokens"], frac["n_tokens"]
+        )
+    }
+    frac_ref = ray.put(frac_map)
+
+    class Keep:
+        def __init__(self, ref):
+            self.frac = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            srcs = t["source"].to_pylist()
+            keep_idx, buckets, fracs = [], [], []
+            for i, (did, s) in enumerate(zip(ids, srcs)):
+                h = hashlib.md5(f"mix:{did}".encode("utf-8")).hexdigest()
+                b = int(h[:8], 16) % scale
+                f = self.frac[s]
+                if b < f:
+                    keep_idx.append(i)
+                    buckets.append(b)
+                    fracs.append(f)
+            out = t.select(["doc_id", "source"]).take(keep_idx)
+            return out.append_column(
+                "bucket_e6", pa.array(buckets, pa.int64())
+            ).append_column("frac_e6", pa.array(fracs, pa.int64()))
+
+    return _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        Keep,
+        fn_constructor_args=(frac_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )

@@ -83,6 +83,7 @@ def _to_df(x):
         "boilerplate_prune",
         "source_mix_weights",
         "substring_dedup",
+        "mix_sample",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
