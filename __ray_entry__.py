@@ -199,6 +199,7 @@ def _crawl_anchor_text(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
+        curation,
         dedup,
         etl,
         graph,
@@ -212,12 +213,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (54 exist as of round 3 — more than
-    # the window holds, so the four whose coverage is redundant with an
-    # in-window sibling sit just past the cap: q_region_customers (A6,
-    # driver-checked via q_order_priority), token_count_bpe (M22, via
-    # token_count), media_frames and media_audio (multimodal, via
-    # media_meta + the real-codec media_wav).  All four stay in
+    # SQL-oracled queries come first (59 exist as of round 3 — more than
+    # the window holds, so nine whose coverage is redundant with an
+    # in-window sibling or already driver-proven hash-exact in round 2
+    # sit just past the cap: q_region_customers (A6, driver-checked via
+    # q_order_priority), token_count_bpe (M22, via token_count),
+    # media_frames and media_audio (multimodal, via media_meta + the
+    # real-codec media_wav), plus q_events_hourly / q_sessionize /
+    # q_event_dedup_window / tfidf_topk / embed_docs (all hash-exact in
+    # CORRECTNESS_r02, code untouched since — displaced to give the
+    # round-3 curation operators driver slots).  All nine stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
     # SQL analog at all) last.  Rows-only entries past the cap are
@@ -227,8 +232,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_orders": analytics.q3_top_orders,
         "q_order_priority": analytics.q_order_priority,
-        "q_events_hourly": analytics.q_events_hourly,
-        "q_sessionize": analytics.q_sessionize,
         "q_lineitem_stats": analytics.q_lineitem_stats,
         "q_grouped_sample": analytics.q_grouped_sample,
         "q_distinct_union": analytics.q_distinct_union,
@@ -279,12 +282,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII detect + redact over deterministically augmented text
         # (SQL-oracled incl. md5 of the redacted bytes)
         "pii_scan": textstats.pii_scan,
-        # top-k characteristic terms per doc by integer TF-IDF proxy
-        # (broadcast vocabulary; SQL-oracled: window row_number)
-        "tfidf_topk": textstats.tfidf_topk,
-        # feature-hashing document embeddings (batched-inference actor
-        # pattern; SQL-oracled: md5 + hex-cast + integer group-sum)
-        "embed_docs": textstats.embed_docs,
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,
@@ -293,9 +290,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semijoin": analytics.q_bloom_semijoin,
         # TPC-H Q5-style multi-hop join, every hop pre-reduced (SQL-oracled)
         "q5_nation_revenue": analytics.q5_nation_revenue,
-        # time-windowed event dedup (streaming-dedup shape; SQL-oracled:
-        # lag() window)
-        "q_event_dedup_window": analytics.q_event_dedup_window,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -352,17 +346,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (packed occurrence keys -> per-gram min -> co-partitioned join
         # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
         "substring_dedup": dedup.substring_dedup,
+        # capped-mix application: deterministic md5 down-sampling of over-
+        # cap sources (SQL-oracled)
+        "mix_sample": textstats.mix_sample,
+        # deterministic global shuffle into training shards: two-level
+        # prefix scan over hash order (SQL-oracled: row_number window)
+        "shuffle_shards": curation.shuffle_shards,
+        # corpus bigram-LM familiarity scoring (CCNet/KenLM-style quality
+        # signal; train-then-broadcast; SQL-oracled in exact int64)
+        "lm_familiarity": curation.lm_familiarity,
+        # global length-quantile gate via value-histogram — exact global
+        # quantile with NO sort (SQL-oracled: constructive cdf threshold)
+        "quantile_gate": curation.quantile_gate,
+        # cross-source distinct-n-gram overlap audit (bitmask sum-agg,
+        # no per-group Python; SQL-oracled: distinct self-join count)
+        "source_overlap": curation.source_overlap,
         # ---- past the driver's 50-entry window from here ----
         # SQL-oracled but displaced (coverage redundant with in-window
-        # siblings — see the ORDER MATTERS note); locally exact via
+        # siblings or hash-exact in CORRECTNESS_r02 with code untouched
+        # since — see the ORDER MATTERS note); locally exact via
         # scripts/check_contract.py and tests/test_queries.py
         "q_region_customers": analytics.q_region_customers,
         "token_count_bpe": textstats.token_count_bpe,
         "media_frames": media.media_frames,
         "media_audio": media.media_audio,
-        # capped-mix application: deterministic md5 down-sampling of over-
-        # cap sources (SQL-oracled; past-cap placement, pytest-verified)
-        "mix_sample": textstats.mix_sample,
+        "q_events_hourly": analytics.q_events_hourly,
+        "q_sessionize": analytics.q_sessionize,
+        "q_event_dedup_window": analytics.q_event_dedup_window,
+        "tfidf_topk": textstats.tfidf_topk,
+        "embed_docs": textstats.embed_docs,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1410,5 +1422,75 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN frac f USING (source)
             WHERE b.bucket_e6 < f.frac_e6
             ORDER BY b.doc_id
+        """,
+        # deterministic shuffle-shard layout: same md5 fold, rank within
+        # shard by (h, doc_id) — the window row_number IS the prefix scan
+        "shuffle_shards": """
+            WITH f AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (strpos('0123456789abcdef',
+                               substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                                      i, 1)) - 1)
+                       * CAST(pow(16, 8 - i) AS BIGINT))) AS h
+              FROM documents)
+            SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard,
+                   CAST(h AS BIGINT) AS h,
+                   CAST(row_number() OVER (PARTITION BY h % 16
+                                           ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM f ORDER BY doc_id
+        """,
+        # bigram-LM familiarity: corpus bigram counts rejoined to each
+        # document's bigram occurrences, exact integer totals
+        "lm_familiarity": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            bg AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              FROM toks,
+                   unnest(generate_series(1, array_length(w) - 1)) AS t(i)),
+            cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+            per AS (
+              SELECT bg.doc_id, count(*) AS n_bigrams,
+                     sum(cnt.c) AS sum_bg_freq,
+                     sum(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS n_hapax
+              FROM bg JOIN cnt USING (g) GROUP BY bg.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(per.sum_bg_freq, 0) AS BIGINT)
+                       AS sum_bg_freq,
+                   CAST(coalesce(per.n_hapax, 0) AS BIGINT) AS n_hapax
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
+        """,
+        # global length-quantile gate: the constructive threshold (smallest
+        # v with cdf*100 >= q*total) matches the Ray histogram cumsum
+        "quantile_gate": f"""
+            WITH tok AS (
+              SELECT doc_id, CAST({n_tokens_sql} AS BIGINT) AS n_tokens
+              FROM documents),
+            hist AS (SELECT n_tokens AS v, count(*) AS c FROM tok GROUP BY v),
+            cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                           sum(c) OVER () AS tot
+                    FROM hist),
+            thr AS (SELECT min(v) AS t FROM cdf WHERE cum * 100 >= 25 * tot)
+            SELECT doc_id, n_tokens FROM tok, thr
+            WHERE n_tokens >= thr.t ORDER BY doc_id
+        """,
+        # cross-source distinct-trigram overlap: DISTINCT (source, gram)
+        # self-join — the reference semantics of the bitmask sum-agg
+        "source_overlap": """
+            WITH toks AS (
+              SELECT source, string_split(text, ' ') AS w FROM documents),
+            g AS (
+              SELECT DISTINCT source,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks,
+                   unnest(generate_series(1, array_length(w) - 2)) AS t(i))
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS shared_grams
+            FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

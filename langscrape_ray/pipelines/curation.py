@@ -1,0 +1,388 @@
+"""Corpus-curation operators: shard shuffling, LM-familiarity scoring,
+global quantile gating, cross-source overlap audit.
+
+Training-data-pipeline operators beyond the reference (task brief):
+the steps between a cleaned web corpus and a training mix — lay the
+kept documents into deterministically shuffled shards, score each
+document against a corpus n-gram LM (the CCNet/KenLM quality signal),
+gate on a global length quantile, and audit n-gram overlap between
+sources before mixing.  All are SQL-oracled with exact integer
+arithmetic; hash folds reuse the md5 idiom of ``split_assign``
+(textstats.py:230) so results are reproducible across runs, resumes
+and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .textstats import _TOKEN_RE, _read_docs
+
+# coarse hash-order buckets for the shuffle_shards prefix scan: h is a
+# 32-bit md5 fold, so h >> (32 - _HB_BITS) yields 2^_HB_BITS contiguous
+# ranges of the within-shard sort order
+_HB_BITS = 6
+
+
+def _md5_fold32(s: str) -> int:
+    """First 32 bits of md5(s) — the split_assign/mix_sample hash fold."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 16) -> "rd.Dataset":
+    """(doc_id, shard, h, pos): deterministic global shuffle of the corpus
+    into ``n_shards`` training shards — the write-side step before
+    sequence packing.  ``shard = md5_32('shuf:'||doc_id) % n_shards``;
+    ``pos`` is the document's 0-based position within its shard under the
+    shuffled order ``(h, doc_id)``.  Hash-seeded like ``split_assign``:
+    no RNG state, so a resumed or re-run job lands every document in the
+    same shard slot.
+
+    Ray shape — the pack_sequences two-level prefix scan transposed onto
+    hash order (textstats.py:542):
+
+    1. one stateless pass computes the narrow (doc_id, h, shard, hb)
+       table, where ``hb = h >> (32-_HB_BITS)`` is a coarse bucket of the
+       within-shard sort order (md5 is uniform, so buckets are balanced);
+    2. ``groupby(shard*2^B + hb)`` row counts — n_shards * 2^B rows cross
+       the wire, KBs at any corpus size — and the driver cumsums them in
+       (shard, hb) order into exclusive offsets, broadcast once;
+    3. ``groupby(key).map_groups`` sorts each bucket by (h, doc_id) and
+       adds ``offset + arange`` — ONE hash shuffle of the narrow table.
+
+    At 10^10+ docs widen _HB_BITS so buckets stay under block size; the
+    offset table grows only with 2^B.  Oracle: ``row_number() OVER
+    (PARTITION BY shard ORDER BY h, doc_id) - 1``.
+    """
+    import ray
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = np.fromiter(
+            (_md5_fold32(f"shuf:{d}") for d in ids), np.int64, len(ids)
+        )
+        shard = h % n_shards
+        hb = h >> (32 - _HB_BITS)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(h, pa.int64()),
+                "shard": pa.array(shard, pa.int64()),
+                "key": pa.array(shard * (1 << _HB_BITS) + hb, pa.int64()),
+            }
+        )
+
+    narrow = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(fold, batch_format="pyarrow")
+        .materialize()  # 32 B/doc; scanned twice (counts, then rank pass)
+    )
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        narrow.groupby("key")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("key")  # key order == (shard, hb) order
+    )
+    csum = counts["n"].astype("int64").cumsum()
+    excl = (csum - counts["n"]).to_numpy()
+    # per-shard exclusive offsets: subtract each shard's first cumsum base
+    keys = counts["key"].to_numpy()
+    shard_of = keys >> _HB_BITS
+    shard_base = {}
+    offsets = {}
+    for k, off, s in zip(keys, excl, shard_of):
+        if s not in shard_base:
+            shard_base[s] = off
+        offsets[int(k)] = int(off - shard_base[s])
+    off_ref = ray.put(offsets)
+
+    def rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        g = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        base = ray.get(off_ref)[int(g["key"][0].as_py())]
+        pos = base + np.arange(g.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "h": g["h"],
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return narrow.groupby("key").map_groups(rank, batch_format="pyarrow")
+
+
+def lm_familiarity(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_bigrams, sum_bg_freq, n_hapax): corpus bigram-LM
+    familiarity scoring — the CCNet/KenLM-style quality signal that ranks
+    documents by how typical their word transitions are of the corpus.
+    For each document, over its word bigrams (single-space split for SQL
+    parity): ``sum_bg_freq`` is the sum of corpus-wide occurrence counts
+    of each bigram, ``n_hapax`` counts bigrams whose corpus count is 1
+    (seen nowhere else — gibberish indicator).  Integer totals, so the
+    oracle hash-matches regardless of summation order.
+
+    Ray shape — train-then-broadcast, the standard LM-scoring pattern:
+
+    1. per-batch bigram-count partials → ``groupby(g).sum`` — the only
+       shuffle, over (gram, count) partials already combined per block;
+    2. the model table streams to the driver and broadcasts ONCE via
+       ``ray.put`` (at 100 TB the model is pruned/quantized before
+       broadcast exactly as KenLM binaries are; the no-broadcast
+       alternative — explode doc bigrams and co-partition-join against
+       the count table — trades one more corpus-sized shuffle for zero
+       driver state);
+    3. a stateless scoring pass reads the broadcast dict per actor.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t["text"].to_pylist():
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                g = w[i] + " " + w[i + 1]
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "g": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    model: dict = {}
+    for part in (
+        docs.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="c"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        model.update(zip(part["g"].to_pylist(), part["c"].to_pylist()))
+    model_ref = ray.put(model)
+
+    class Score:
+        def __init__(self, ref):
+            self.model = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.model
+            nb, freq, hap = [], [], []
+            for text in t["text"].to_pylist():
+                w = text.split(" ")
+                s = h = 0
+                for i in range(len(w) - 1):
+                    c = m[w[i] + " " + w[i + 1]]
+                    s += c
+                    if c == 1:
+                        h += 1
+                nb.append(max(len(w) - 1, 0))
+                freq.append(s)
+                hap.append(h)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bigrams": pa.array(nb, pa.int64()),
+                    "sum_bg_freq": pa.array(freq, pa.int64()),
+                    "n_hapax": pa.array(hap, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Score,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+
+def quantile_gate(sf_dir: str, q_pct: int = 25) -> "rd.Dataset":
+    """(doc_id, n_tokens): global length-quantile gate — keep documents
+    whose whitespace token count is at or above the corpus ``q_pct``-th
+    percentile.  The threshold is defined constructively (smallest v with
+    ``100 * count(n_tokens <= v) >= q_pct * total``, i.e. quantile_disc
+    semantics) so Ray and SQL agree exactly.
+
+    Ray shape — exact global quantile WITHOUT a global sort: token counts
+    have a bounded value domain, so a ``groupby(n_tokens).count``
+    value-histogram (domain-cardinality rows cross the wire, not corpus
+    rows) feeds a driver-side cumsum that picks the threshold; the gate
+    itself is a stateless filter over the materialized narrow
+    (doc_id, n_tokens) table.  At 100 TB with long-tail lengths, bucket
+    the histogram (n_tokens // W) and refine within the winning bucket —
+    two histogram passes, still no sort.
+    """
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    narrow = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_fn, batch_format="pyarrow")
+        .materialize()  # 16 B/doc; tokenization runs once
+    )
+
+    from ray.data.aggregate import Count
+
+    hist = (
+        narrow.groupby("n_tokens")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    cum = hist["c"].astype("int64").cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    idx = np.searchsorted(cum * 100, q_pct * total, side="left")
+    threshold = int(hist["n_tokens"].iloc[int(idx)]) if total else 0
+
+    return narrow.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tokens"], threshold)),
+        batch_format="pyarrow",
+    )
+
+
+def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """(src_a, src_b, shared_grams): cross-source contamination audit —
+    for every unordered pair of sources, the number of DISTINCT word
+    ``n``-grams appearing in both.  High overlap between two sources
+    means mixing weights double-count the same content (the audit run
+    before ``source_mix_weights``).
+
+    Ray shape — bitmask sum-aggregation, NO per-group Python:
+
+    1. per-batch DISTINCT (gram, source_id) partials (sources get dense
+       ids from one tiny pre-scan of the source column);
+    2. ``groupby(gram||sep||src)`` count — the global dedupe, one hash
+       shuffle, vectorized;
+    3. unpack to (gram, 1 << src_id) and ``groupby(gram).Sum`` — because
+       step 2 made rows unique, the SUM of single-bit masks IS the
+       bitwise OR: each gram reduces to one int64 source bitmask;
+    4. a stateless pass expands set-bit pairs per DISTINCT mask value
+       (memoized — the number of distinct masks is bounded by observed
+       source combinations, not grams) into per-batch pair-count
+       partials; the final pair frame is <= S^2/2 rows and folds on the
+       driver.
+
+    Requires <= 63 sources per bitmask word (loud guard); at a wider
+    source taxonomy the mask becomes a fixed-length list of words and
+    step 3 sums each word — same shape.  Gram strings in the step-2/3
+    shuffles pack to md5-int64 at 100 TB (the _with_pair_key trick);
+    string keys here keep sf-scale SQL parity readable.
+    """
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    srcs = sorted(docs.select_columns(["source"]).unique("source"))
+    if len(srcs) > 63:
+        raise ValueError(
+            f"{len(srcs)} sources exceed the 63-bit mask word; extend "
+            "source_overlap to multi-word bitmasks"
+        )
+    sid = {s: i for i, s in enumerate(srcs)}
+
+    def gram_src(t: pa.Table) -> pa.Table:
+        seen = set()
+        for s, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            i = sid[s]
+            w = text.split(" ")
+            for j in range(len(w) - n + 1):
+                seen.add((" ".join(w[j : j + n]), i))
+        return pa.table(
+            {
+                "k": pa.array(
+                    [f"{g}\x1f{i}" for g, i in seen], pa.string()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    uniq = (
+        docs.map_batches(gram_src, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="_"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ks = t["k"].to_pylist()
+        g, m = [], []
+        for k in ks:
+            gram, _, i = k.rpartition("\x1f")
+            g.append(gram)
+            m.append(1 << int(i))
+        return pa.table(
+            {
+                "g": pa.array(g, pa.string()),
+                "mask": pa.array(m, pa.int64()),
+            }
+        )
+
+    masks = (
+        uniq.map_batches(unpack, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("mask", alias_name="mask"))
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+        agg: dict = {}
+        for mask in t["mask"].to_pylist():
+            pairs = memo.get(mask)
+            if pairs is None:
+                bits = [b for b in range(64) if mask >> b & 1]
+                pairs = [
+                    (a, b)
+                    for ai, a in enumerate(bits)
+                    for b in bits[ai + 1 :]
+                ]
+                memo[mask] = pairs
+            for p in pairs:
+                agg[p] = agg.get(p, 0) + 1
+        items = list(agg.items())
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p, _ in items], pa.int64()),
+                "b": pa.array([p[1] for p, _ in items], pa.int64()),
+                "n": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    out: dict = {}
+    for part in masks.map_batches(
+        pair_partials, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for a, b, c in zip(
+            part["a"].to_pylist(), part["b"].to_pylist(), part["n"].to_pylist()
+        ):
+            out[(a, b)] = out.get((a, b), 0) + c
+    rows = sorted((srcs[a], srcs[b], c) for (a, b), c in out.items())
+    return pd.DataFrame(
+        {
+            "src_a": [r[0] for r in rows],
+            "src_b": [r[1] for r in rows],
+            "shared_grams": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )

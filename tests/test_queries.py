@@ -84,6 +84,10 @@ def _to_df(x):
         "source_mix_weights",
         "substring_dedup",
         "mix_sample",
+        "shuffle_shards",
+        "lm_familiarity",
+        "quantile_gate",
+        "source_overlap",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
