@@ -213,16 +213,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (59 exist as of round 3 — more than
-    # the window holds, so nine whose coverage is redundant with an
+    # SQL-oracled queries come first (60 exist as of round 3 — more than
+    # the window holds, so ten whose coverage is redundant with an
     # in-window sibling or already driver-proven hash-exact in round 2
     # sit just past the cap: q_region_customers (A6, driver-checked via
     # q_order_priority), token_count_bpe (M22, via token_count),
     # media_frames and media_audio (multimodal, via media_meta + the
     # real-codec media_wav), plus q_events_hourly / q_sessionize /
-    # q_event_dedup_window / tfidf_topk / embed_docs (all hash-exact in
-    # CORRECTNESS_r02, code untouched since — displaced to give the
-    # round-3 curation operators driver slots).  All nine stay in
+    # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df (all
+    # hash-exact in CORRECTNESS_r02, code untouched since — displaced to
+    # give the round-3 curation operators driver slots).  All ten stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
     # SQL analog at all) last.  Rows-only entries past the cap are
@@ -272,8 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         # similarity search (exact baseline; approximate variants below)
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
-        # document-frequency vocabulary (TF-IDF building block; SQL-oracled)
-        "doc_term_df": textstats.doc_term_df,
+        # full-text inverted index: term-partitioned posting lists
+        # (SQL-oracled: DISTINCT explode + ordered string_agg)
+        "inverted_index": curation.inverted_index,
         # Gopher-style repetition signals (integer counts; SQL-oracled)
         "repetition_stats": textstats.repetition_stats,
         # benchmark n-gram decontamination (broadcast bench-gram set;
@@ -375,9 +376,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_dedup_window": analytics.q_event_dedup_window,
         "tfidf_topk": textstats.tfidf_topk,
         "embed_docs": textstats.embed_docs,
+        "doc_term_df": textstats.doc_term_df,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
+        # distributed BPE tokenizer-vocab induction (rows-only: iterative
+        # argmax has no SQL analog; exact vs a single-process reference
+        # in tests/test_curation.py)
+        "bpe_merges": curation.bpe_merges,
         "dedup_minhash": dedup.minhash_dedup,           # rows-only (LSH)
         "dedup_simhash": dedup.simhash_neardup_pairs,   # rows-only
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,  # rows-only (LSH scale path)
@@ -1477,6 +1483,17 @@ def oracle_sql() -> dict[str, str]:
             thr AS (SELECT min(v) AS t FROM cdf WHERE cum * 100 >= 25 * tot)
             SELECT doc_id, n_tokens FROM tok, thr
             WHERE n_tokens >= thr.t ORDER BY doc_id
+        """,
+        # inverted index: DISTINCT (term, doc) explode + ordered postings
+        "inverted_index": """
+            WITH t AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            SELECT term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM t GROUP BY term ORDER BY term
         """,
         # cross-source distinct-trigram overlap: DISTINCT (source, gram)
         # self-join — the reference semantics of the bitmask sum-agg

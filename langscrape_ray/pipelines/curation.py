@@ -265,6 +265,210 @@ def quantile_gate(sf_dir: str, q_pct: int = 25) -> "rd.Dataset":
     )
 
 
+def inverted_index(sf_dir: str) -> "rd.Dataset":
+    """(term, df, postings): full-text inverted index over the corpus —
+    each whitespace term with its document frequency and its posting list
+    (comma-joined sorted doc_ids, the exact-parity encoding; a production
+    sink would delta-encode ints).  The retrieval-side artifact a corpus
+    engine emits next to the training shards.
+
+    Ray shape: per-batch DISTINCT (term, doc_id) partials →
+    ``groupby(term).map_groups`` sorting each group's doc_ids — ONE hash
+    shuffle, term-partitioned output (the natural index layout: a term's
+    posting list lives in exactly one partition).  At 100 TB posting
+    lists for stop-terms get long — cap or tier them (store df only past
+    a length bound) exactly as web indexes do; the shuffle itself is on
+    (term, doc_id) pairs, never full documents.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def term_doc(t: pa.Table) -> pa.Table:
+        seen = set()
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(text.split(" ")):
+                seen.add((w, did))
+        items = sorted(seen)
+        return pa.table(
+            {
+                "term": pa.array([w for w, _ in items], pa.string()),
+                "doc_id": pa.array([d for _, d in items], pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        return pa.table(
+            {
+                "term": pa.array([group["term"][0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array(
+                    [",".join(str(i) for i in ids)], pa.string()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(term_doc, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """(rank, left, right, pair_count): distributed BPE tokenizer-vocab
+    induction — the Sennrich byte-pair-encoding trainer run as an
+    iterative Ray Data job.  Words become symbol sequences (chars +
+    ``</w>``); each round counts adjacent symbol pairs weighted by word
+    frequency (overlapping occurrences count, as in the reference
+    algorithm), merges the globally most frequent pair (ties: smallest
+    (left, right) lexicographically — deterministic across partitions and
+    engines), and rewrites the vocabulary left-to-right non-overlapping.
+
+    Ray shape — the word-frequency table is the working set, NOT the
+    corpus: one corpus-sized ``groupby(word).sum`` builds it (the only
+    corpus-volume exchange), then every merge round runs over the
+    vocab-sized table: per-batch pair-count partials → ``groupby(pair)
+    .sum`` → per-block argmax → a driver fold over n_blocks candidates →
+    ``ray.put`` the winning pair → a stateless rewrite pass, materialized
+    per round so lineage stays one round deep (the PageRank BSP pattern,
+    graph.py).  At web scale the vocab table is millions of rows — the
+    per-round shuffles move (pair, count) partials only, and the corpus
+    is never touched again after round 0.
+
+    Rows-only query (iterative argmax has no SQL analog); exactness is
+    asserted against an independent single-process reference in
+    tests/test_curation.py.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["text"])
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t["text"].to_pylist():
+            for w in text.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "freq": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        syms = [
+            " ".join(list(w) + ["</w>"]) for w in t["word"].to_pylist()
+        ]
+        return pa.table(
+            {"syms": pa.array(syms, pa.string()), "freq": t["freq"]}
+        )
+
+    vocab = (
+        docs.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for syms, f in zip(t["syms"].to_pylist(), t["freq"].to_pylist()):
+            s = syms.split(" ")
+            for i in range(len(s) - 1):
+                p = s[i] + "\x1f" + s[i + 1]
+                counts[p] = counts.get(p, 0) + f
+        return pa.table(
+            {
+                "p": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def local_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        # max count; ties by SMALLEST pair string (codepoint order)
+        best = min(
+            zip(t["c"].to_pylist(), t["p"].to_pylist()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return pa.table(
+            {
+                "p": pa.array([best[1]], pa.string()),
+                "c": pa.array([best[0]], pa.int64()),
+            }
+        )
+
+    merges = []
+    for rank in range(n_merges):
+        cand = (
+            vocab.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby("p")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(local_best, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["c", "p"], ascending=[False, True]
+        ).iloc[0]
+        left, right = cand["p"].split("\x1f")
+        count = int(cand["c"])
+        merges.append((rank, left, right, count))
+        pair_ref = ray.put((left, right))
+
+        def rewrite(t: pa.Table, _ref=pair_ref) -> pa.Table:
+            lft, rgt = ray.get(_ref)
+            merged = lft + rgt
+            out = []
+            for syms in t["syms"].to_pylist():
+                s = syms.split(" ")
+                res, i = [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == lft
+                        and s[i + 1] == rgt
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(" ".join(res))
+            return pa.table(
+                {
+                    "syms": pa.array(out, pa.string()),
+                    "freq": t["freq"],
+                }
+            )
+
+        vocab = vocab.map_batches(
+            rewrite, batch_format="pyarrow"
+        ).materialize()
+
+    return pd.DataFrame(
+        {
+            "rank": pd.array([m[0] for m in merges], dtype="int64"),
+            "left": [m[1] for m in merges],
+            "right": [m[2] for m in merges],
+            "pair_count": pd.array([m[3] for m in merges], dtype="int64"),
+        }
+    )
+
+
 def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
     """(src_a, src_b, shared_grams): cross-source contamination audit —
     for every unordered pair of sources, the number of DISTINCT word

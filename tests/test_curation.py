@@ -1,0 +1,110 @@
+"""Curation-operator tests: BPE trainer vs an independent single-process
+reference, shuffle_shards layout invariants, source_overlap guards.
+
+The SQL-oracle parity of shuffle_shards / lm_familiarity / quantile_gate /
+source_overlap / inverted_index runs in tests/test_queries.py; these tests
+cover the properties an oracle can't express.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from langscrape_ray.pipelines import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(texts, n_merges):
+    """Independent Sennrich-style BPE: dict-of-tuples vocabulary, pair
+    stats weighted by word frequency, greedy left-to-right merge."""
+    wf = {}
+    for tx in texts:
+        for w in tx.split(" "):
+            wf[w] = wf.get(w, 0) + 1
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in wf.items()}
+    out = []
+    for rank in range(n_merges):
+        stats = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                stats[k] = stats.get(k, 0) + f
+        if not stats:
+            break
+        (left, right), count = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((rank, left, right, count))
+        new = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            k = tuple(res)
+            new[k] = new.get(k, 0) + f
+        vocab = new
+    return out
+
+
+def test_bpe_matches_single_process_reference(ray_session):
+    dist = curation.bpe_merges(SF, n_merges=8)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    ref = _reference_bpe(texts, 8)
+    got = list(
+        zip(
+            dist["rank"].tolist(),
+            dist["left"].tolist(),
+            dist["right"].tolist(),
+            dist["pair_count"].tolist(),
+        )
+    )
+    assert got == ref
+    # merge table is a real vocabulary: merged symbols grow
+    assert all(len(l) + len(r) >= 2 for _, l, r, _ in got)
+
+
+def test_shuffle_shards_layout_invariants(ray_session):
+    df = curation.shuffle_shards(SF).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert len(df) == n_docs
+    assert df["doc_id"].is_unique
+    for shard, g in df.groupby("shard"):
+        # positions are dense 0..len-1 within each shard
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+        # pos order == (h, doc_id) order
+        ordered = g.sort_values(["h", "doc_id"])["pos"].tolist()
+        assert ordered == list(range(len(g)))
+
+
+def test_quantile_gate_threshold_is_quantile(ray_session):
+    kept = curation.quantile_gate(SF, q_pct=25).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    # at least 75% of docs survive a P25 gate, and never all unless
+    # the corpus is constant-length
+    assert len(kept) >= 0.75 * n_docs
+    assert kept["n_tokens"].min() >= 1
+
+
+def test_source_overlap_guard_on_too_many_sources(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(70), pa.int64()),
+            "text": pa.array(["a b c"] * 70, pa.string()),
+            "lang": pa.array(["en"] * 70, pa.string()),
+            "source": pa.array([f"s{i}" for i in range(70)], pa.string()),
+            "n_chars": pa.array([5] * 70, pa.int64()),
+        }
+    )
+    pqw.write_table(t, tmp_path / "documents.parquet")
+    with pytest.raises(ValueError, match="63-bit"):
+        curation.source_overlap(str(tmp_path))

@@ -88,6 +88,7 @@ def _to_df(x):
         "lm_familiarity",
         "quantile_gate",
         "source_overlap",
+        "inverted_index",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
