@@ -170,6 +170,20 @@ def _crawl_records(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _crawl_corpus(sf_dir: str) -> pd.DataFrame:
+    """Crawl -> extract -> token gate -> corpus-wide exact dedup (earliest
+    seq wins) -> per-host novelty rollup (pipelines/prep.py
+    crawl_corpus_rollup; rows-only — no SQL analog of the crawl)."""
+    from langscrape_ray.pipelines.prep import crawl_corpus_rollup
+
+    _res, t = _crawl_result(sf_dir)
+    if t is None:
+        return pd.DataFrame(
+            columns=["host", "n_pages", "n_kept", "n_unique", "uniq_tokens"]
+        )
+    return crawl_corpus_rollup(t)
+
+
 def _crawl_trace(sf_dir: str) -> pd.DataFrame:
     res, _t = _crawl_result(sf_dir)
     return pd.DataFrame(
@@ -408,6 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trace": _crawl_trace,
         "crawl_extract": _crawl_extract,
         "crawl_records": _crawl_records,
+        # crawl->corpus composite: gate + exact dedup (earliest-seq keeper
+        # via packed Min) + per-host novelty rollup (rows-only; parity vs
+        # an independent pandas recomputation in tests/test_curation.py)
+        "crawl_corpus": _crawl_corpus,
         # host-level link-graph PageRank over the crawl world's outlinks
         # (frontier-priority signal; integer-exact vs a single-process
         # replay in tests/test_graph.py — no SQL analog of the HTML parse)

@@ -161,3 +161,153 @@ def prep_corpus(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["pred_lang", "token_bin"]).reset_index(drop=True)
+
+
+# crawl_corpus packing: seq in the high bits so Min(packed) is the
+# earliest-crawled copy; host id + token count ride along in the low bits
+_CC_SEQ_BITS = 26    # seq < 2^26 (~67M fetches per run)
+_CC_HOST_BITS = 13   # host_id < 8192
+_CC_TOK_BITS = 20    # n_tokens < 2^20
+
+
+def crawl_corpus_rollup(
+    extracted: "pa.Table", min_tokens: int = 5
+) -> pd.DataFrame:
+    """(host, n_pages, n_kept, n_unique, uniq_tokens): the crawl->corpus
+    composite — take the crawl's extracted-records table, gate on token
+    count, exact-dedup the gated texts corpus-wide (earliest crawl seq
+    wins), and roll the result up per host.  ``n_pages`` counts extracted
+    pages, ``n_kept`` the gate survivors, ``n_unique`` the kept pages
+    that are the corpus-wide FIRST copy of their text, ``uniq_tokens``
+    the token total over those keepers — the "how much novel text did
+    each host contribute" table a crawl operator reads before widening a
+    host's budget.
+
+    Ray shape — two small shuffles, NO broadcast and NO corpus-sized
+    driver state:
+
+    1. one stateless pass computes (text_hash, packed, host_id) where
+       ``packed = seq << (H+T) | host_id << T | n_tokens`` (loud overflow
+       guards, the prep_corpus/_with_pair_key idiom) plus per-batch
+       (host, n_pages, n_kept) partials;
+    2. ``groupby(text_hash).Min(packed)`` — min seq IS the keeper, and
+       the keeper's host and token count unpack from the winning value,
+       so no join back to the corpus is needed;
+    3. keeper rows pre-aggregate per host and meet the pass-1 partials in
+       one final host-cardinality groupby.
+
+    Rows-only query (no SQL analog of the crawl); exactness is asserted
+    against an independent pandas recomputation in tests/test_curation.py.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    hosts = sorted(set(extracted["host"].to_pylist()))
+    host_id = {h: i for i, h in enumerate(hosts)}
+    if len(hosts) >= (1 << _CC_HOST_BITS):
+        raise ValueError(
+            f"{len(hosts)} hosts exceed the {_CC_HOST_BITS}-bit pack "
+            "field; widen _CC_HOST_BITS"
+        )
+
+    chunks = [
+        extracted.slice(off, 2048)
+        for off in range(0, extracted.num_rows, 2048)
+    ] or [extracted]
+    ds = rd.from_arrow(chunks)
+
+    def fold(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        hs, packed = [], []
+        for host, seq, text in zip(
+            t["host"].to_pylist(),
+            t["seq"].to_pylist(),
+            t["text"].to_pylist(),
+        ):
+            n_tok = len(_TOKEN_RE.findall(text))
+            if n_tok >= min_tokens:
+                if seq >= (1 << _CC_SEQ_BITS) or seq < 0:
+                    raise ValueError(
+                        f"seq={seq} exceeds the {_CC_SEQ_BITS}-bit pack "
+                        "field; widen _CC_SEQ_BITS"
+                    )
+                if n_tok >= (1 << _CC_TOK_BITS):
+                    raise ValueError(
+                        f"n_tokens={n_tok} exceeds the {_CC_TOK_BITS}-bit "
+                        "pack field; widen _CC_TOK_BITS"
+                    )
+                h = int.from_bytes(
+                    hashlib.md5(text.encode("utf-8")).digest()[:8], "big"
+                ) >> 1
+                hs.append(h)
+                packed.append(
+                    (seq << (_CC_HOST_BITS + _CC_TOK_BITS))
+                    | (host_id[host] << _CC_TOK_BITS)
+                    | n_tok
+                )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    def page_partials(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for host, text in zip(t["host"].to_pylist(), t["text"].to_pylist()):
+            p, k = agg.get(host, (0, 0))
+            n_tok = len(_TOKEN_RE.findall(text))
+            agg[host] = (p + 1, k + (1 if n_tok >= min_tokens else 0))
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "host": pa.array([h for h, _ in items], pa.string()),
+                "n_pages": pa.array([v[0] for _, v in items], pa.int64()),
+                "n_kept": pa.array([v[1] for _, v in items], pa.int64()),
+            }
+        )
+
+    def keeper_partials(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for packed in t["packed"].to_pylist():
+            hid = (packed >> _CC_TOK_BITS) & ((1 << _CC_HOST_BITS) - 1)
+            n_tok = packed & ((1 << _CC_TOK_BITS) - 1)
+            u, s = agg.get(hid, (0, 0))
+            agg[hid] = (u + 1, s + n_tok)
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "host": pa.array([hosts[i] for i, _ in items], pa.string()),
+                "n_unique": pa.array([v[0] for _, v in items], pa.int64()),
+                "uniq_tokens": pa.array(
+                    [v[1] for _, v in items], pa.int64()
+                ),
+            }
+        )
+
+    pages = (
+        ds.map_batches(page_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_kept", alias_name="n_kept"),
+        )
+        .to_pandas()
+    )
+    keepers = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(keeper_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_unique", alias_name="n_unique"),
+            Sum("uniq_tokens", alias_name="uniq_tokens"),
+        )
+        .to_pandas()
+    )
+    out = pages.merge(keepers, on="host", how="left")
+    for c in ("n_unique", "uniq_tokens"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

@@ -108,3 +108,55 @@ def test_source_overlap_guard_on_too_many_sources(ray_session, tmp_path):
     pqw.write_table(t, tmp_path / "documents.parquet")
     with pytest.raises(ValueError, match="63-bit"):
         curation.source_overlap(str(tmp_path))
+
+
+def test_crawl_corpus_rollup_matches_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    from langscrape_ray.pipelines.prep import crawl_corpus_rollup
+
+    # synthetic extracted table: dup texts across hosts, a too-short text,
+    # and seq order that makes the keeper's host differ from doc order
+    rows = [
+        ("u0", "h-a", 5, "alpha beta gamma delta epsilon zeta"),
+        ("u1", "h-b", 2, "alpha beta gamma delta epsilon zeta"),  # dup, earlier seq -> keeper
+        ("u2", "h-a", 1, "tiny"),                                  # gated out (<5 tokens)
+        ("u3", "h-c", 7, "one two three four five six seven"),
+        ("u4", "h-c", 3, "one two three four five six seven"),     # dup, keeper
+        ("u5", "h-b", 9, "unique text with exactly six tokens"),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "seq": pa.array([r[2] for r in rows], pa.int64()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    got = crawl_corpus_rollup(t, min_tokens=5)
+
+    # independent recomputation
+    df = t.to_pandas()
+    df["n_tok"] = df["text"].str.split().str.len()
+    kept = df[df["n_tok"] >= 5]
+    keeper_seq = kept.groupby("text")["seq"].min()
+    keepers = kept[kept["seq"] == kept["text"].map(keeper_seq)]
+    exp = (
+        df.groupby("host")
+        .agg(n_pages=("url", "size"))
+        .join(kept.groupby("host").agg(n_kept=("url", "size")))
+        .join(
+            keepers.groupby("host").agg(
+                n_unique=("url", "size"), uniq_tokens=("n_tok", "sum")
+            )
+        )
+        .fillna(0)
+        .astype("int64")
+        .reset_index()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.loc[got.host == "h-b", "n_unique"].item() == 2
+    assert got.loc[got.host == "h-a", "n_unique"].item() == 0
