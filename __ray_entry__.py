@@ -227,16 +227,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (60 exist as of round 3 — more than
-    # the window holds, so ten whose coverage is redundant with an
+    # SQL-oracled queries come first (61 exist as of round 3 — more than
+    # the window holds, so eleven whose coverage is redundant with an
     # in-window sibling or already driver-proven hash-exact in round 2
     # sit just past the cap: q_region_customers (A6, driver-checked via
     # q_order_priority), token_count_bpe (M22, via token_count),
     # media_frames and media_audio (multimodal, via media_meta + the
     # real-codec media_wav), plus q_events_hourly / q_sessionize /
-    # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df (all
-    # hash-exact in CORRECTNESS_r02, code untouched since — displaced to
-    # give the round-3 curation operators driver slots).  All ten stay in
+    # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df /
+    # pii_scan (all hash-exact in CORRECTNESS_r02, code untouched since —
+    # displaced to give the round-3 operators driver slots).  All stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
     # SQL analog at all) last.  Rows-only entries past the cap are
@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_revenue": analytics.q_rolling_revenue,
         # exact per-group discrete percentiles (SQL-oracled: quantile_disc)
         "q_order_percentiles": analytics.q_order_percentiles,
+        # long->wide pivot with map-side pre-pivoted partials (SQL-oracled:
+        # count(*) FILTER per type + scaled-integer value sum)
+        "q_pivot_events": analytics.q_pivot_events,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
         "fingerprint": textstats.fingerprint,
@@ -294,9 +297,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark n-gram decontamination (broadcast bench-gram set;
         # SQL-oracled: list-slice grams + semi-join + count DISTINCT)
         "decontaminate": textstats.decontaminate,
-        # PII detect + redact over deterministically augmented text
-        # (SQL-oracled incl. md5 of the redacted bytes)
-        "pii_scan": textstats.pii_scan,
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,
@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": textstats.tfidf_topk,
         "embed_docs": textstats.embed_docs,
         "doc_term_df": textstats.doc_term_df,
+        # PII detect + redact over deterministically augmented text
+        # (SQL-oracled incl. md5 of the redacted bytes; hash-exact in r2)
+        "pii_scan": textstats.pii_scan,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1501,6 +1504,22 @@ def oracle_sql() -> dict[str, str]:
             thr AS (SELECT min(v) AS t FROM cdf WHERE cum * 100 >= 25 * tot)
             SELECT doc_id, n_tokens FROM tok, thr
             WHERE n_tokens >= thr.t ORDER BY doc_id
+        """,
+        # long->wide pivot: FILTER aggregates per fixed event type,
+        # purchase value summed in exact cents
+        "q_pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   CAST(coalesce(
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           FILTER (WHERE event_type = 'purchase'), 0)
+                       AS BIGINT) AS purchase_cents
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         # inverted index: DISTINCT (term, doc) explode + ordered postings
         "inverted_index": """

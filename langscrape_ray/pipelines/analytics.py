@@ -918,3 +918,54 @@ def q_event_dedup_window(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
         .astype({"event_id": "int64", "is_dup": "bool"})
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    purchase_cents): long→wide pivot of the events table — per-user
+    event-type counts as columns plus the purchase-value total in exact
+    cents.  The schema is FIXED by the known type vocabulary (a pivot
+    over an unbounded key set is a different operator — that's
+    doc_term_df's territory).
+
+    Ray shape: the pivot happens map-side — each batch pre-aggregates a
+    per-user row of indicator sums (vectorized pandas crosstab-style),
+    so the ONE ``groupby(user_id)`` exchange moves already-wide partials
+    (users × 7 ints), never the long event rows.  Skew-free: every
+    user's partials combine associatively.  SQL oracle: count(*) FILTER
+    (WHERE ...) per type.
+    """
+    ev = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "value"]
+    )
+
+    def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["value"] * 100).round().astype("int64")
+        cols = {}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = (
+                (df["event_type"] == t).astype("int64").groupby(df["user_id"]).sum()
+            )
+        cols["purchase_cents"] = (
+            cents.where(df["event_type"] == "purchase", 0)
+            .groupby(df["user_id"])
+            .sum()
+        )
+        res = pd.DataFrame(cols).reset_index().rename(columns={"index": "user_id"})
+        res["user_id"] = res["user_id"].astype("int64")
+        return res
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES]
+    aggs.append(Sum("purchase_cents", alias_name="purchase_cents"))
+    out = (
+        ev.map_batches(pivot_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -89,6 +89,7 @@ def _to_df(x):
         "quantile_gate",
         "source_overlap",
         "inverted_index",
+        "q_pivot_events",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
