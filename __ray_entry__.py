@@ -227,16 +227,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (61 exist as of round 3 — more than
-    # the window holds, so eleven whose coverage is redundant with an
+    # SQL-oracled queries come first (63 exist as of round 3 — more than
+    # the window holds, so thirteen whose coverage is redundant with an
     # in-window sibling or already driver-proven hash-exact in round 2
     # sit just past the cap: q_region_customers (A6, driver-checked via
     # q_order_priority), token_count_bpe (M22, via token_count),
     # media_frames and media_audio (multimodal, via media_meta + the
     # real-codec media_wav), plus q_events_hourly / q_sessionize /
     # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df /
-    # pii_scan (all hash-exact in CORRECTNESS_r02, code untouched since —
-    # displaced to give the round-3 operators driver slots).  All stay in
+    # pii_scan / fingerprint / quality_score (all hash-exact in
+    # CORRECTNESS_r02, code untouched since — displaced to give the
+    # round-3 operators driver slots).  All stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
     # SQL analog at all) last.  Rows-only entries past the cap are
@@ -268,10 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # long->wide pivot with map-side pre-pivoted partials (SQL-oracled:
         # count(*) FILTER per type + scaled-integer value sum)
         "q_pivot_events": analytics.q_pivot_events,
+        # GROUP BY ROLLUP: one finest-grain shuffle, coarser levels derived
+        # from the group-cardinality result (SQL-oracled: ROLLUP + COALESCE)
+        "q_rollup": analytics.q_rollup,
+        # ordered conversion funnel with strict min-ts chaining (SQL-oracled:
+        # CTE chain of conditional mins)
+        "q_funnel": analytics.q_funnel,
         # text analysis (SQL-oracled)
         "token_count": textstats.token_count,
-        "fingerprint": textstats.fingerprint,
-        "quality_score": textstats.quality_score,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -394,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII detect + redact over deterministically augmented text
         # (SQL-oracled incl. md5 of the redacted bytes; hash-exact in r2)
         "pii_scan": textstats.pii_scan,
+        "fingerprint": textstats.fingerprint,      # hash-exact in r2
+        "quality_score": textstats.quality_score,  # hash-exact in r2
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1520,6 +1527,41 @@ def oracle_sql() -> dict[str, str]:
                            FILTER (WHERE event_type = 'purchase'), 0)
                        AS BIGINT) AS purchase_cents
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # rollup: native GROUP BY ROLLUP, 'ALL' marker on both sides
+        "q_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        # funnel: CTE chain — each stage's first event strictly after the
+        # previous stage's first qualifying event
+        "q_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s4.user_id IS NOT NULL THEN 4
+                             WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stages_completed
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+            ORDER BY u.user_id
         """,
         # inverted index: DISTINCT (term, doc) explode + ordered postings
         "inverted_index": """

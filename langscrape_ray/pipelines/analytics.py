@@ -969,3 +969,121 @@ def q_pivot_events(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_rollup(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, l_linestatus, sum_qty, count_order): GROUP BY
+    ROLLUP — the fine (flag, status) aggregate plus per-flag subtotals
+    plus the grand total, with 'ALL' as the subtotal marker (COALESCEd on
+    the SQL side too, so the hash ignores NULL-sorting differences).
+
+    Ray shape: ONE shuffle at the finest grain (keys packed to a single
+    string column); every coarser level is derived from the fine result,
+    which is group-cardinality (a few rows here, still tiny at any corpus
+    size) — the standard rollup optimization: never re-scan the fact
+    table per level.  Integer sums make all levels order-independent.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": pc.binary_join_element_wise(
+                    t["l_returnflag"], t["l_linestatus"], "|"
+                ).to_pandas(),
+                "qty": t["l_quantity"].to_pandas(),
+            }
+        )
+        g = df.groupby("k", sort=True).agg(
+            sum_qty=("qty", "sum"), count_order=("qty", "size")
+        )
+        return pa.table(
+            {
+                "k": pa.array(g.index, pa.string()),
+                "sum_qty": pa.array(g["sum_qty"].to_numpy(), pa.float64()),
+                "count_order": pa.array(
+                    g["count_order"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    fine = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    fine[["l_returnflag", "l_linestatus"]] = fine["k"].str.split(
+        "|", expand=True
+    )
+    fine = fine[["l_returnflag", "l_linestatus", "sum_qty", "count_order"]]
+    lvl1 = (
+        fine.groupby("l_returnflag", as_index=False)[["sum_qty", "count_order"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [fine["sum_qty"].sum()],
+            "count_order": [fine["count_order"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["count_order"] = out["count_order"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    ]
+
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """(user_id, stages_completed): ordered conversion funnel — how far
+    each user progressed through signup -> view -> click -> purchase,
+    where each step must occur STRICTLY after the previous step's first
+    qualifying event (min-ts semantics: the first qualifying event per
+    stage is the one that gates the next).
+
+    Ray shape: one ``groupby(user_id).map_groups`` — the sessionize
+    pattern: a user's events land in one group, the walk over the
+    ts-sorted group is vectorized-enough pandas (events per user are
+    bounded by app behavior, not corpus size).  SQL oracle: a chain of
+    CTEs, each taking min(ts) of events strictly after the previous
+    stage's min.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        stage = 0
+        t_prev = None
+        types = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        for i in range(len(g)):
+            if stage >= len(_FUNNEL_STEPS):
+                break
+            if types[i] == _FUNNEL_STEPS[stage] and (
+                t_prev is None or ts[i] > t_prev
+            ):
+                t_prev = ts[i]
+                stage += 1
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "stages_completed": [stage]}
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(walk, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "stages_completed": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

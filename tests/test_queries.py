@@ -90,6 +90,8 @@ def _to_df(x):
         "source_overlap",
         "inverted_index",
         "q_pivot_events",
+        "q_rollup",
+        "q_funnel",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
