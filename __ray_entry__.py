@@ -227,17 +227,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (63 exist as of round 3 — more than
-    # the window holds, so thirteen whose coverage is redundant with an
+    # SQL-oracled queries come first (65 exist as of round 3 — more than
+    # the window holds, so fifteen whose coverage is redundant with an
     # in-window sibling or already driver-proven hash-exact in round 2
     # sit just past the cap: q_region_customers (A6, driver-checked via
     # q_order_priority), token_count_bpe (M22, via token_count),
     # media_frames and media_audio (multimodal, via media_meta + the
     # real-codec media_wav), plus q_events_hourly / q_sessionize /
     # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df /
-    # pii_scan / fingerprint / quality_score (all hash-exact in
-    # CORRECTNESS_r02, code untouched since — displaced to give the
-    # round-3 operators driver slots).  All stay in
+    # pii_scan / fingerprint / quality_score / token_count / split_assign
+    # (all hash-exact in CORRECTNESS_r02, code untouched since —
+    # displaced to give the round-3 operators driver slots).  All stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
     # SQL analog at all) last.  Rows-only entries past the cap are
@@ -275,8 +275,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered conversion funnel with strict min-ts chaining (SQL-oracled:
         # CTE chain of conditional mins)
         "q_funnel": analytics.q_funnel,
-        # text analysis (SQL-oracled)
-        "token_count": textstats.token_count,
+        # distributed anti-join with no broadcast/join operator: side-flag
+        # union + Max fold (SQL-oracled: NOT EXISTS)
+        "q_anti_join": analytics.q_anti_join,
+        # one-pass Pearson correlation from integer sufficient statistics
+        # (SQL-oracled: identical fixed IEEE op sequence on both sides)
+        "q_corr": analytics.q_corr,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -322,8 +326,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parsed by the real text-object extractor (SQL-oracled: the
         # expected normalized text reconstructed in closed form)
         "pdf_extract": media.pdf_extract,
-        # deterministic md5-bucket train/valid/test split (SQL-oracled)
-        "split_assign": textstats.split_assign,
         # S11 nested-JSON -> flat-column ETL (real serialize + parse +
         # dotted-path flatten; SQL-oracled via DuckDB json_extract)
         "json_etl_flatten": etl.json_etl_flatten,
@@ -401,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": textstats.pii_scan,
         "fingerprint": textstats.fingerprint,      # hash-exact in r2
         "quality_score": textstats.quality_score,  # hash-exact in r2
+        "token_count": textstats.token_count,      # hash-exact in r2
+        "split_assign": textstats.split_assign,    # hash-exact in r2
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1527,6 +1531,46 @@ def oracle_sql() -> dict[str, str]:
                            FILTER (WHERE event_type = 'purchase'), 0)
                        AS BIGINT) AS purchase_cents
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # anti-join: NOT EXISTS with the urgency predicate
+        "q_anti_join": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # correlation from integer sufficient stats; the corr expression
+        # mirrors the Ray side's fixed IEEE op sequence exactly
+        "q_corr": """
+            WITH s AS (
+              SELECT l_returnflag, count(*) AS n,
+                     sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+                     sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_d,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT))
+                         AS sum_qd,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS sum_q2,
+                     sum(CAST(round(l_discount * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT))
+                         AS sum_d2
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(sum_q AS BIGINT) AS sum_q,
+                   CAST(sum_d AS BIGINT) AS sum_d,
+                   CAST(sum_qd AS BIGINT) AS sum_qd,
+                   CAST(sum_q2 AS BIGINT) AS sum_q2,
+                   CAST(sum_d2 AS BIGINT) AS sum_d2,
+                   CAST(n * sum_qd - sum_q * sum_d AS DOUBLE)
+                       / (sqrt(CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE))
+                          * sqrt(CAST(n * sum_d2 - sum_d * sum_d
+                                      AS DOUBLE))) AS corr
+            FROM s ORDER BY l_returnflag
         """,
         # rollup: native GROUP BY ROLLUP, 'ALL' marker on both sides
         "q_rollup": """

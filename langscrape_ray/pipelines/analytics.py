@@ -1087,3 +1087,155 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
         .astype({"user_id": "int64", "stages_completed": "int64"})
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """(c_nationkey, n_customers, acctbal_cents): customers with NO
+    urgent-priority order, rolled up per nation (the TPC-H Q22 anti-join
+    shape; the urgency predicate keeps the result non-trivial on data
+    where every customer has some order).
+
+    Ray shape — a distributed anti-join with NO broadcast and NO join
+    operator: customer rows enter the exchange as (custkey, has_hit=0,
+    acctbal_cents, nationkey) and filtered order rows as
+    per-batch-distinct (custkey, has_hit=1, sentinel, sentinel); ONE
+    ``groupby(custkey)`` with Max folds both sides (customer fields win
+    the Max because the order side carries low sentinels), and survivors
+    with has_hit == 0 pre-aggregate per nation.  Both inputs stream; the
+    exchange carries one row per distinct key per side per block.  SQL
+    oracle: NOT EXISTS.
+    """
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["c_custkey"],
+                "has_hit": pa.array([0] * t.num_rows, pa.int64()),
+                "acctbal_c": _cents(t["c_acctbal"]),
+                "nation": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        keys = pc.unique(t["o_custkey"])
+        n = len(keys)
+        return pa.table(
+            {
+                "k": keys,
+                "has_hit": pa.array([1] * n, pa.int64()),
+                # sentinels below any real value so the customer row's
+                # fields win the Max fold
+                "acctbal_c": pa.array([-(1 << 40)] * n, pa.int64()),
+                "nation": pa.array([-1] * n, pa.int64()),
+            }
+        )
+
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    folded = both.groupby("k").aggregate(
+        Max("has_hit", alias_name="has_hit"),
+        Max("acctbal_c", alias_name="acctbal_c"),
+        Max("nation", alias_name="nation"),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["has_hit"], 0))
+        agg: dict = {}
+        for nat, bal in zip(
+            t["nation"].to_pylist(), t["acctbal_c"].to_pylist()
+        ):
+            n, s = agg.get(nat, (0, 0))
+            agg[nat] = (n + 1, s + bal)
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "c_nationkey": pa.array([k for k, _ in items], pa.int64()),
+                "n_customers": pa.array([v[0] for _, v in items], pa.int64()),
+                "acctbal_cents": pa.array(
+                    [v[1] for _, v in items], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        folded.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    if out.empty:  # aggregate of an empty stream drops the schema
+        out = pd.DataFrame(
+            columns=["c_nationkey", "n_customers", "acctbal_cents"]
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q_corr(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, n, sum_q, sum_d, sum_qd, sum_q2, sum_d2, corr):
+    Pearson correlation between quantity and discount per return flag,
+    computed from INTEGER sufficient statistics — the one-pass
+    distributed-correlation shape.  The six integer sums are exact and
+    associative; ``corr`` is then ONE fixed sequence of IEEE-double ops
+    on identical integers (products < 2^53, sqrt/div correctly rounded),
+    so the float column hash-matches the oracle, which spells out the
+    same formula instead of calling corr().
+    """
+    li = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        d = _cents(t["l_discount"])
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "sum_q": q,
+                "sum_d": d,
+                "sum_qd": pc.multiply(q, d),
+                "sum_q2": pc.multiply(q, q),
+                "sum_d2": pc.multiply(d, d),
+            }
+        )
+        return tt.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sum_q", "sum_d", "sum_qd", "sum_q2", "sum_d2")]
+        ).rename_columns(
+            ["l_returnflag", "n", "sum_q", "sum_d", "sum_qd", "sum_q2", "sum_d2"]
+        )
+
+    cols = ("n", "sum_q", "sum_d", "sum_qd", "sum_q2", "sum_d2")
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    # fixed op sequence, mirrored verbatim in the SQL oracle
+    num = (out["n"] * out["sum_qd"] - out["sum_q"] * out["sum_d"]).astype(
+        "float64"
+    )
+    vq = (out["n"] * out["sum_q2"] - out["sum_q"] * out["sum_q"]).astype(
+        "float64"
+    )
+    vd = (out["n"] * out["sum_d2"] - out["sum_d"] * out["sum_d"]).astype(
+        "float64"
+    )
+    import numpy as np
+
+    out["corr"] = num / (np.sqrt(vq) * np.sqrt(vd))
+    return out.sort_values("l_returnflag").reset_index(drop=True)

@@ -92,6 +92,8 @@ def _to_df(x):
         "q_pivot_events",
         "q_rollup",
         "q_funnel",
+        "q_anti_join",
+        "q_corr",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
