@@ -160,3 +160,92 @@ def test_crawl_corpus_rollup_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.loc[got.host == "h-b", "n_unique"].item() == 2
     assert got.loc[got.host == "h-a", "n_unique"].item() == 0
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pqw.write_table(t, tmp_path / "documents.parquet")
+
+
+def test_lm_familiarity_short_docs(ray_session, tmp_path):
+    _write_docs(tmp_path, ["solo", "", "two words", "two words"])
+    df = (
+        curation.lm_familiarity(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # docs 0 and 1 have < 2 tokens -> all-zero scores
+    assert df.loc[0, ["n_bigrams", "sum_bg_freq", "n_hapax"]].tolist() == [0, 0, 0]
+    assert df.loc[1, ["n_bigrams", "sum_bg_freq", "n_hapax"]].tolist() == [0, 0, 0]
+    # 'two words' bigram occurs twice corpus-wide: freq 2 each, no hapax
+    assert df.loc[2, ["n_bigrams", "sum_bg_freq", "n_hapax"]].tolist() == [1, 2, 0]
+
+
+def test_shuffle_shards_deterministic_across_runs(ray_session):
+    a = curation.shuffle_shards(SF).to_pandas().sort_values("doc_id")
+    b = curation.shuffle_shards(SF).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_anti_join_empty_result(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from langscrape_ray.pipelines.analytics import q_anti_join
+
+    pqw.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["a", "b"], pa.string()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+                "c_acctbal": pa.array([10.0, 20.0], pa.float64()),
+                "c_mktsegment": pa.array(["x", "x"], pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pqw.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "1-URGENT"], pa.string()
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = q_anti_join(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_nationkey", "n_customers", "acctbal_cents"]
+
+
+def test_crawl_corpus_seq_overflow_guard(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from langscrape_ray.pipelines.prep import _CC_SEQ_BITS, crawl_corpus_rollup
+
+    t = pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "host": pa.array(["h"], pa.string()),
+            "seq": pa.array([1 << _CC_SEQ_BITS], pa.int64()),
+            "text": pa.array(["one two three four five six"], pa.string()),
+        }
+    )
+    with _pytest.raises(Exception, match="pack field"):
+        crawl_corpus_rollup(t, min_tokens=5)
