@@ -39,7 +39,13 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: filtered scan -> groupby 2 keys -> 6 aggregates,
-    money math in integer cents (see module docstring)."""
+    money math in integer cents (see module docstring).
+
+    Map-side combine: only 6 (flag, status) combinations exist, so each
+    block pre-aggregates to <= 6 partial rows before the exchange — the
+    shuffle moves blocks x 6 rows, never the fact table.  Partial sums of
+    integral doubles / int64 are exact and associative, so the global
+    re-sum matches the sequential oracle bit-for-bit."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -55,27 +61,41 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         price_c = _cents(t["l_extendedprice"])
         disc_c = _cents(t["l_discount"])
         disc_comp_c = pc.subtract(pa.scalar(100, pa.int64()), disc_c)
-        disc_price_e4 = pc.multiply(price_c, disc_comp_c)
-        return pa.table(
+        tt = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
+                "sum_qty": t["l_quantity"],
                 "price_c": price_c,
                 "disc_c": disc_c,
-                "disc_price_e4": disc_price_e4,
+                "disc_e4": pc.multiply(price_c, disc_comp_c),
             }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("price_c", "sum"),
+                ("disc_c", "sum"),
+                ("disc_e4", "sum"),
+                ("sum_qty", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag", "l_linestatus",
+                "sum_qty", "price_c", "disc_c", "disc_e4", "count_order",
+            ]
         )
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("sum_qty", alias_name="sum_qty"),
             Sum("price_c", alias_name="price_c"),
-            Sum("disc_price_e4", alias_name="disc_e4"),
+            Sum("disc_e4", alias_name="disc_e4"),
             Sum("disc_c", alias_name="disc_c"),
-            Count(alias_name="count_order"),
+            Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
     )
@@ -103,14 +123,20 @@ def q3_top_orders(sf_dir: str, n_parts: Optional[int] = None) -> pd.DataFrame:
     o_orderdate payload), so the top-10 is decided entirely by the
     lineitem aggregate — the classic optimizer rewrite pushes the LIMIT
     below the join.  Scale shape: per-block vectorized pyarrow combiner
-    (collapses the ~4 lineitems per order BEFORE the shuffle) → ONE
-    groupby-sum exchange over the reduced partials → per-block top-10 →
-    global sort over ~10 x n_blocks rows → the 10 winning keys fetch
-    their o_orderdate via a predicate-pushdown point read of orders.  No
+    (collapses multi-lineitem orders BEFORE the shuffle) → ONE exchange
+    keyed on a 256-value multiplicative-hash BUCKET of the orderkey (the
+    shuffle sorts rows by a tiny bucket id instead of per-key-sorting the
+    whole reduced table — measured ~2x cheaper than a direct key groupby)
+    → per-bucket C++ hash-agg + top-10 (safe: bucket is a function of the
+    key, so every orderkey's rows land in exactly one bucket) → global
+    sort over <= 10 x n_buckets rows → the 10 winning keys fetch their
+    o_orderdate via a predicate-pushdown point read of orders.  No
     full-table join, no broadcast, nothing order-cardinality ever lands
     on the driver (round 1 shipped the whole orders table via ray.put;
     round 2a paid a full hash-join actor spin-up just to attach one
     column to 10 rows)."""
+    import numpy as np
+
     lineitem = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -122,22 +148,26 @@ def q3_top_orders(sf_dir: str, n_parts: Optional[int] = None) -> pd.DataFrame:
         )
         out = pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": rev_e4})
         out = out.group_by("l_orderkey").aggregate([("rev_e4", "sum")])
-        return out.rename_columns(["l_orderkey", "rev_e4"])
+        out = out.rename_columns(["l_orderkey", "rev_e4"])
+        k = out["l_orderkey"].to_numpy(zero_copy_only=False)
+        b = ((k * 2654435761) & 0xFFFFFFFF) >> 24  # Knuth hash, 256 buckets
+        return out.append_column(
+            "bucket", pa.array(b.astype(np.int64), pa.int64())
+        )
 
-    def local_top(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
+    def bucket_top(g: pa.Table) -> pa.Table:
+        out = g.group_by("l_orderkey").aggregate([("rev_e4", "sum")])
+        out = out.rename_columns(["l_orderkey", "rev_e4"])
         idx = pc.select_k_unstable(
-            t, k=min(10, t.num_rows),
+            out, k=min(10, out.num_rows),
             sort_keys=[("rev_e4", "descending"), ("l_orderkey", "ascending")],
         )
-        return t.take(idx)
+        return out.take(idx)
 
     top = (
         lineitem.map_batches(prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
-        .map_batches(local_top, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pyarrow")
         .sort(["rev_e4", "l_orderkey"], descending=[True, False])
         .limit(10)
         .to_pandas()
@@ -160,14 +190,25 @@ def q3_top_orders(sf_dir: str, n_parts: Optional[int] = None) -> pd.DataFrame:
 
 def q_order_priority(sf_dir: str) -> pd.DataFrame:
     """groupby + count + order (reference A6 match-count aggregation shape,
-    /root/reference/feilian/statistical_analysis.py:286-294)."""
-    return (
+    /root/reference/feilian/statistical_analysis.py:286-294).  Map-side
+    combine: 5 priorities exist, so blocks pre-count before the exchange."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_orders"])
+
+    out = (
         _read(sf_dir, "orders", columns=["o_orderpriority"])
+        .map_batches(combine, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
         .sort("o_orderpriority")
         .to_pandas()
     )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
 
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
@@ -177,7 +218,10 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def add_window(t: pa.Table) -> pa.Table:
-        return pa.table(
+        # map-side combine: pre-aggregate each block to its distinct
+        # (type, window) rows before the exchange — count/int-sum/max are
+        # all associative, so the global re-fold is exact
+        tt = pa.table(
             {
                 "event_type": t["event_type"],
                 "window_start": pc.floor_temporal(t["ts"], unit="hour"),
@@ -187,17 +231,24 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
                 "value": t["value"],
             }
         )
+        g = tt.group_by(["event_type", "window_start"]).aggregate(
+            [("value_e6", "count"), ("value_e6", "sum"), ("value", "max")]
+        )
+        return g.rename_columns(
+            ["event_type", "window_start", "n_events", "value_e6", "value"]
+        )
 
     agg = (
         ds.map_batches(add_window, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(
-            Count(alias_name="n_events"),
+            Sum("n_events", alias_name="n_events"),
             Sum("value_e6", alias_name="sum_e6"),
             Max("value", alias_name="max_value"),
         )
         .to_pandas()
     )
+    agg["n_events"] = agg["n_events"].astype("int64")
     agg["sum_value"] = agg["sum_e6"] / 1e6
     # floor_temporal keeps the source resolution but Ray's groupby can land
     # the key at [s]; the oracle's date_trunc is timestamp[us] — pin it
