@@ -184,6 +184,49 @@ def _crawl_corpus(sf_dir: str) -> pd.DataFrame:
     return crawl_corpus_rollup(t)
 
 
+def _crawl_diff(sf_dir: str) -> pd.DataFrame:
+    """Recrawl snapshot diff: snapshot A = the deterministic crawl world's
+    pages; snapshot B is derived from A by a fixed md5 rule (content
+    flipped when url-hash % 7 == 0, url dropped when % 11 == 3, a ?v=2
+    variant added when % 13 == 5) so added/removed/changed/same are all
+    non-empty.  Distributed diff via pipelines/curation.snapshot_diff
+    (side-flag groupby fold; rows-only — no SQL analog of the crawl)."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from langscrape_ray.pipelines.curation import snapshot_diff
+
+    _cfg, pages, _seeds, _robots = _world(*_crawl_world_size(sf_dir))
+    pages = pages.select(["url", "html"])
+    chunks = [pages.slice(off, 2048) for off in range(0, pages.num_rows, 2048)]
+    a = rd.from_arrow(chunks)
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for u, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            h = int.from_bytes(_hl.md5(u.encode()).digest()[:8], "big")
+            if h % 11 == 3:
+                continue  # removed in B
+            if h % 7 == 0:
+                html = html + b"<!--rev2-->"  # changed in B
+            urls.append(u)
+            htmls.append(html)
+            if h % 13 == 5:
+                urls.append(u + "?v=2")  # added in B
+                htmls.append(html + b"<!--new-->")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    b = rd.from_arrow(chunks).map_batches(derive_b, batch_format="pyarrow")
+    return snapshot_diff(a, b)
+
+
 def _crawl_trace(sf_dir: str) -> pd.DataFrame:
     res, _t = _crawl_result(sf_dir)
     return pd.DataFrame(
@@ -440,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via packed Min) + per-host novelty rollup (rows-only; parity vs
         # an independent pandas recomputation in tests/test_curation.py)
         "crawl_corpus": _crawl_corpus,
+        # recrawl snapshot diff: added/removed/changed/same per host via
+        # the side-flag groupby fold (rows-only; pandas-parity tested)
+        "crawl_diff": _crawl_diff,
         # host-level link-graph PageRank over the crawl world's outlinks
         # (frontier-priority signal; integer-exact vs a single-process
         # replay in tests/test_graph.py — no SQL analog of the HTML parse)

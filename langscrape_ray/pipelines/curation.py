@@ -590,3 +590,106 @@ def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
             "shared_grams": pd.array([r[2] for r in rows], dtype="int64"),
         }
     )
+
+
+def _md5_int63(s: bytes) -> int:
+    return int.from_bytes(hashlib.md5(s).digest()[:8], "big") >> 1
+
+
+def snapshot_diff(a: "rd.Dataset", b: "rd.Dataset") -> pd.DataFrame:
+    """(host, n_added, n_removed, n_changed, n_same): recrawl snapshot
+    diff — compare two crawls' pages tables (url, html) and roll the
+    per-URL verdicts up per host: present only in B (added), only in A
+    (removed), in both with different content hash (changed) or the same
+    (same).  The table a recrawl scheduler reads to set per-host revisit
+    rates.
+
+    Ray shape — the side-flag fold (same trick as q_anti_join): each
+    side streams (url, host, in_a, in_b, ha, hb) rows with -1 sentinels
+    for the absent side; ONE ``groupby(url)`` of Max aggregates merges
+    the two snapshots without a join operator or broadcast (content
+    hashes ride the fold, full pages never shuffle); verdicts
+    pre-aggregate per host per block and meet in a host-cardinality
+    groupby.
+    """
+    import ray.data as rd  # noqa: F811  (kept local for clarity)
+    from ray.data.aggregate import Max, Sum
+
+    def side(in_a: int):
+        def fn(t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            hs = [_md5_int63(x) for x in t["html"].to_pylist()]
+            hosts = [u.split("/", 3)[2] for u in urls]
+            n = len(urls)
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "host": pa.array(hosts, pa.string()),
+                    "in_a": pa.array([in_a] * n, pa.int64()),
+                    "in_b": pa.array([1 - in_a] * n, pa.int64()),
+                    "ha": pa.array(
+                        hs if in_a else [-1] * n, pa.int64()
+                    ),
+                    "hb": pa.array(
+                        hs if not in_a else [-1] * n, pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = a.map_batches(side(1), batch_format="pyarrow").union(
+        b.map_batches(side(0), batch_format="pyarrow")
+    )
+    folded = both.groupby("url").aggregate(
+        Max("in_a", alias_name="in_a"),
+        Max("in_b", alias_name="in_b"),
+        Max("ha", alias_name="ha"),
+        Max("hb", alias_name="hb"),
+        Max("host", alias_name="host"),
+    )
+
+    def verdict_partial(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for host, ia, ib, ha, hb in zip(
+            t["host"].to_pylist(),
+            t["in_a"].to_pylist(),
+            t["in_b"].to_pylist(),
+            t["ha"].to_pylist(),
+            t["hb"].to_pylist(),
+        ):
+            v = agg.setdefault(host, [0, 0, 0, 0])
+            if ia and ib:
+                if ha == hb:
+                    v[3] += 1
+                else:
+                    v[2] += 1
+            elif ib:
+                v[0] += 1
+            else:
+                v[1] += 1
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "host": pa.array([h for h, _ in items], pa.string()),
+                "n_added": pa.array([v[0] for _, v in items], pa.int64()),
+                "n_removed": pa.array([v[1] for _, v in items], pa.int64()),
+                "n_changed": pa.array([v[2] for _, v in items], pa.int64()),
+                "n_same": pa.array([v[3] for _, v in items], pa.int64()),
+            }
+        )
+
+    out = (
+        folded.map_batches(verdict_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_added", alias_name="n_added"),
+            Sum("n_removed", alias_name="n_removed"),
+            Sum("n_changed", alias_name="n_changed"),
+            Sum("n_same", alias_name="n_same"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_added", "n_removed", "n_changed", "n_same"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

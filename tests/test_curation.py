@@ -249,3 +249,58 @@ def test_crawl_corpus_seq_overflow_guard(ray_session):
     )
     with _pytest.raises(Exception, match="pack field"):
         crawl_corpus_rollup(t, min_tokens=5)
+
+
+def test_snapshot_diff_matches_pandas(ray_session):
+    import hashlib
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    a_rows = [
+        ("http://h-a/p1", b"x1"),
+        ("http://h-a/p2", b"x2"),
+        ("http://h-b/p1", b"y1"),
+        ("http://h-b/p2", b"y2"),
+    ]
+    b_rows = [
+        ("http://h-a/p1", b"x1"),        # same
+        ("http://h-a/p2", b"x2-new"),    # changed
+        ("http://h-b/p2", b"y2"),        # same (h-b/p1 removed)
+        ("http://h-b/p3", b"y3"),        # added
+        ("http://h-c/p1", b"z1"),        # added (new host)
+    ]
+
+    def tab(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+
+    got = curation.snapshot_diff(rd.from_arrow(tab(a_rows)), rd.from_arrow(tab(b_rows)))
+
+    # independent recomputation
+    am = {u: h for u, h in a_rows}
+    bm = {u: h for u, h in b_rows}
+    agg = {}
+    for u in set(am) | set(bm):
+        host = u.split("/", 3)[2]
+        v = agg.setdefault(host, [0, 0, 0, 0])
+        if u in am and u in bm:
+            v[3 if am[u] == bm[u] else 2] += 1
+        elif u in bm:
+            v[0] += 1
+        else:
+            v[1] += 1
+    exp = pd.DataFrame(
+        [
+            {"host": h, "n_added": v[0], "n_removed": v[1],
+             "n_changed": v[2], "n_same": v[3]}
+            for h, v in sorted(agg.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.loc[got.host == "h-c", "n_added"].item() == 1
+    assert got.loc[got.host == "h-b", "n_removed"].item() == 1
