@@ -227,6 +227,20 @@ def _crawl_diff(sf_dir: str) -> pd.DataFrame:
     return snapshot_diff(a, b)
 
 
+def _crawl_url_patterns(sf_dir: str) -> pd.DataFrame:
+    """Crawl-trap detection over the deterministic crawl world's URL space
+    (digit-fold templates; pipelines/curation.url_patterns; rows-only)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from langscrape_ray.pipelines.curation import url_patterns
+
+    _cfg, pages, _seeds, _robots = _world(*_crawl_world_size(sf_dir))
+    urls = pages.select(["url"])
+    chunks = [urls.slice(off, 2048) for off in range(0, urls.num_rows, 2048)]
+    return url_patterns(rd.from_arrow(chunks))
+
+
 def _crawl_trace(sf_dir: str) -> pd.DataFrame:
     res, _t = _crawl_result(sf_dir)
     return pd.DataFrame(
@@ -486,6 +500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recrawl snapshot diff: added/removed/changed/same per host via
         # the side-flag groupby fold (rows-only; pandas-parity tested)
         "crawl_diff": _crawl_diff,
+        # crawl-trap detection: URL->template fold + per-host pattern
+        # explosion stats (rows-only; pandas-parity tested)
+        "crawl_url_patterns": _crawl_url_patterns,
         # host-level link-graph PageRank over the crawl world's outlinks
         # (frontier-priority signal; integer-exact vs a single-process
         # replay in tests/test_graph.py — no SQL analog of the HTML parse)

@@ -693,3 +693,82 @@ def snapshot_diff(a: "rd.Dataset", b: "rd.Dataset") -> pd.DataFrame:
     for c in ("n_added", "n_removed", "n_changed", "n_same"):
         out[c] = out[c].astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+_DIGIT_RE = None  # compiled lazily so the module import stays light
+
+
+def url_patterns(pages: "rd.Dataset") -> pd.DataFrame:
+    """(host, n_urls, n_patterns, max_urls_per_pattern): crawl-trap
+    detection — fold every URL to its template (digit runs → 'D', so
+    /2024/01/05/ and /2023/12/31/ collapse to /D/D/D/) and count URLs vs
+    distinct templates per host.  A host whose max_urls_per_pattern
+    explodes is a calendar/session-id trap: infinitely many URLs, one
+    template — the frontier should cap it.
+
+    Ray shape: per-batch (host, pattern) pair counts → ONE
+    ``groupby(host||sep||pattern)`` sum (vectorized; pattern cardinality
+    per host is tiny by construction — that is the point of the fold) →
+    per-batch host partials (n_urls, n_patterns, max) → a
+    host-cardinality groupby.  Max of per-pattern counts is associative
+    AFTER the global pattern sum, which the first groupby guarantees.
+    """
+    import re
+
+    import ray.data as rd  # noqa: F811
+    from ray.data.aggregate import Max, Sum
+
+    global _DIGIT_RE
+    if _DIGIT_RE is None:
+        _DIGIT_RE = re.compile(r"[0-9]+")
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for u in t["url"].to_pylist():
+            host = u.split("/", 3)[2]
+            path = u.split("/", 3)[3] if u.count("/") >= 3 else ""
+            pat = _DIGIT_RE.sub("D", path)
+            k = host + "\x1f" + pat
+            agg[k] = agg.get(k, 0) + 1
+        items = list(agg.items())
+        return pa.table(
+            {
+                "k": pa.array([k for k, _ in items], pa.string()),
+                "n": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    def host_partials(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for k, n in zip(t["k"].to_pylist(), t["n"].to_pylist()):
+            host = k.split("\x1f", 1)[0]
+            u, p, m = agg.get(host, (0, 0, 0))
+            agg[host] = (u + n, p + 1, max(m, n))
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "host": pa.array([h for h, _ in items], pa.string()),
+                "n_urls": pa.array([v[0] for _, v in items], pa.int64()),
+                "n_patterns": pa.array([v[1] for _, v in items], pa.int64()),
+                "max_urls_per_pattern": pa.array(
+                    [v[2] for _, v in items], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        pages.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(host_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("n_patterns", alias_name="n_patterns"),
+            Max("max_urls_per_pattern", alias_name="max_urls_per_pattern"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_urls", "n_patterns", "max_urls_per_pattern"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)

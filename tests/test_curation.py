@@ -304,3 +304,45 @@ def test_snapshot_diff_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.loc[got.host == "h-c", "n_added"].item() == 1
     assert got.loc[got.host == "h-b", "n_removed"].item() == 1
+
+
+def test_url_patterns_matches_pandas(ray_session):
+    import re
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    urls = [
+        "http://h-a/2024/01/05/post",
+        "http://h-a/2023/12/31/post",
+        "http://h-a/about",
+        "http://h-b/item?id=7",
+        "http://h-b/item?id=8",
+        "http://h-b/item?id=9",
+        "http://h-c",
+    ]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    got = curation.url_patterns(rd.from_arrow(t))
+
+    pat = {}
+    for u in urls:
+        host = u.split("/", 3)[2]
+        path = u.split("/", 3)[3] if u.count("/") >= 3 else ""
+        p = re.sub(r"[0-9]+", "D", path)
+        pat.setdefault(host, {}).setdefault(p, 0)
+        pat[host][p] += 1
+    exp = pd.DataFrame(
+        [
+            {
+                "host": h,
+                "n_urls": sum(d.values()),
+                "n_patterns": len(d),
+                "max_urls_per_pattern": max(d.values()),
+            }
+            for h, d in sorted(pat.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # h-a's two dated posts collapse to one template; h-b's ids collapse
+    assert got.loc[got.host == "h-a", "n_patterns"].item() == 2
+    assert got.loc[got.host == "h-b", "max_urls_per_pattern"].item() == 3
