@@ -284,8 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (65 exist as of round 3 — more than
-    # the window holds, so fifteen whose coverage is redundant with an
+    # SQL-oracled queries come first (66 exist as of round 3 — more than
+    # the window holds, so sixteen whose coverage is redundant with an
     # in-window sibling or already driver-proven hash-exact in round 2
     # sit just past the cap: q_region_customers (A6, driver-checked via
     # q_order_priority), token_count_bpe (M22, via token_count),
@@ -293,8 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # real-codec media_wav), plus q_events_hourly / q_sessionize /
     # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df /
     # pii_scan / fingerprint / quality_score / token_count / split_assign
-    # (all hash-exact in CORRECTNESS_r02, code untouched since —
-    # displaced to give the round-3 operators driver slots).  All stay in
+    # / json_etl_flatten (all hash-exact in CORRECTNESS_r02, code
+    # untouched since — displaced to give round-3 operators driver
+    # slots).  All stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
     # SQL analog at all) last.  Rows-only entries past the cap are
@@ -338,6 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass Pearson correlation from integer sufficient statistics
         # (SQL-oracled: identical fixed IEEE op sequence on both sides)
         "q_corr": analytics.q_corr,
+        # per-label mean embedding (k-means E-step shape): exact e6-integer
+        # vector sums, centroid-sized partials only (SQL-oracled)
+        "embedding_centroids": curation.embedding_centroids,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -383,9 +387,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parsed by the real text-object extractor (SQL-oracled: the
         # expected normalized text reconstructed in closed form)
         "pdf_extract": media.pdf_extract,
-        # S11 nested-JSON -> flat-column ETL (real serialize + parse +
-        # dotted-path flatten; SQL-oracled via DuckDB json_extract)
-        "json_etl_flatten": etl.json_etl_flatten,
         # S11 with the REAL binary spreadsheet format: every flat batch
         # round-trips through genuine xlsx bytes (stdlib zip+OOXML codec,
         # sources/xlsx.py); same oracle as json_etl_flatten, so the hash
@@ -462,6 +463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,  # hash-exact in r2
         "token_count": textstats.token_count,      # hash-exact in r2
         "split_assign": textstats.split_assign,    # hash-exact in r2
+        # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
+        # json_extract; hash-exact in r2)
+        "json_etl_flatten": etl.json_etl_flatten,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1594,6 +1598,21 @@ def oracle_sql() -> dict[str, str]:
                            FILTER (WHERE event_type = 'purchase'), 0)
                        AS BIGINT) AS purchase_cents
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # per-label centroid: exact e6-integer sums (floor quantization —
+        # float32 x 1e6 is exact in double, so floor is unambiguous)
+        "embedding_centroids": """
+            WITH e AS (
+              SELECT label, i - 1 AS dim,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, 64)) AS t(i))
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   count(*) AS n_vecs, CAST(sum(v) AS BIGINT) AS sum_e6,
+                   CAST(sum(v) AS DOUBLE) / (count(*) * 1000000.0)
+                       AS centroid
+            FROM e GROUP BY label, dim ORDER BY label, dim
         """,
         # anti-join: NOT EXISTS with the urgency predicate
         "q_anti_join": """

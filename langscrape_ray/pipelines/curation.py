@@ -772,3 +772,73 @@ def url_patterns(pages: "rd.Dataset") -> pd.DataFrame:
     for c in ("n_urls", "n_patterns", "max_urls_per_pattern"):
         out[c] = out[c].astype("int64")
     return out.sort_values("host").reset_index(drop=True)
+
+
+def embedding_centroids(sf_dir: str, dim: int = 64) -> pd.DataFrame:
+    """(label, dim, n_vecs, sum_e6, centroid): per-label mean embedding —
+    the k-means E-step / IVF-training building block, as an exact
+    distributed aggregate.  Vector components quantize to e6 integers
+    with FLOOR (float32 x 1e6 is exact in double — 44 mantissa bits — so
+    floor is unambiguous, unlike round's half-tie modes); integer sums
+    are associative, and ``centroid`` is one double division of
+    identical integers on both sides.
+
+    Ray shape: per-batch numpy accumulation — vectors stack to an (n, d)
+    matrix, labels bucket via ``np.add.at`` — emitting (label, dim,
+    n, sum) partials; ONE ``groupby(label*d + dim)`` Sum over
+    labels x d rows per block.  The corpus never shuffles; only
+    centroid-sized partials do.  SQL oracle: generate_series unnest +
+    GROUP BY (label, dim).
+    """
+    import ray.data as rd  # noqa: F811
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(
+            [np.asarray(v, np.float32) for v in t["embedding"].to_pylist()]
+        ).astype(np.float64)
+        q = np.floor(mat * 1_000_000).astype(np.int64)
+        uniq = np.unique(labels)
+        rows_k, rows_n, rows_s = [], [], []
+        for lb in uniq:
+            mask = labels == lb
+            s = q[mask].sum(axis=0)
+            n = int(mask.sum())
+            for d in range(q.shape[1]):
+                rows_k.append(int(lb) * dim + d)
+                rows_n.append(n)
+                rows_s.append(int(s[d]))
+        return pa.table(
+            {
+                "k": pa.array(rows_k, pa.int64()),
+                "n_vecs": pa.array(rows_n, pa.int64()),
+                "sum_e6": pa.array(rows_s, pa.int64()),
+            }
+        )
+
+    out = (
+        emb.map_batches(partials, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_e6", alias_name="sum_e6"),
+        )
+        .to_pandas()
+    )
+    out["label"] = (out["k"] // dim).astype("int64")
+    out["dim"] = (out["k"] % dim).astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["sum_e6"] = out["sum_e6"].astype("int64")
+    out["centroid"] = out["sum_e6"].astype("float64") / (
+        out["n_vecs"] * 1_000_000.0
+    )
+    return (
+        out[["label", "dim", "n_vecs", "sum_e6", "centroid"]]
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )

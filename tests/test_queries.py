@@ -94,6 +94,7 @@ def _to_df(x):
         "q_funnel",
         "q_anti_join",
         "q_corr",
+        "embedding_centroids",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
