@@ -346,3 +346,100 @@ def test_url_patterns_matches_pandas(ray_session):
     # h-a's two dated posts collapse to one template; h-b's ids collapse
     assert got.loc[got.host == "h-a", "n_patterns"].item() == 2
     assert got.loc[got.host == "h-b", "max_urls_per_pattern"].item() == 3
+
+
+def test_snapshot_diff_randomized_bulk(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    hosts = [f"h{i}" for i in range(12)]
+    urls = [
+        f"http://{rng.choice(hosts)}/p{rng.integers(0, 80)}"
+        for _ in range(300)
+    ]
+    urls = sorted(set(urls))
+
+    def snap(drop_mod, flip_mod):
+        rows = []
+        for i, u in enumerate(urls):
+            if i % drop_mod == 0:
+                continue
+            body = f"{u}|{'B' if i % flip_mod == 0 else 'A'}".encode()
+            rows.append((u, body))
+        return rows
+
+    a_rows, b_rows = snap(13, 10**9), snap(11, 5)
+
+    def tab(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+
+    got = curation.snapshot_diff(
+        rd.from_arrow(tab(a_rows)), rd.from_arrow(tab(b_rows))
+    )
+    am, bm = dict(a_rows), dict(b_rows)
+    agg = {}
+    for u in set(am) | set(bm):
+        host = u.split("/", 3)[2]
+        v = agg.setdefault(host, [0, 0, 0, 0])
+        if u in am and u in bm:
+            v[3 if am[u] == bm[u] else 2] += 1
+        elif u in bm:
+            v[0] += 1
+        else:
+            v[1] += 1
+    exp = pd.DataFrame(
+        [
+            {"host": h, "n_added": v[0], "n_removed": v[1],
+             "n_changed": v[2], "n_same": v[3]}
+            for h, v in sorted(agg.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_url_patterns_randomized_bulk(ray_session):
+    import re
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    parts = ["item", "2024", "x9", "post", "7", "a1b2"]
+    urls = [
+        "http://h%d/%s/%s" % (
+            rng.integers(0, 6),
+            parts[rng.integers(0, len(parts))],
+            parts[rng.integers(0, len(parts))],
+        )
+        for _ in range(400)
+    ]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    got = curation.url_patterns(rd.from_arrow(t))
+
+    pat = {}
+    for u in urls:
+        host = u.split("/", 3)[2]
+        p = re.sub(r"[0-9]+", "D", u.split("/", 3)[3])
+        pat.setdefault(host, {}).setdefault(p, 0)
+        pat[host][p] += 1
+    exp = pd.DataFrame(
+        [
+            {
+                "host": h,
+                "n_urls": sum(d.values()),
+                "n_patterns": len(d),
+                "max_urls_per_pattern": max(d.values()),
+            }
+            for h, d in sorted(pat.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
