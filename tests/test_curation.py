@@ -252,7 +252,6 @@ def test_crawl_corpus_seq_overflow_guard(ray_session):
 
 
 def test_snapshot_diff_matches_pandas(ray_session):
-    import hashlib
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
