@@ -284,8 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (66 exist as of round 3 — more than
-    # the window holds, so sixteen whose coverage is redundant with an
+    # SQL-oracled queries come first (67 exist as of round 3 — more than
+    # the window holds, so seventeen whose coverage is redundant with an
     # in-window sibling or already driver-proven hash-exact in round 2
     # sit just past the cap: q_region_customers (A6, driver-checked via
     # q_order_priority), token_count_bpe (M22, via token_count),
@@ -293,8 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # real-codec media_wav), plus q_events_hourly / q_sessionize /
     # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df /
     # pii_scan / fingerprint / quality_score / token_count / split_assign
-    # / json_etl_flatten (all hash-exact in CORRECTNESS_r02, code
-    # untouched since — displaced to give round-3 operators driver
+    # / json_etl_flatten / lang_id (all hash-exact in CORRECTNESS_r02,
+    # code untouched since — displaced to give round-3 operators driver
     # slots).  All stay in
     # tests/test_queries.py's oracle gate and scripts/check_contract.py),
     # then the rows-only approximations, with the crawl_* queries (no
@@ -342,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label mean embedding (k-means E-step shape): exact e6-integer
         # vector sums, centroid-sized partials only (SQL-oracled)
         "embedding_centroids": curation.embedding_centroids,
+        # wide->long melt (the pivot inverse): predicate-pushdown read +
+        # stateless stacked projections, no shuffle (SQL-oracled: UNION ALL)
+        "q_unpivot": analytics.q_unpivot,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -392,9 +395,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sources/xlsx.py); same oracle as json_etl_flatten, so the hash
         # proves the encode/decode lossless
         "xlsx_roundtrip": etl.xlsx_roundtrip,
-        # language id (stopword-overlap heuristic — SQL-oracled: the
-        # deterministic argmax is expressible)
-        "lang_id": textstats.lang_id,
         # composite training-data prep flagship: fused lang-ID + quality
         # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
         # rollup, ONE streaming flow (SQL-oracled end to end)
@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
         # json_extract; hash-exact in r2)
         "json_etl_flatten": etl.json_etl_flatten,
+        # language id (stopword-overlap heuristic — SQL-oracled; hash-exact
+        # in r2)
+        "lang_id": textstats.lang_id,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -1598,6 +1601,23 @@ def oracle_sql() -> dict[str, str]:
                            FILTER (WHERE event_type = 'purchase'), 0)
                        AS BIGINT) AS purchase_cents
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # melt: UNION ALL of the three column selections over the same
+        # late-shipment tail
+        "q_unpivot": """
+            WITH f AS (SELECT * FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '2001-08-20')
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'l_quantity' AS metric,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS value_e2
+            FROM f
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount',
+                   CAST(round(l_discount * 100) AS BIGINT) FROM f
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax',
+                   CAST(round(l_tax * 100) AS BIGINT) FROM f
+            ORDER BY l_orderkey, l_linenumber, metric
         """,
         # per-label centroid: exact e6-integer sums (floor quantization —
         # float32 x 1e6 is exact in double, so floor is unambiguous)

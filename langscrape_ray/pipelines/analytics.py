@@ -1290,3 +1290,47 @@ def q_corr(sf_dir: str) -> pd.DataFrame:
 
     out["corr"] = num / (np.sqrt(vq) * np.sqrt(vd))
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_MELT_COLS = ("l_quantity", "l_discount", "l_tax")
+
+
+def q_unpivot(sf_dir: str) -> pd.DataFrame:
+    """(l_orderkey, l_linenumber, metric, value_e2): wide→long melt — the
+    pivot inverse — of the three lineitem rate/quantity columns for the
+    late-shipment tail (>= 2001-08-20, ~3% of rows), values quantized to exact e2 integers.
+
+    Ray shape: the date predicate pushes into the parquet scan (only the
+    matching row groups leave storage), then ONE stateless vectorized
+    pass emits the three stacked projections per block — melt is
+    embarrassingly parallel, no shuffle at all.  SQL oracle: UNION ALL of
+    the three column selections.
+    """
+    cutoff = pd.Timestamp("2001-08-20")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate", *_MELT_COLS],
+        filter=pc.field("l_shipdate") >= cutoff,
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for col in _MELT_COLS:
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                        "metric": pa.array(
+                            [col] * t.num_rows, pa.string()
+                        ),
+                        "value_e2": _cents(t[col]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "metric"]
+    ).reset_index(drop=True)

@@ -95,6 +95,7 @@ def _to_df(x):
         "q_anti_join",
         "q_corr",
         "embedding_centroids",
+        "q_unpivot",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
