@@ -283,33 +283,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
-    # ORDER MATTERS: the driver checks only the FIRST 50 entries, so
-    # SQL-oracled queries come first (67 exist as of round 3 — more than
-    # the window holds, so seventeen whose coverage is redundant with an
-    # in-window sibling or already driver-proven hash-exact in round 2
-    # sit just past the cap: q_region_customers (A6, driver-checked via
-    # q_order_priority), token_count_bpe (M22, via token_count),
-    # media_frames and media_audio (multimodal, via media_meta + the
-    # real-codec media_wav), plus q_events_hourly / q_sessionize /
-    # q_event_dedup_window / tfidf_topk / embed_docs / doc_term_df /
-    # pii_scan / fingerprint / quality_score / token_count / split_assign
-    # / json_etl_flatten / lang_id (all hash-exact in CORRECTNESS_r02,
-    # code untouched since — displaced to give round-3 operators driver
-    # slots).  All stay in
-    # tests/test_queries.py's oracle gate and scripts/check_contract.py),
-    # then the rows-only approximations, with the crawl_* queries (no
-    # SQL analog at all) last.  Rows-only entries past the cap are
-    # covered by pytest (error-bound / recall / parity tests) instead.
+    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 67
+    # SQL-oracled queries exist — more than the window holds — so the
+    # window ROTATES per round to give every oracled query a recent
+    # driver-green row (the round-3 verdict's item 2).  Round-4 window =
+    # the 17 entries displaced in round 3 (driver-proven hash-exact in
+    # CORRECTNESS_r02, rotated back in first) + 33 round-3 sentinels
+    # chosen to cover every operator family and everything whose code
+    # changed this round (notably dedup_jaccard after the prefix-filter
+    # rewrite).  The 17 rotated OUT are hash-exact in CORRECTNESS_r03
+    # with code untouched since; every oracled query stays continuously
+    # exact via tests/test_queries.py's oracle gate and
+    # scripts/check_contract.py.  Rows-only approximations (error-bound /
+    # recall / parity pytest coverage instead of SQL) come after the
+    # oracled block, crawl_* (no SQL analog at all) last.
     return {
-        # relational / windowed analytics (SQL-oracled)
+        # ---- rotated back in: displaced in round 3, r2 hash-exact ----
+        "q_region_customers": analytics.q_region_customers,
+        "q_events_hourly": analytics.q_events_hourly,
+        "q_sessionize": analytics.q_sessionize,
+        "q_event_dedup_window": analytics.q_event_dedup_window,
+        "tfidf_topk": textstats.tfidf_topk,
+        "embed_docs": textstats.embed_docs,
+        "doc_term_df": textstats.doc_term_df,
+        # PII detect + redact over deterministically augmented text
+        # (SQL-oracled incl. md5 of the redacted bytes)
+        "pii_scan": textstats.pii_scan,
+        "fingerprint": textstats.fingerprint,
+        "quality_score": textstats.quality_score,
+        "token_count": textstats.token_count,
+        "token_count_bpe": textstats.token_count_bpe,
+        "split_assign": textstats.split_assign,
+        # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
+        # json_extract)
+        "json_etl_flatten": etl.json_etl_flatten,
+        # language id (stopword-overlap heuristic — SQL-oracled)
+        "lang_id": textstats.lang_id,
+        "media_frames": media.media_frames,
+        "media_audio": media.media_audio,
+        # ---- round-3 sentinels (kept in-window for regression) ----
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_orders": analytics.q3_top_orders,
         "q_order_priority": analytics.q_order_priority,
         "q_lineitem_stats": analytics.q_lineitem_stats,
-        "q_grouped_sample": analytics.q_grouped_sample,
-        "q_distinct_union": analytics.q_distinct_union,
-        "q_supplier_balance": analytics.q_supplier_balance_by_nation,
-        "q_event_users": analytics.q_event_users,
         # hot-key top-k via composite-key (salted) two-stage agg — the
         # explicit skew-handling shape (SQL-oracled: row_number window)
         "q_top_users_by_type": analytics.q_top_users_by_type,
@@ -319,37 +335,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # range (interval-containment) join: broadcast small window table,
         # vectorized containment mask, partial-sum fold (SQL-oracled)
         "q_range_join": analytics.q_range_join,
-        # rolling-window aggregate over the pre-collapsed day series
-        # (SQL-oracled: SUM() OVER ROWS BETWEEN)
-        "q_rolling_revenue": analytics.q_rolling_revenue,
-        # exact per-group discrete percentiles (SQL-oracled: quantile_disc)
-        "q_order_percentiles": analytics.q_order_percentiles,
-        # long->wide pivot with map-side pre-pivoted partials (SQL-oracled:
-        # count(*) FILTER per type + scaled-integer value sum)
-        "q_pivot_events": analytics.q_pivot_events,
-        # GROUP BY ROLLUP: one finest-grain shuffle, coarser levels derived
-        # from the group-cardinality result (SQL-oracled: ROLLUP + COALESCE)
-        "q_rollup": analytics.q_rollup,
         # ordered conversion funnel with strict min-ts chaining (SQL-oracled:
         # CTE chain of conditional mins)
         "q_funnel": analytics.q_funnel,
-        # distributed anti-join with no broadcast/join operator: side-flag
-        # union + Max fold (SQL-oracled: NOT EXISTS)
-        "q_anti_join": analytics.q_anti_join,
-        # one-pass Pearson correlation from integer sufficient statistics
-        # (SQL-oracled: identical fixed IEEE op sequence on both sides)
-        "q_corr": analytics.q_corr,
-        # per-label mean embedding (k-means E-step shape): exact e6-integer
-        # vector sums, centroid-sized partials only (SQL-oracled)
-        "embedding_centroids": curation.embedding_centroids,
-        # wide->long melt (the pivot inverse): predicate-pushdown read +
-        # stateless stacked projections, no shuffle (SQL-oracled: UNION ALL)
-        "q_unpivot": analytics.q_unpivot,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
-        # exact shingle-Jaccard similarity join (inverted index; SQL-oracled
-        # — deterministic, unlike the minhash approximation)
+        # exact shingle-Jaccard similarity join — REWRITTEN round 4 to the
+        # DF-ordered positional-prefix-filter candidate pipeline (PPJoin)
+        # with exact verify, so it MUST hold a driver slot this round
         "dedup_jaccard": dedup.jaccard_similarity_join,
         "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
         # connected-components cluster labeling over near-dup pairs
@@ -362,20 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         # similarity search (exact baseline; approximate variants below)
         "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
-        # full-text inverted index: term-partitioned posting lists
-        # (SQL-oracled: DISTINCT explode + ordered string_agg)
-        "inverted_index": curation.inverted_index,
-        # Gopher-style repetition signals (integer counts; SQL-oracled)
-        "repetition_stats": textstats.repetition_stats,
-        # benchmark n-gram decontamination (broadcast bench-gram set;
-        # SQL-oracled: list-slice grams + semi-join + count DISTINCT)
-        "decontaminate": textstats.decontaminate,
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,
-        # bloom runtime-filter semi-join, exact via survivor verification
-        # (SQL-oracled: plain JOIN + sum)
-        "q_bloom_semijoin": analytics.q_bloom_semijoin,
         # TPC-H Q5-style multi-hop join, every hop pre-reduced (SQL-oracled)
         "q5_nation_revenue": analytics.q5_nation_revenue,
         # multimodal ingest: real binary payload -> resize -> decode actor
@@ -399,7 +382,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
         # rollup, ONE streaming flow (SQL-oracled end to end)
         "prep_corpus": prep.prep_corpus,
-        "token_histogram": textstats.token_histogram,  # SQL-oracled
         # F9 table extraction shape stats (SQL-oracled closed form over the
         # deterministic planted-table rule; the Ray side runs the real
         # parse + extract_tables_recursive kernel)
@@ -442,33 +424,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no per-group Python; SQL-oracled: distinct self-join count)
         "source_overlap": curation.source_overlap,
         # ---- past the driver's 50-entry window from here ----
-        # SQL-oracled but displaced (coverage redundant with in-window
-        # siblings or hash-exact in CORRECTNESS_r02 with code untouched
-        # since — see the ORDER MATTERS note); locally exact via
-        # scripts/check_contract.py and tests/test_queries.py
-        "q_region_customers": analytics.q_region_customers,
-        "token_count_bpe": textstats.token_count_bpe,
-        "media_frames": media.media_frames,
-        "media_audio": media.media_audio,
-        "q_events_hourly": analytics.q_events_hourly,
-        "q_sessionize": analytics.q_sessionize,
-        "q_event_dedup_window": analytics.q_event_dedup_window,
-        "tfidf_topk": textstats.tfidf_topk,
-        "embed_docs": textstats.embed_docs,
-        "doc_term_df": textstats.doc_term_df,
-        # PII detect + redact over deterministically augmented text
-        # (SQL-oracled incl. md5 of the redacted bytes; hash-exact in r2)
-        "pii_scan": textstats.pii_scan,
-        "fingerprint": textstats.fingerprint,      # hash-exact in r2
-        "quality_score": textstats.quality_score,  # hash-exact in r2
-        "token_count": textstats.token_count,      # hash-exact in r2
-        "split_assign": textstats.split_assign,    # hash-exact in r2
-        # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
-        # json_extract; hash-exact in r2)
-        "json_etl_flatten": etl.json_etl_flatten,
-        # language id (stopword-overlap heuristic — SQL-oracled; hash-exact
-        # in r2)
-        "lang_id": textstats.lang_id,
+        # SQL-oracled, rotated OUT this round (all hash-exact in
+        # CORRECTNESS_r03, code untouched since; locally exact via
+        # scripts/check_contract.py and tests/test_queries.py)
+        "q_grouped_sample": analytics.q_grouped_sample,
+        "q_distinct_union": analytics.q_distinct_union,
+        "q_supplier_balance": analytics.q_supplier_balance_by_nation,
+        "q_event_users": analytics.q_event_users,
+        # rolling-window aggregate over the pre-collapsed day series
+        # (SQL-oracled: SUM() OVER ROWS BETWEEN)
+        "q_rolling_revenue": analytics.q_rolling_revenue,
+        # exact per-group discrete percentiles (SQL-oracled: quantile_disc)
+        "q_order_percentiles": analytics.q_order_percentiles,
+        # long->wide pivot with map-side pre-pivoted partials (SQL-oracled)
+        "q_pivot_events": analytics.q_pivot_events,
+        # GROUP BY ROLLUP: one finest-grain shuffle, coarser levels derived
+        # from the group-cardinality result (SQL-oracled: ROLLUP + COALESCE)
+        "q_rollup": analytics.q_rollup,
+        # distributed anti-join with no broadcast/join operator: side-flag
+        # union + Max fold (SQL-oracled: NOT EXISTS)
+        "q_anti_join": analytics.q_anti_join,
+        # one-pass Pearson correlation from integer sufficient statistics
+        "q_corr": analytics.q_corr,
+        # per-label mean embedding (k-means E-step shape; SQL-oracled)
+        "embedding_centroids": curation.embedding_centroids,
+        # wide->long melt (the pivot inverse; SQL-oracled: UNION ALL)
+        "q_unpivot": analytics.q_unpivot,
+        # full-text inverted index: term-partitioned posting lists
+        "inverted_index": curation.inverted_index,
+        # Gopher-style repetition signals (integer counts; SQL-oracled)
+        "repetition_stats": textstats.repetition_stats,
+        # benchmark n-gram decontamination (broadcast bench-gram set)
+        "decontaminate": textstats.decontaminate,
+        # bloom runtime-filter semi-join, exact via survivor verification
+        "q_bloom_semijoin": analytics.q_bloom_semijoin,
+        "token_histogram": textstats.token_histogram,  # SQL-oracled
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
@@ -476,6 +466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmax has no SQL analog; exact vs a single-process reference
         # in tests/test_curation.py)
         "bpe_merges": curation.bpe_merges,
+        # subword counting under the COMMITTED merge table (tiktoken-parity
+        # M22 counter; rows-only — BPE has no SQL analog; replay-exact in
+        # tests/test_bpe.py)
+        "token_count_vendored": textstats.token_count_vendored,
         "dedup_minhash": dedup.minhash_dedup,           # rows-only (LSH)
         "dedup_simhash": dedup.simhash_neardup_pairs,   # rows-only
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,  # rows-only (LSH scale path)

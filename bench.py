@@ -149,14 +149,15 @@ def run_crawl_bench(sf_dir: str, num_cpus: int, resident: bool = True) -> dict:
     }
 
 
-def run_query_bench(sf_dir: str) -> dict:
+def run_query_bench(sf_dir: str, names=None) -> dict:
     import __ray_entry__ as entrymod
 
-    names = [
-        "q1_pricing_summary", "q3_top_orders", "q_events_hourly",
-        "q_sessionize", "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "knn_cosine", "token_count", "quality_score",
-    ]
+    if names is None:
+        names = [
+            "q1_pricing_summary", "q3_top_orders", "q_events_hourly",
+            "q_sessionize", "dedup_exact", "dedup_minhash", "dedup_simhash",
+            "knn_cosine", "token_count", "quality_score",
+        ]
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -169,6 +170,14 @@ def run_query_bench(sf_dir: str) -> dict:
         out[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
     return out
+
+
+# the at-scale dedup paths, timed as their own block (round-3 verdict item
+# 6): dedup_cc_lsh is the 10^9-vector clustering configuration (LSH edges,
+# no corpus broadcast); dedup_jaccard records the prefix-filter rewrite's
+# wall-time trend.  Reported OUTSIDE the headline total so "value" stays
+# comparable across rounds.
+DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard"]
 
 
 def main() -> None:
@@ -192,10 +201,12 @@ def main() -> None:
     # leave the object store draining, which skews query timings taken
     # right after it.  A small warm-up pass spins the worker pool first.
     queries = {}
+    dedup_family = {}
     crawl_nr = None
     if not headline_only:
         run_query_bench("/root/testdata/sf0.01")  # untimed warm-up
         queries = run_query_bench(sf_dir)
+        dedup_family = run_query_bench(sf_dir, names=DEDUP_FAMILY)
     store_env = os.environ.get("GRAFT_STORE", "")
     resident = "--store=nonresident" not in sys.argv and store_env != "nonresident"
     crawl = run_crawl_bench(sf_dir, num_cpus, resident=resident)
@@ -216,6 +227,8 @@ def main() -> None:
         "crawl": crawl,
         "host_calibration": cpu_reference(),
     }
+    if dedup_family:
+        payload["dedup_family"] = dedup_family
     if crawl_nr is not None:
         payload["crawl_nonresident"] = crawl_nr
     print(json.dumps(payload))

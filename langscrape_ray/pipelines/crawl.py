@@ -747,18 +747,46 @@ class RayCrawl:
 
         # ---- R6: frontier update (outlink explode, per-row order keys) ---
         def _explode(batch: pa.Table) -> pa.Table:
-            urls_out: List[str] = []
-            okeys: List[int] = []
-            for okey, links in zip(
-                batch["order_key"].to_pylist(), batch["outlinks"].to_pylist()
-            ):
-                for pos, link in enumerate(links):
-                    urls_out.append(link)
-                    okeys.append(outlink_order_key(int(okey), pos))
+            # vectorized explode: pc.list_flatten for the urls (zero-copy
+            # view of the child array) + pc.list_parent_indices / offsets
+            # for per-link positions — no per-row Python loop.  The okey
+            # hash itself stays a flat comprehension (it's a keyed blake2
+            # per link — the semantic, not an artifact).
+            links = batch["outlinks"]
+            if isinstance(links, pa.ChunkedArray):
+                links = links.combine_chunks()
+            flat = pc.list_flatten(links)
+            n = len(flat)
+            if n == 0:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "priority": pa.array([], pa.int64()),
+                        "order_key": pa.array([], pa.int64()),
+                    }
+                )
+            parent = pc.list_parent_indices(links).to_numpy(
+                zero_copy_only=False
+            )
+            counts = pc.list_value_length(links)
+            if counts.null_count:
+                counts = pc.fill_null(counts, 0)
+            counts = counts.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = np.arange(n, dtype=np.int64) - starts[parent]
+            pkeys = batch["order_key"].to_numpy(zero_copy_only=False)[parent]
+            okeys = [
+                outlink_order_key(int(k), int(p))
+                for k, p in zip(pkeys, pos)
+            ]
+            if not pa.types.is_string(flat.type):
+                flat = flat.cast(pa.string())
             return pa.table(
                 {
-                    "url": pa.array(urls_out, pa.string()),
-                    "priority": pa.array([0] * len(urls_out), pa.int64()),
+                    "url": flat,
+                    "priority": pa.array(
+                        np.zeros(n, dtype=np.int64), pa.int64()
+                    ),
                     "order_key": pa.array(okeys, pa.int64()),
                 }
             )

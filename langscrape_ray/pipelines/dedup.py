@@ -218,7 +218,8 @@ def ngram_jaccard(text_a: str, text_b: str, shingle_len: int = 3) -> float:
 
 def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
                                n_parts: int = 64,
-                               dedup_pairs: bool = False) -> rd.Dataset:
+                               dedup_pairs: bool = False,
+                               bucket_cap: int = 512) -> rd.Dataset:
     """LSH candidate pairs as a Dataset: shingle -> minhash -> band ->
     bucket-hash partition -> within-bucket pairs.
 
@@ -233,6 +234,18 @@ def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
     pair set to the driver dedupe there for free; the at-scale join tail
     passes dedup_pairs=True for the vectorized groupby-count dedup shuffle
     so the pair set still never lands on the driver.
+
+    ``bucket_cap`` is the hot-bucket guard: a bucket of b co-hashing docs
+    normally emits b·(b−1)/2 pairs, which for the degenerate buckets a real
+    crawl produces (thousands of near-identical template pages hashing to
+    ONE band bucket) is quadratic in the hot-bucket size.  Buckets larger
+    than the cap emit the O(b) star to the bucket-minimum doc instead:
+    connectivity — and therefore keep-one-per-cluster dedup via the
+    connected-components consumer — is preserved, while direct pairs
+    between non-min members of the oversized bucket are dropped (the same
+    cap/sample trade RefinedWeb makes at 10^9-doc scale).  Pair emission
+    is vectorized (``np.triu_indices`` over the sorted-unique id array),
+    never a per-pair Python loop.
     Rows: (doc_a, doc_b) with doc_a < doc_b."""
     def add_part(t: pa.Table) -> pa.Table:
         h = np.asarray(t["band_hash"], dtype=np.int64).view(np.uint64)
@@ -241,16 +254,29 @@ def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"]):
-            ids = sorted(set(int(x) for x in grp["doc_id"]))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy(dtype=np.int64))
+            m = int(ids.size)
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                # degenerate LSH bucket: star to the min id, O(b) not O(b^2)
+                a = np.full(m - 1, ids[0], dtype=np.int64)
+                b = ids[1:]
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                a, b = ids[iu], ids[ju]
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
             }
         )
 
@@ -357,9 +383,15 @@ JOIN_TAIL_PAIRS = 2_000_000
 
 
 def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
-                           threshold: float) -> pd.DataFrame:
+                           threshold: float, shingle_len: int = 3,
+                           round_first: bool = True) -> pd.DataFrame:
     """Candidate-bounded verify: filtered scan of ONLY the pair texts
-    (isin pushdown), broadcast that small slice, verify pairs distributed."""
+    (isin pushdown), broadcast that small slice, verify pairs distributed.
+
+    ``round_first`` picks which side of the 4-decimal rounding the
+    threshold compares against: True is the minhash_dedup contract
+    (filter on the rounded value); False is the jaccard_similarity_join
+    / SQL-oracle contract (filter on the raw ratio, round for output)."""
     import pyarrow.compute as pc
 
     ids = pd.unique(pd.concat([pairs["doc_a"], pairs["doc_b"]],
@@ -375,14 +407,20 @@ def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
             self.texts = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                round(ngram_jaccard(self.texts.get(a, ""),
-                                    self.texts.get(b, "")), 4)
-                for a, b in zip(batch["doc_a"], batch["doc_b"])
-            ]
+            raw = np.array(
+                [
+                    ngram_jaccard(self.texts.get(a, ""),
+                                  self.texts.get(b, ""), shingle_len)
+                    for a, b in zip(batch["doc_a"], batch["doc_b"])
+                ],
+                dtype=np.float64,
+            )
             out = batch[["doc_a", "doc_b"]].copy()
-            out["jaccard"] = jac
-            return out[out["jaccard"] >= threshold]
+            if round_first:
+                out["jaccard"] = np.round(raw, 4)
+                return out[out["jaccard"] >= threshold]
+            out["jaccard"] = np.round(raw, 4)
+            return out[raw >= threshold]
 
     return (
         rd.from_pandas(pairs)
@@ -392,9 +430,11 @@ def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
 
 
 def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
-                       n_parts: Optional[int]) -> pd.DataFrame:
+                       n_parts: Optional[int], shingle_len: int = 3,
+                       round_first: bool = True) -> pd.DataFrame:
     """Join-tail verify for candidate sets too big to broadcast: each
-    pair's two texts arrive via co-partitioned hash joins on doc_id."""
+    pair's two texts arrive via co-partitioned hash joins on doc_id.
+    ``round_first`` as in ``_verify_pairs_semijoin``."""
     from langscrape_ray.pipelines.util import compact_for_join
 
     # compact so no empty block reaches the join (empty first blocks break
@@ -425,13 +465,18 @@ def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
     ).rename_columns({"text": "text_b"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        jac = [
-            round(ngram_jaccard(a, b), 4)
-            for a, b in zip(batch["text_a"], batch["text_b"])
-        ]
+        raw = np.array(
+            [
+                ngram_jaccard(a, b, shingle_len)
+                for a, b in zip(batch["text_a"], batch["text_b"])
+            ],
+            dtype=np.float64,
+        )
         out = batch[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = jac
-        return out[out["jaccard"] >= threshold]
+        out["jaccard"] = np.round(raw, 4)
+        if round_first:
+            return out[out["jaccard"] >= threshold]
+        return out[raw >= threshold]
 
     return joined.map_batches(verify, batch_format="pandas").to_pandas()
 
@@ -505,20 +550,35 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pair emission: triu indices over the sorted-unique
+        # (doc_id, simhash) rows, XOR popcount via a byte-view unpackbits
+        # (numpy<2 has no bitwise_count) — no per-pair Python loop
         out_a, out_b, out_d = [], [], []
-        for (_bid, _bv), grp in g.groupby(["band_id", "band_val"]):
-            rows = sorted(
-                set(zip((int(x) for x in grp["doc_id"]),
-                        (int(s) for s in grp["simhash"])))
+        for (_bid, _bv), grp in g.groupby(["band_id", "band_val"], sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            m = len(grp)
+            if m < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(dtype=np.int64)
+            sigs = grp["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(m, k=1)
+            x = (sigs[iu] ^ sigs[ju]).view(np.uint8).reshape(-1, 8)
+            d = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+            hit = d <= max_hamming
+            out_a.append(ids[iu[hit]])
+            out_b.append(ids[ju[hit]])
+            out_d.append(d[hit])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
             )
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    d = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                    if d <= max_hamming:
-                        out_a.append(rows[i][0])
-                        out_b.append(rows[j][0])
-                        out_d.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a),
+             "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_d)}
+        )
 
     out = (
         simhash_signatures(sf_dir)
@@ -888,41 +948,45 @@ def embedding_neardup_lsh(
     )
 
 
-def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
-                            shingle_len: int = 3,
-                            n_parts: int = 32) -> pd.DataFrame:
-    """EXACT word-shingle Jaccard similarity join over the documents table
-    (pairs with Jaccard >= threshold) — the deterministic sibling of the
-    minhash pipeline, SQL-oracleable because no hashing approximation is
-    involved in the *result* (shingle identity uses the same 64-bit hash
-    as MinHash; collisions are ~2^-64 and do not affect the test corpora).
+def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
+                               shingle_len: int = 3,
+                               n_parts: int = 32,
+                               df_cap: Optional[int] = None) -> rd.Dataset:
+    """Candidate (doc_a, doc_b) pairs for the exact Jaccard join, pruned
+    by the DF-ordered POSITIONAL PREFIX FILTER (PPJoin, Xiao et al. WWW'08)
+    plus the length filter — this is the stop-shingle guard that keeps the
+    hot-shingle self-merge from going quadratic on a real web corpus.
 
-    Scale shape (PPJoin-style inverted index, all distributed):
-      1. map_batches: per doc, the DISTINCT shingle-hash set, emitted as
-         (shingle, doc_id, doc_size) rows — doc_size rides along so no
-         separate size join is needed later.
-      2. ONE shuffle: bucket rows by ``shingle % n_parts`` (coarse
-         partitions — one vectorized pandas self-merge per bucket, not
-         one task per shingle) and pair up docs sharing a shingle.
-         Pairs are PRE-AGGREGATED inside the bucket (groupby pair →
-         partial co-occurrence count), so the next exchange carries one
-         row per (pair, bucket) instead of one per co-occurrence — an
-         ~|A∩B|-factor reduction in shuffle volume.
-      3. ONE shuffle: groupby(pair).aggregate(Sum(partial counts)) —
-         the summed co-occurrence count IS |A ∩ B|; union = na + nb -
-         inter; filter >= threshold.
-    No driver-side materialization until the (small) qualifying pair set.
+    The completeness theorem (so the downstream join stays EXACT): order
+    every doc's shingle set by one global total order — here (document
+    frequency ASC, shingle hash ASC) — and index only each doc's first
+    ``p = n − ceil(t·n) + 1`` shingles.  Any pair with Jaccard ≥ t must
+    collide inside these prefixes, so candidate generation over prefixes
+    alone misses nothing.  Boilerplate shingles (DF in the millions on a
+    crawl) sort LAST under DF-ascending order and therefore effectively
+    never enter a prefix — a doc only indexes a hot shingle when ≥
+    ceil(t·n)−1 of its shingles are even hotter, i.e. near-pure template
+    pages, for which the pair volume is output-bound (identical docs are
+    genuinely all-pairs in the EXACT result).  ``df_cap`` additionally
+    drops shingles with DF > cap from the index — an explicitly
+    approximate emergency valve (default None = exact).
 
-    At 100 TB the one refinement this needs is a stop-shingle cut (drop
-    shingles whose document frequency exceeds a cap, with a positional
-    prefix filter to keep exactness) — word-3-shingle DF is Zipf-light,
-    so the bucket self-merge stays near-linear at the tested scales.
+    Stages (all shuffles coarse, all group bodies vectorized pandas/numpy):
+      1. map_batches explode: per doc the DISTINCT shingle hashes as
+         (shingle, doc_id, n_sh) rows, bucketed by shingle % n_parts.
+      2. groupby(bucket_part): attach per-shingle document frequency
+         (all rows of a shingle share its bucket) — one transform("size").
+      3. groupby(doc_part): re-group by doc, sort each doc's rows by
+         (df, shingle), keep the prefix.
+      4. groupby(bucket_part) over the PREFIX rows only: vectorized
+         self-merge on shingle + length filter (J ≥ t ⟹ min(na,nb) ≥
+         t·max(na,nb)) + within-bucket pair distinct.
+      5. groupby(pair_key): global pair dedup (cross-bucket duplicates),
+         never on the driver.
+    Rows: (doc_a, doc_b) with doc_a < doc_b, globally distinct."""
+    from ray.data.aggregate import Count, Min
 
-    Reference parity: the verification metric of the reference's dedup
-    story (SURVEY §2 training-data ops); tokenization identical to
-    ``MinHashSignatures.shingles`` (\\S+ on lowercased text).
-    """
-    from ray.data.aggregate import Min, Sum
+    from langscrape_ray.pipelines.util import ensure_schema
 
     mh = MinHashSignatures(shingle_len=shingle_len)
 
@@ -949,32 +1013,55 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-merge on shingle within the coarse bucket, then
-        # per-bucket pair combiner: the downstream exchange carries one
-        # partial count per (pair, bucket), not one row per co-occurrence
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # every row of a given shingle is in this bucket, so the group
+        # size IS the global document frequency
+        out = g[["shingle", "doc_id", "n_sh"]].copy()
+        out["df"] = g.groupby("shingle")["doc_id"].transform("size").astype("int64")
+        out["doc_part"] = (out["doc_id"].to_numpy() % n_parts).astype(np.int32)
+        return out
+
+    def prefix_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # per-doc prefix under the global (df, shingle) order; the tiny
+        # epsilon guards float ceil against t*n landing exactly on an
+        # integer (a too-SHORT prefix would break completeness; one row
+        # longer is merely a superset)
+        g = g.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+        rank = g.groupby("doc_id").cumcount().to_numpy()
+        n = g["n_sh"].to_numpy(dtype=np.int64)
+        p = n - np.ceil(threshold * n - 1e-9).astype(np.int64) + 1
+        keep = rank < p
+        if df_cap is not None:
+            keep &= g["df"].to_numpy() <= df_cap
+        out = g.loc[keep, ["shingle", "doc_id", "n_sh"]].copy()
+        out["bucket_part"] = (out["shingle"].to_numpy() % n_parts).astype(np.int32)
+        return out
+
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-merge on shingle over PREFIX rows only, then
+        # the length filter and a within-bucket pair distinct
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        part = (
-            m.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"])
-            .size()
-            .reset_index(name="inter_part")
-        )
+        na = m["n_sh_a"].to_numpy(dtype=np.int64)
+        nb = m["n_sh_b"].to_numpy(dtype=np.int64)
+        mask = m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy()
+        mask &= np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+        m = m.loc[mask, ["doc_id_a", "doc_id_b"]].drop_duplicates()
         return pd.DataFrame(
             {
-                "doc_a": part["doc_id_a"].astype("int64"),
-                "doc_b": part["doc_id_b"].astype("int64"),
-                "na": part["n_sh_a"].astype("int64"),
-                "nb": part["n_sh_b"].astype("int64"),
-                "inter_part": part["inter_part"].astype("int64"),
+                "doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+                "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64),
             }
         )
 
-    agg = (
+    cand = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(explode, batch_format="pyarrow")
         .groupby("bucket_part")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("doc_part")
+        .map_groups(prefix_rows, batch_format="pandas")
+        .groupby("bucket_part")
+        .map_groups(bucket_candidates, batch_format="pandas")
         .map_batches(
             lambda t: _with_pair_key(t, "doc_a", "doc_b"), batch_format="pyarrow"
         )
@@ -982,36 +1069,58 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
         .aggregate(
             Min("doc_a", alias_name="doc_a"),
             Min("doc_b", alias_name="doc_b"),
-            Sum("inter_part", alias_name="inter"),
-            Min("na", alias_name="na"),
-            Min("nb", alias_name="nb"),
+            Count(alias_name="_n"),
         )
     )
+    return ensure_schema(
+        cand, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        inter = np.asarray(t["inter"], dtype=np.float64)
-        union = (
-            np.asarray(t["na"], dtype=np.float64)
-            + np.asarray(t["nb"], dtype=np.float64)
-            - inter
-        )
-        jac = inter / union
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(np.asarray(t["doc_a"])[keep], pa.int64()),
-                "doc_b": pa.array(np.asarray(t["doc_b"])[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 4), pa.float64()),
-            }
-        )
 
-    out = agg.map_batches(finalize, batch_format="pyarrow").to_pandas()
+def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
+                            shingle_len: int = 3,
+                            n_parts: int = 32,
+                            df_cap: Optional[int] = None) -> pd.DataFrame:
+    """EXACT word-shingle Jaccard similarity join over the documents table
+    (pairs with Jaccard >= threshold) — the deterministic sibling of the
+    minhash pipeline, SQL-oracleable because no approximation is involved
+    in the *result* (shingle identity uses the same 64-bit hash as
+    MinHash; collisions are ~2^-64 and do not affect the test corpora).
+
+    Scale shape: candidates come from ``jaccard_candidate_pairs_ds`` —
+    the DF-ordered positional prefix filter (the stop-shingle guard that
+    replaced the round-3 unguarded O(DF²) hot-shingle self-merge) — and
+    are then verified with the exact shingle Jaccard.  The candidate set
+    is bounded by the prefix-collision volume (≈ near-dup output size),
+    so it lands on the driver like the function's own return value does;
+    above ``JOIN_TAIL_PAIRS`` verification switches from the broadcast
+    semi-join to two co-partitioned hash joins, same as minhash_dedup.
+    The threshold compares the RAW ratio (rounding only for output),
+    matching the SQL oracle.
+
+    Reference parity: the verification metric of the reference's dedup
+    story (SURVEY §2 training-data ops); tokenization identical to
+    ``MinHashSignatures.shingles`` (\\S+ on lowercased text).
+    """
+    empty_result = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+    pairs = jaccard_candidate_pairs_ds(
+        sf_dir, threshold, shingle_len, n_parts, df_cap
+    ).to_pandas()
+    if pairs.empty:
+        return empty_result
+    pairs = pairs.astype({"doc_a": "int64", "doc_b": "int64"})
+    if len(pairs) > JOIN_TAIL_PAIRS:
+        out = _verify_pairs_join(sf_dir, pairs, threshold, None,
+                                 shingle_len, round_first=False)
+    else:
+        out = _verify_pairs_semijoin(sf_dir, pairs, threshold,
+                                     shingle_len, round_first=False)
     if out.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
+        return empty_result
     return (
         out.astype({"doc_a": "int64", "doc_b": "int64"})
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

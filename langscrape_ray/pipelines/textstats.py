@@ -150,27 +150,82 @@ def lang_id(sf_dir: str) -> "rd.Dataset":
     )
 
 
-def token_histogram(sf_dir: str, bin_size: int = 32) -> pd.DataFrame:
-    """Binned token-count histogram (reference A5 shape,
-    /root/reference/feilian/statistical_analysis.py:55-79: bin = n//k*k,
-    then grouped aggregation)."""
-    from ray.data.aggregate import Count, Mean
+class _BPECount:
+    """Actor-pool counter: the vendored BPE encoder (kernel/bpe.py) is
+    built ONCE per actor in __init__ — merge-table parse + word memo
+    warmup never happen per batch."""
 
-    def fn(t: pa.Table) -> pa.Table:
-        n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
-        bins = [x // bin_size * bin_size for x in n]
+    def __init__(self):
+        from langscrape_ray.kernel.bpe import vendored_encoder
+
+        self.enc = vendored_encoder()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = [self.enc.count_tokens(x) for x in t["text"].to_pylist()]
         return pa.table(
-            {
-                "token_bin": pa.array(bins, pa.int64()),
-                "n_tokens": pa.array(n, pa.int64()),
-            }
+            {"doc_id": t["doc_id"], "n_bpe_tokens": pa.array(n, pa.int64())}
         )
 
-    from ray.data.aggregate import Sum
+
+def token_count_vendored(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_bpe_tokens): subword count under the COMMITTED BPE merge
+    table — the tiktoken-parity counter for M22 (reference
+    feilian/fragments_detection.py:29 counts with tiktoken; the table here
+    is trained by the repo's own Sennrich trainer, see kernel/bpe.py).
+    Rows-only: BPE encoding has no SQL analog; exactness vs a
+    single-process replay is asserted in tests/test_bpe.py."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _BPECount, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def token_histogram(sf_dir: str, bin_size: int = 32,
+                    counter: str = "ws") -> pd.DataFrame:
+    """Binned token-count histogram (reference A5 shape,
+    /root/reference/feilian/statistical_analysis.py:55-79: bin = n//k*k,
+    then grouped aggregation).  ``counter="ws"`` (default, SQL-oracled)
+    counts whitespace tokens; ``counter="bpe"`` counts subwords under the
+    vendored BPE table (reference parity with the tiktoken histogram —
+    rows-only semantics, replay-tested in tests/test_bpe.py)."""
+    from ray.data.aggregate import Count, Sum
+
+    if counter == "bpe":
+        from langscrape_ray.kernel.bpe import vendored_encoder
+
+        class BinFn:
+            def __init__(self):
+                self.enc = vendored_encoder()
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                n = [self.enc.count_tokens(x) for x in t["text"].to_pylist()]
+                bins = [x // bin_size * bin_size for x in n]
+                return pa.table(
+                    {
+                        "token_bin": pa.array(bins, pa.int64()),
+                        "n_tokens": pa.array(n, pa.int64()),
+                    }
+                )
+
+        mapped = _read_docs(sf_dir, ["text"]).map_batches(
+            BinFn, batch_format="pyarrow", concurrency=(1, 4)
+        )
+    else:
+        def fn(t: pa.Table) -> pa.Table:
+            n = [len(_TOKEN_RE.findall(x)) for x in t["text"].to_pylist()]
+            bins = [x // bin_size * bin_size for x in n]
+            return pa.table(
+                {
+                    "token_bin": pa.array(bins, pa.int64()),
+                    "n_tokens": pa.array(n, pa.int64()),
+                }
+            )
+
+        mapped = _read_docs(sf_dir, ["text"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
 
     out = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(fn, batch_format="pyarrow")
+        mapped
         .groupby("token_bin")
         .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens"))
         .sort("token_bin")

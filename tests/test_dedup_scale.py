@@ -1,0 +1,172 @@
+"""Hot-key guards for the dedup family (the round-3 verdict's two
+scale-killers): the jaccard join's DF-ordered positional prefix filter
+must keep a planted hot shingle from exploding candidate volume while
+staying EXACT, and the minhash LSH bucket cap must bound a degenerate
+bucket's pair emission while preserving cluster connectivity."""
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _brute_pairs(texts, threshold, shingle_len=3):
+    from langscrape_ray.pipelines.dedup import ngram_jaccard
+
+    out = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = ngram_jaccard(texts[a], texts[b], shingle_len)
+        if j >= threshold:
+            out.append((a, b, round(j, 4)))
+    return (
+        pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _mk_corpus(rng, n_unrelated=200, boiler="terms of service apply all rights reserved"):
+    """Docs sharing an 8-token boilerplate phrase (hot shingles, DF=n)
+    but otherwise unique — the classic crawl hot-shingle shape."""
+    texts = []
+    for i in range(n_unrelated):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(30))
+        texts.append(f"{boiler} {uniq}")
+    return texts
+
+
+def test_jaccard_hot_shingle_candidates_bounded(tmp_path, ray_session):
+    """A DF=200 boilerplate shingle must NOT produce ~200^2/2 candidate
+    pairs: under the DF-ascending prefix order the hot shingles never
+    enter any doc's prefix, so candidate volume collapses to ~0."""
+    from langscrape_ray.pipelines.dedup import jaccard_candidate_pairs_ds
+
+    rng = np.random.RandomState(7)
+    texts = _mk_corpus(rng, n_unrelated=200)
+    sf = _write_docs(tmp_path, texts)
+
+    n_cand = jaccard_candidate_pairs_ds(sf, threshold=0.5).count()
+    # unguarded self-merge on the 6 hot shingles would emit ~119k pair
+    # rows; the prefix filter must keep candidates output-bound
+    assert n_cand <= 50, f"hot-shingle candidate blowup: {n_cand} pairs"
+
+    brute = _brute_pairs(texts, 0.5)
+    assert brute.empty  # sanity: no true near-dups planted
+
+
+def test_jaccard_prefix_filter_exactness(tmp_path, ray_session):
+    """The prefix filter is a pure pruning step: the join result must
+    equal brute force exactly, including boundary-jaccard pairs."""
+    from langscrape_ray.pipelines.dedup import jaccard_similarity_join
+
+    rng = np.random.RandomState(42)
+    vocab = [f"w{k}" for k in range(50)]
+    texts = []
+    # random docs + planted near-dup families with overlap straddling 0.5
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, size=20)))
+    base = " ".join(f"dup{k}" for k in range(24))
+    texts.append(base)
+    texts.append(base)  # exact dup (jaccard 1.0)
+    texts.append(base + " extra1 extra2 extra3")      # high overlap
+    texts.append(" ".join(f"dup{k}" for k in range(12)) + " other "
+                 + " ".join(f"z{k}" for k in range(12)))  # partial overlap
+    sf = _write_docs(tmp_path, texts)
+
+    got = jaccard_similarity_join(sf, threshold=0.5)
+    want = _brute_pairs(texts, 0.5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert len(want) >= 2  # the planted family actually exercised the join
+
+
+def test_jaccard_df_cap_valve(tmp_path, ray_session):
+    """df_cap is the explicitly-approximate emergency valve: capping
+    below the planted duplicates' shingle DF can only shrink the result
+    (never error), and exactness is restored with the cap off."""
+    from langscrape_ray.pipelines.dedup import jaccard_similarity_join
+
+    base = " ".join(f"dup{k}" for k in range(20))
+    texts = [base, base, base]  # every shingle has DF=3
+    sf = _write_docs(tmp_path, texts)
+
+    exact = jaccard_similarity_join(sf, threshold=0.5)
+    assert len(exact) == 3  # all 3 pairs at jaccard 1.0
+    capped = jaccard_similarity_join(sf, threshold=0.5, df_cap=2)
+    assert len(capped) == 0  # all shingles dropped by the valve
+
+
+def test_minhash_hot_bucket_star_cap(tmp_path, ray_session):
+    """80 identical docs put all 80 in every band bucket: capped pair
+    emission must be the O(b) star (79 pairs), not b*(b-1)/2 = 3160,
+    while keeping the cluster connected for CC-based keep-one dedup."""
+    from langscrape_ray.pipelines.dedup import minhash_candidate_pairs_ds
+
+    text = " ".join(f"tpl{k}" for k in range(30))
+    sf = _write_docs(tmp_path, [text] * 80)
+
+    pairs = (
+        minhash_candidate_pairs_ds(sf, dedup_pairs=True, bucket_cap=16)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    assert len(pairs) == 79  # star to the min id, once per distinct pair
+    assert (pairs["doc_a"] == 0).all()
+    # connectivity: every doc reachable from doc 0
+    assert set(pairs["doc_b"]) == set(range(1, 80))
+
+
+def test_minhash_cap_inactive_below_threshold(tmp_path, ray_session):
+    """Buckets at or below the cap still emit the full pair set (the
+    cap must not change small-bucket semantics)."""
+    from langscrape_ray.pipelines.dedup import minhash_candidate_pairs_ds
+
+    text = " ".join(f"tpl{k}" for k in range(30))
+    sf = _write_docs(tmp_path, [text] * 10)
+
+    pairs = (
+        minhash_candidate_pairs_ds(sf, dedup_pairs=True, bucket_cap=512)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    assert len(pairs) == 45  # full 10*9/2 enumeration
+
+
+def test_simhash_vectorized_pairs_parity(tmp_path, ray_session):
+    """The triu/unpackbits rewrite of the simhash bucket pair loop must
+    agree with a direct popcount replay."""
+    from langscrape_ray.pipelines.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    rng = np.random.RandomState(3)
+    vocab = [f"v{k}" for k in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(30)]
+    base = " ".join(vocab[:25])
+    texts += [base, base + " v39", base]  # planted near-identical docs
+    sf = _write_docs(tmp_path, texts)
+
+    got = simhash_neardup_pairs(sf, max_hamming=3)
+    sigs = simhash_signatures(sf).to_pandas().set_index("doc_id")["simhash"]
+    for _, r in got.iterrows():
+        d = bin((int(sigs[r["doc_a"]]) ^ int(sigs[r["doc_b"]]))
+                & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert d == r["hamming"] and d <= 3
+    planted = {(len(texts) - 3, len(texts) - 1)}
+    assert planted <= set(zip(got["doc_a"], got["doc_b"]))
