@@ -206,14 +206,31 @@ class MinHashSignatures:
         )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _shingler(shingle_len: int) -> MinHashSignatures:
+    """Cached shingler: MinHashSignatures.__init__ seeds a RandomState —
+    per-CALL construction (the round-3 ngram_jaccard) costs more than the
+    set math it feeds when a verify pass runs per pair."""
+    return MinHashSignatures(shingle_len=shingle_len)
+
+
+def _shingle_set(text: str, shingle_len: int = 3) -> np.ndarray:
+    """Sorted unique shingle hashes — the per-doc verify representation
+    (compute ONCE per doc, intersect per pair)."""
+    return np.unique(_shingler(shingle_len).shingles(text))
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle_len: int = 3) -> float:
     """Exact word-shingle Jaccard (the verification metric)."""
-    mh = MinHashSignatures(shingle_len=shingle_len)
-    sa = set(mh.shingles(text_a).tolist())
-    sb = set(mh.shingles(text_b).tolist())
-    if not sa and not sb:
+    sa = _shingle_set(text_a, shingle_len)
+    sb = _shingle_set(text_b, shingle_len)
+    if sa.size == 0 and sb.size == 0:
         return 1.0
-    return len(sa & sb) / len(sa | sb)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
 
 
 def minhash_candidate_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
@@ -404,22 +421,26 @@ def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
 
     class Verify:
         def __init__(self, ref):
-            self.texts = ray.get(ref)
+            # shingle each doc ONCE per actor; pairs then cost one sorted
+            # intersect each (the round-3 per-pair re-shingle dominated
+            # verify wall-time at 10^5 candidates)
+            self.sets = {
+                k: _shingle_set(v, shingle_len)
+                for k, v in ray.get(ref).items()
+            }
+            self._empty = np.empty(0, dtype=np.uint64)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             raw = np.array(
-                [
-                    ngram_jaccard(self.texts.get(a, ""),
-                                  self.texts.get(b, ""), shingle_len)
-                    for a, b in zip(batch["doc_a"], batch["doc_b"])
-                ],
+                [_pair_jaccard(self.sets.get(a, self._empty),
+                               self.sets.get(b, self._empty))
+                 for a, b in zip(batch["doc_a"], batch["doc_b"])],
                 dtype=np.float64,
             )
             out = batch[["doc_a", "doc_b"]].copy()
-            if round_first:
-                out["jaccard"] = np.round(raw, 4)
-                return out[out["jaccard"] >= threshold]
             out["jaccard"] = np.round(raw, 4)
+            if round_first:
+                return out[out["jaccard"] >= threshold]
             return out[raw >= threshold]
 
     return (
@@ -427,6 +448,13 @@ def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
         .map_batches(Verify(texts_ref), batch_format="pandas")
         .to_pandas()
     )
+
+
+def _pair_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
 
 
 def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
@@ -465,10 +493,22 @@ def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
     ).rename_columns({"text": "text_b"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch doc->shingle-set memo: a doc in k pairs shingles once
+        memo: dict = {}
+
+        def sset(doc_id, text):
+            s = memo.get(doc_id)
+            if s is None:
+                s = memo[doc_id] = _shingle_set(text, shingle_len)
+            return s
+
         raw = np.array(
             [
-                ngram_jaccard(a, b, shingle_len)
-                for a, b in zip(batch["text_a"], batch["text_b"])
+                _pair_jaccard(sset(da, a), sset(db, b))
+                for da, db, a, b in zip(
+                    batch["doc_a"], batch["doc_b"],
+                    batch["text_a"], batch["text_b"],
+                )
             ],
             dtype=np.float64,
         )
@@ -948,6 +988,68 @@ def embedding_neardup_lsh(
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1 << 16
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_rows(sh_u64: np.ndarray) -> np.ndarray:
+    """(depth, n) row indices of each shingle hash in the DF sketch."""
+    return np.stack(
+        [
+            (_avalanche64(sh_u64 + _CMS_SEEDS[d]) % np.uint64(_CMS_WIDTH))
+            .astype(np.int64)
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+
+
+def _cms_estimate(cms: np.ndarray, sh_u64: np.ndarray) -> np.ndarray:
+    rows = _cms_rows(sh_u64)
+    est = cms[0, rows[0]]
+    for d in range(1, _CMS_DEPTH):
+        est = np.minimum(est, cms[d, rows[d]])
+    return est
+
+
+def jaccard_df_sketch(sf_dir: str, shingle_len: int = 3) -> np.ndarray:
+    """Count-min sketch of shingle document frequency: per-block (4 x
+    65536) int64 partials (1 MB each, vectorized np.add.at over each
+    block's distinct-shingle arrays) merged by addition on the driver —
+    a KB/MB-scale reduction, never a row-level shuffle.  Deterministic
+    (fixed seeds + commutative adds), so the (estimate, shingle) order it
+    induces is a fixed GLOBAL total order — which is all the prefix
+    filter's completeness proof needs; over-estimates only cost a little
+    selectivity, never correctness."""
+    def partial(t: pa.Table) -> pa.Table:
+        mh = _shingler(shingle_len)
+        counts = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        for text in t["text"].to_pylist():
+            s = np.unique(mh.shingles(text))
+            if s.size == 0:
+                continue
+            rows = _cms_rows(s)
+            for d in range(_CMS_DEPTH):
+                np.add.at(counts[d], rows[d], 1)
+        return pa.table({"cms": pa.array([counts.tobytes()], pa.binary())})
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    for raw in parts["cms"]:
+        cms += np.frombuffer(raw, dtype=np.int64).reshape(
+            _CMS_DEPTH, _CMS_WIDTH
+        )
+    return cms
+
+
 def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
                                shingle_len: int = 3,
                                n_parts: int = 32,
@@ -958,93 +1060,110 @@ def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
     hot-shingle self-merge from going quadratic on a real web corpus.
 
     The completeness theorem (so the downstream join stays EXACT): order
-    every doc's shingle set by one global total order — here (document
-    frequency ASC, shingle hash ASC) — and index only each doc's first
-    ``p = n − ceil(t·n) + 1`` shingles.  Any pair with Jaccard ≥ t must
-    collide inside these prefixes, so candidate generation over prefixes
-    alone misses nothing.  Boilerplate shingles (DF in the millions on a
-    crawl) sort LAST under DF-ascending order and therefore effectively
-    never enter a prefix — a doc only indexes a hot shingle when ≥
-    ceil(t·n)−1 of its shingles are even hotter, i.e. near-pure template
-    pages, for which the pair volume is output-bound (identical docs are
-    genuinely all-pairs in the EXACT result).  ``df_cap`` additionally
-    drops shingles with DF > cap from the index — an explicitly
-    approximate emergency valve (default None = exact).
+    every doc's shingle set by one global total order and index only each
+    doc's first ``p = n − ceil(t·n) + 1`` shingles — any pair with
+    Jaccard ≥ t must collide inside these prefixes.  The order used is
+    (count-min-estimated DF ASC, shingle hash ASC): ANY fixed global
+    order is complete, so estimating DF from a broadcast 2 MB sketch
+    (``jaccard_df_sketch``) instead of an exact per-shingle count removes
+    two corpus-volume shuffles (the round-4 first cut paid a
+    groupby(shingle) DF-attach AND a groupby(doc) regroup; the sketch
+    folds prefix selection INTO the explode pass).  Boilerplate shingles
+    (DF in the millions on a crawl) sort last and effectively never enter
+    a prefix — a doc only indexes a hot shingle when nearly all its
+    shingles are even hotter, i.e. near-pure template pages, for which
+    pair volume is output-bound (identical docs are genuinely all-pairs
+    in the EXACT result).  ``df_cap`` additionally drops shingles with
+    estimated DF > cap — an explicitly approximate emergency valve
+    (default None = exact).
 
-    Stages (all shuffles coarse, all group bodies vectorized pandas/numpy):
-      1. map_batches explode: per doc the DISTINCT shingle hashes as
-         (shingle, doc_id, n_sh) rows, bucketed by shingle % n_parts.
-      2. groupby(bucket_part): attach per-shingle document frequency
-         (all rows of a shingle share its bucket) — one transform("size").
-      3. groupby(doc_part): re-group by doc, sort each doc's rows by
-         (df, shingle), keep the prefix.
-      4. groupby(bucket_part) over the PREFIX rows only: vectorized
-         self-merge on shingle + length filter (J ≥ t ⟹ min(na,nb) ≥
-         t·max(na,nb)) + within-bucket pair distinct.
-      5. groupby(pair_key): global pair dedup (cross-bucket duplicates),
-         never on the driver.
+    Stages:
+      1. driver: build + ray.put the DF sketch (one cheap corpus pass,
+         KB-scale merge).
+      2. map_batches explode-prefix: per doc, distinct shingle hashes
+         ordered by (est_df, shingle); emit ONLY the prefix rows.
+      3. groupby(bucket_part) over prefix rows: vectorized self-merge on
+         shingle + length filter (J ≥ t ⟹ min(na,nb) ≥ t·max(na,nb)) +
+         within-bucket pair distinct.
+      4. groupby(pair_key): global pair dedup, never on the driver.
     Rows: (doc_a, doc_b) with doc_a < doc_b, globally distinct."""
     from ray.data.aggregate import Count, Min
 
     from langscrape_ray.pipelines.util import ensure_schema
 
-    mh = MinHashSignatures(shingle_len=shingle_len)
+    cms_ref = ray.put(jaccard_df_sketch(sf_dir, shingle_len))
 
-    def explode(t: pa.Table) -> pa.Table:
-        sh_parts, doc_parts, size_parts = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = np.unique(mh.shingles(text))  # distinct shingle hashes
-            v = (s & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)  # int64-safe
-            sh_parts.append(v)
-            doc_parts.append(np.full(len(v), doc_id, dtype=np.int64))
-            size_parts.append(np.full(len(v), len(v), dtype=np.int64))
-        sh = (np.concatenate(sh_parts) if sh_parts
-              else np.empty(0, dtype=np.int64))
-        docs = (np.concatenate(doc_parts) if doc_parts
-                else np.empty(0, dtype=np.int64))
-        sizes = (np.concatenate(size_parts) if size_parts
-                 else np.empty(0, dtype=np.int64))
-        return pa.table(
-            {
-                "shingle": pa.array(sh),
-                "doc_id": pa.array(docs),
-                "n_sh": pa.array(sizes),
-                "bucket_part": pa.array((sh % n_parts).astype(np.int32)),
-            }
-        )
+    class ExplodePrefix:
+        """Actor-pool stage: the 2 MB sketch is fetched once per actor."""
 
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        # every row of a given shingle is in this bucket, so the group
-        # size IS the global document frequency
-        out = g[["shingle", "doc_id", "n_sh"]].copy()
-        out["df"] = g.groupby("shingle")["doc_id"].transform("size").astype("int64")
-        out["doc_part"] = (out["doc_id"].to_numpy() % n_parts).astype(np.int32)
-        return out
+        def __init__(self, ref):
+            self.cms = ray.get(ref)
+            self.mh = _shingler(shingle_len)
 
-    def prefix_rows(g: pd.DataFrame) -> pd.DataFrame:
-        # per-doc prefix under the global (df, shingle) order; the tiny
-        # epsilon guards float ceil against t*n landing exactly on an
-        # integer (a too-SHORT prefix would break completeness; one row
-        # longer is merely a superset)
-        g = g.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
-        rank = g.groupby("doc_id").cumcount().to_numpy()
-        n = g["n_sh"].to_numpy(dtype=np.int64)
-        p = n - np.ceil(threshold * n - 1e-9).astype(np.int64) + 1
-        keep = rank < p
-        if df_cap is not None:
-            keep &= g["df"].to_numpy() <= df_cap
-        out = g.loc[keep, ["shingle", "doc_id", "n_sh"]].copy()
-        out["bucket_part"] = (out["shingle"].to_numpy() % n_parts).astype(np.int32)
-        return out
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sh_parts, doc_parts, size_parts, pos_parts = [], [], [], []
+            for doc_id, text in zip(
+                t["doc_id"].to_pylist(), t["text"].to_pylist()
+            ):
+                s = np.unique(self.mh.shingles(text))  # distinct, sorted
+                n = int(s.size)
+                if n == 0:
+                    continue
+                est = _cms_estimate(self.cms, s)
+                # global (est_df, shingle) order; stable prefix epsilon:
+                # a too-SHORT prefix breaks completeness, one longer is
+                # merely a superset
+                order = np.lexsort((s, est))
+                p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+                pick = order[:p]
+                pos = np.arange(p, dtype=np.int64)
+                if df_cap is not None:
+                    keep = est[pick] <= df_cap
+                    pick, pos = pick[keep], pos[keep]
+                v = (s[pick] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                sh_parts.append(v)
+                doc_parts.append(np.full(len(v), doc_id, dtype=np.int64))
+                size_parts.append(np.full(len(v), n, dtype=np.int64))
+                pos_parts.append(pos)
+            sh = (np.concatenate(sh_parts) if sh_parts
+                  else np.empty(0, dtype=np.int64))
+            docs = (np.concatenate(doc_parts) if doc_parts
+                    else np.empty(0, dtype=np.int64))
+            sizes = (np.concatenate(size_parts) if size_parts
+                     else np.empty(0, dtype=np.int64))
+            poss = (np.concatenate(pos_parts) if pos_parts
+                    else np.empty(0, dtype=np.int64))
+            return pa.table(
+                {
+                    "shingle": pa.array(sh),
+                    "doc_id": pa.array(docs),
+                    "n_sh": pa.array(sizes),
+                    "pos": pa.array(poss),
+                    "bucket_part": pa.array((sh % n_parts).astype(np.int32)),
+                }
+            )
 
     def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized self-merge on shingle over PREFIX rows only, then
-        # the length filter and a within-bucket pair distinct
+        # the length filter, the POSITIONAL filter and a within-bucket
+        # pair distinct
         m = g.merge(g, on="shingle", suffixes=("_a", "_b"))
         na = m["n_sh_a"].to_numpy(dtype=np.int64)
         nb = m["n_sh_b"].to_numpy(dtype=np.int64)
         mask = m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy()
         mask &= np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+        # PPJoin positional filter: a qualifying pair's FIRST common
+        # element (under the global order) at 0-based positions (i, j)
+        # has all overlap at positions >= i in A and >= j in B, so
+        # |A∩B| <= min(na-i, nb-j) must reach the equivalent-overlap
+        # bound α = t/(1+t)·(na+nb).  Keeping every co-occurrence that
+        # passes is complete (the first common element of a qualifying
+        # pair always passes); non-first co-occurrences that also pass
+        # are removed by the pair distinct.
+        pa_ = m["pos_a"].to_numpy(dtype=np.int64)
+        pb_ = m["pos_b"].to_numpy(dtype=np.int64)
+        alpha = threshold / (1.0 + threshold) * (na + nb)
+        mask &= np.minimum(na - pa_, nb - pb_) >= alpha - 1e-9
         m = m.loc[mask, ["doc_id_a", "doc_id_b"]].drop_duplicates()
         return pd.DataFrame(
             {
@@ -1055,11 +1174,12 @@ def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
 
     cand = (
         _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket_part")
-        .map_groups(attach_df, batch_format="pandas")
-        .groupby("doc_part")
-        .map_groups(prefix_rows, batch_format="pandas")
+        .map_batches(
+            ExplodePrefix,
+            fn_constructor_args=(cms_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
         .groupby("bucket_part")
         .map_groups(bucket_candidates, batch_format="pandas")
         .map_batches(

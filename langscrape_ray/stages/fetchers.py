@@ -65,6 +65,7 @@ class HttpFetcher:
         ua_primary: str = DEFAULT_UA_PRIMARY,
         ua_fallback: str = DEFAULT_UA_FALLBACK,
         emit_via: bool = False,
+        max_redirects: int = 5,
     ):
         self.connect_to = connect_to
         self.timeout_s = timeout_s
@@ -73,6 +74,7 @@ class HttpFetcher:
         self.ua_primary = ua_primary
         self.ua_fallback = ua_fallback
         self.emit_via = emit_via
+        self.max_redirects = max_redirects
         # persistent per-(host, port) connections — session reuse across
         # batches for the actor's whole lifetime
         self._conns: Dict[Tuple[str, int], object] = {}
@@ -110,7 +112,9 @@ class HttpFetcher:
                 pass
 
     # -- single fetch with retry -----------------------------------------
-    def _request_once(self, url: str, ua: str) -> Tuple[int, bytes, Optional[str]]:
+    def _request_once(
+        self, url: str, ua: str
+    ) -> Tuple[int, bytes, Optional[str], Optional[str]]:
         sp = urlsplit(url)
         key = self._key(sp)
         path = sp.path or "/"
@@ -118,29 +122,60 @@ class HttpFetcher:
             path += "?" + sp.query
         conn = self._conn(key)
         conn.request(
-            "GET", path, headers={"Host": sp.hostname or "", "User-Agent": ua}
+            "GET",
+            path,
+            headers={
+                "Host": sp.hostname or "",
+                "User-Agent": ua,
+                "Accept-Encoding": "gzip, deflate",
+            },
         )
         resp = conn.getresponse()
         body = resp.read()  # drain so the connection stays reusable
-        return resp.status, body, resp.getheader("Date")
+        enc = (resp.getheader("Content-Encoding") or "").lower()
+        if enc and body:
+            body = _decode_body(body, enc)
+        return (
+            resp.status,
+            body,
+            resp.getheader("Date"),
+            resp.getheader("Location"),
+        )
 
-    def _fetch(self, url: str, ua: str) -> Optional[Tuple[bytes, Optional[str]]]:
+    def _fetch_no_redirect(
+        self, url: str, ua: str
+    ) -> Optional[Tuple[int, bytes, Optional[str], Optional[str]]]:
         """Status/exception-aware retry loop; None = definitive miss."""
         key = self._key(urlsplit(url))
-        last_exc: Optional[Exception] = None
         for attempt in range(self.retries + 1):
             try:
-                status, body, date = self._request_once(url, ua)
-            except Exception as exc:  # timeout / stale keep-alive / reset
-                last_exc = exc
+                got = self._request_once(url, ua)
+            except Exception:  # timeout / stale keep-alive / reset
                 self._drop_conn(key)
+                continue
+            status = got[0]
+            if 500 <= status < 600:  # transient server side: retry
+                continue
+            return got  # 2xx, 3xx (caller handles), and final 4xx
+        return None
+
+    def _fetch(self, url: str, ua: str) -> Optional[Tuple[bytes, Optional[str]]]:
+        """Retry + bounded redirect-following; None = definitive miss."""
+        cur = url
+        for _hop in range(self.max_redirects + 1):
+            got = self._fetch_no_redirect(cur, ua)
+            if got is None:
+                return None
+            status, body, date, location = got
+            if status in (301, 302, 303, 307, 308) and location:
+                from urllib.parse import urljoin
+
+                cur = urljoin(cur, location)
                 continue
             if 200 <= status < 300:
                 return body, date
-            if 500 <= status < 600:  # transient server side: retry
-                continue
             return None  # 4xx and other finals: definitive miss
-        return None
+        return None  # redirect loop / chain too long
 
     def fetch_one(self, url: str) -> Optional[Tuple[bytes, Optional[str], str]]:
         """(body, date_header, via) or None.  The M3 branch lives here:
@@ -182,6 +217,24 @@ class HttpFetcher:
         return out
 
 
+def _decode_body(body: bytes, enc: str) -> bytes:
+    """Content-Encoding: gzip / deflate via stdlib zlib; unknown or broken
+    encodings return the raw bytes (the length gate then arbitrates)."""
+    import zlib
+
+    try:
+        if enc == "gzip":
+            return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:  # raw-deflate servers omit the zlib header
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except Exception:
+        pass
+    return body
+
+
 def _parse_http_date_us(date_header: Optional[str]) -> int:
     """RFC 7231 Date header -> epoch microseconds (0 when absent/bad)."""
     if not date_header:
@@ -192,6 +245,69 @@ def _parse_http_date_us(date_header: Optional[str]) -> int:
         return int(parsedate_to_datetime(date_header).timestamp() * 1_000_000)
     except Exception:
         return 0
+
+
+class RobotsFetch:
+    """Distributed robots.txt harvest: map_batches callable over a table
+    of unique hosts -> (host, robots_txt).  A miss (no robots.txt, 4xx)
+    yields an EMPTY string — allow-all, per RFC 9309 §2.3.1.3 — so every
+    input host comes back and the crawl's robots cache is total.  Shares
+    HttpFetcher's connection reuse / retry / redirect machinery (robots
+    files redirect surprisingly often in the wild)."""
+
+    def __init__(self, connect_to: Optional[Tuple[str, int]] = None,
+                 scheme: str = "https", **fetcher_kwargs):
+        fetcher_kwargs.setdefault("min_html_len", 0)  # empty robots is valid
+        self.fetcher = HttpFetcher(connect_to=connect_to, **fetcher_kwargs)
+        self.scheme = scheme
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts: List[str] = batch["host"].to_pylist()
+        texts: List[str] = []
+        for h in hosts:
+            got = self.fetcher._fetch(
+                f"{self.scheme}://{h}/robots.txt", self.fetcher.ua_fallback
+            )
+            texts.append(
+                got[0].decode("utf-8", errors="replace") if got else ""
+            )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(texts, pa.string()),
+            }
+        )
+
+
+def fetch_robots_table(
+    hosts: List[str],
+    connect_to: Optional[Tuple[str, int]] = None,
+    scheme: str = "https",
+    concurrency=(1, 4),
+    **fetcher_kwargs,
+) -> Dict[str, str]:
+    """Fetch robots.txt for every host via a RobotsFetch actor pool and
+    return the {host: robots_txt} dict RayCrawl takes.  The host list is
+    the crawl's UNIQUE host set — small relative to the frontier (10^7
+    hosts for a 10^10-URL crawl), so a driver dict is the right landing
+    spot; the fetches themselves are distributed."""
+    import ray.data as rd
+
+    if not hosts:
+        return {}
+    ds = rd.from_arrow(
+        pa.table({"host": pa.array(sorted(set(hosts)), pa.string())})
+    ).map_batches(
+        RobotsFetch,
+        fn_constructor_kwargs={
+            "connect_to": connect_to, "scheme": scheme, **fetcher_kwargs,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+    out = ds.to_pandas()
+    return dict(zip(out["host"], out["robots_txt"]))
 
 
 class HttpPagesStore:

@@ -44,6 +44,9 @@ class _WorldServer:
         self.flaky_failures = {}     # (host, path) -> remaining 500s
         self.slow_once = {}          # (host, path) -> remaining slow (s)
         self.short_for_browser = set()
+        self.redirects = {}          # (host, path) -> Location value
+        self.gzip_paths = set()      # (host, path) served gzip-encoded
+        self.robots = {}             # host -> robots.txt text
         self.n_connections = 0
         self.n_requests = 0
         outer = self
@@ -73,6 +76,24 @@ class _WorldServer:
                 if slow:
                     outer.slow_once.pop(key)
                     time.sleep(slow)
+                if key in outer.redirects:
+                    self.send_response(302)
+                    self.send_header("Location", outer.redirects[key])
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                if key[1] == "/robots.txt":
+                    txt = outer.robots.get(key[0])
+                    if txt is None:
+                        body = b"no robots"
+                        self.send_response(404)
+                    else:
+                        body = txt.encode()
+                        self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 page = outer.pages.get(key)
                 if page is None:
                     body = b"not found"
@@ -88,6 +109,11 @@ class _WorldServer:
                 self._page_date = ts  # emitted via date_time_string below
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
+                if key in outer.gzip_paths:
+                    import gzip as _gz
+
+                    html = _gz.compress(html)
+                    self.send_header("Content-Encoding", "gzip")
                 self.send_header("Content-Length", str(len(html)))
                 self.end_headers()
                 self.wfile.write(html)
