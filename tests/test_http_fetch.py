@@ -247,6 +247,54 @@ def test_m3_too_short_fallback(world_server, small_world):
     assert f.fetch_one(url_ok)[2] == "primary"
 
 
+def test_redirect_followed(world_server, small_world):
+    """301/302 chains are followed up to max_redirects; loops miss."""
+    pages, _s, _r = small_world
+    urls = pages["url"].to_pylist()
+    target = urlsplit(urls[4])
+    host = target.hostname
+    world_server.redirects[(host, "/moved")] = target.path
+    world_server.redirects[(host, "/hop1")] = "/hop2"
+    world_server.redirects[(host, "/hop2")] = target.path
+    world_server.redirects[(host, "/loop")] = "/loop"
+    f = HttpFetcher(connect_to=("127.0.0.1", world_server.port))
+    want = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))[urls[4]]
+    assert f.fetch_one(f"https://{host}/moved")[0] == want
+    assert f.fetch_one(f"https://{host}/hop1")[0] == want
+    assert f.fetch_one(f"https://{host}/loop") is None  # bounded hops
+
+
+def test_gzip_content_encoding(world_server, small_world):
+    """Content-Encoding: gzip bodies decode to the original page."""
+    pages, _s, _r = small_world
+    url = pages["url"].to_pylist()[5]
+    sp = urlsplit(url)
+    world_server.gzip_paths.add((sp.hostname, sp.path or "/"))
+    f = HttpFetcher(connect_to=("127.0.0.1", world_server.port))
+    want = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))[url]
+    assert f.fetch_one(url)[0] == want
+
+
+def test_fetch_robots_table(ray_session, world_server, small_world):
+    """Distributed robots.txt harvest: RFC-9309 allow-all empty string on
+    missing robots; fetched text round-trips exactly."""
+    from langscrape_ray.stages.fetchers import fetch_robots_table
+
+    pages, _s, _r = small_world
+    hosts = sorted({urlsplit(u).hostname for u in pages["url"].to_pylist()})
+    world_server.robots[hosts[0]] = "User-agent: *\nDisallow: /shop/\n"
+    world_server.robots[hosts[1]] = "User-agent: *\nCrawl-delay: 2\n"
+    got = fetch_robots_table(
+        hosts[:3] + ["unknown.example"],
+        connect_to=("127.0.0.1", world_server.port),
+        concurrency=(1, 2),
+    )
+    assert got[hosts[0]] == "User-agent: *\nDisallow: /shop/\n"
+    assert got[hosts[1]] == "User-agent: *\nCrawl-delay: 2\n"
+    assert got[hosts[2]] == ""            # 404 -> allow-all
+    assert got["unknown.example"] == ""   # host exists (same server), no robots
+
+
 def test_crawl_end_to_end_http_parity(
     ray_session, world_server, small_cfg, small_world
 ):
