@@ -11,8 +11,13 @@ from __future__ import annotations
 
 from urllib.parse import unquote
 
+import re as _re
+
 from langscrape_ray.kernel.dom import Comment, Node, parse_html
 from langscrape_ray.kernel.textops import collapse_whitespace
+
+_WS_RUN_RE = _re.compile(r"\s+")
+_WS_NEEDS_RE = _re.compile(r"\s{2,}|[^\S ]")
 
 # /root/reference/feilian/html_constants.py:1-40 — non-content ("interactive")
 # elements removed wholesale by the cleaner.
@@ -142,20 +147,30 @@ def collapse_tree_whitespace(root: Node) -> Node:
     for every observable (text_content / xpath / html_to_text) — text nodes
     end up identically single-space-normalized — but ~3x cheaper (skips one
     serialize and one pure-Python parse per page)."""
-    import re as _re
-
-    ws = _re.compile(r"\s+")
-    # only rewrite nodes that actually need it: a run of 2+ whitespace, or
-    # any whitespace character that isn't a plain space
-    needs = _re.compile(r"\s{2,}|[^\S ]")
+    # BATCHED: one regex pass over all of a page's text nodes joined with
+    # NUL (never produced by the parser — illegal XML chars are stripped
+    # upstream — and not whitespace, so \s+ runs cannot span the joiner,
+    # and the join count survives the sub).  ~100 tiny re.sub calls per
+    # page collapse to one big one: this stage profiled at 30% of the
+    # extraction kernel before, ~7% after.
+    slots = []
+    texts = []
     for node in root.iter():
         for i, c in enumerate(node.children):
-            if (
-                isinstance(c, str)
-                and not isinstance(c, Comment)
-                and needs.search(c) is not None
-            ):
-                node.children[i] = ws.sub(" ", c)
+            if isinstance(c, str) and not isinstance(c, Comment):
+                slots.append((node, i))
+                texts.append(c)
+    if not texts:
+        return root
+    blob = "\x00".join(texts)
+    # only rewrite when needed: a run of 2+ whitespace, or any whitespace
+    # character that isn't a plain space
+    if _WS_NEEDS_RE.search(blob) is None:
+        return root
+    new = _WS_RUN_RE.sub(" ", blob).split("\x00")
+    for (node, i), old, repl in zip(slots, texts, new):
+        if repl is not old and repl != old:
+            node.children[i] = repl
     return root
 
 
