@@ -44,6 +44,23 @@ _ENTITY_TABLE: tuple[tuple[str, str], ...] = (
     ("&frac12;", "½"),
 )
 
+# single-pass form of the table: one alternation scan instead of 24
+# sequential scans (~4x on page text).  Observably identical to the
+# sequential replaces because (a) no table entry is a prefix of another,
+# so leftmost-first == leftmost-longest == the sequential match set over
+# the original string, and (b) the only replacement output that can seed
+# a later table match is "&", and every entity it can complete is
+# converted identically by the mandatory html.unescape pass that follows
+# whenever "&" survives (&nbsp;/&#160; -> \xa0 there, -> " " one step
+# later).  Equivalence is fuzz-pinned in tests/test_kernel.py.
+_ENTITY_RE = re.compile("|".join(re.escape(s) for s, _ in _ENTITY_TABLE))
+_ENTITY_MAP = dict(_ENTITY_TABLE)
+
+
+def _entity_repl(m: "re.Match[str]") -> str:
+    return _ENTITY_MAP[m.group(0)]
+
+
 _MULTI_SPACE_RE = re.compile(r"  +")
 _ANY_WS_RE = re.compile(r"\s+")
 _MULTI_DOT_RE = re.compile(r"\.\.+")
@@ -90,20 +107,41 @@ def normalize_text(text: str) -> str:
 
     Semantics of /root/reference/feilian/text_tools.py:20-48: explicit table
     first, then a generic ``html.unescape``, NBSP to space, runs of 2+ spaces
-    collapsed to one, and a final strip.
+    collapsed to one, and a final strip.  The table is applied as ONE
+    alternation pass (see ``_ENTITY_RE``), equivalence fuzz-pinned.
     """
-    for src, dst in _ENTITY_TABLE:
-        if src in text:
-            text = text.replace(src, dst)
-    # guards are exact identities: unescape only acts on '&', the NBSP
-    # replace on '\xa0', and the 2+-space collapse on a literal '  '
+    # guards are exact identities: the table and unescape only act on '&',
+    # the NBSP replace on '\xa0', the 2+-space collapse on a literal '  '
     if "&" in text:
-        text = _htmllib.unescape(text)
+        text = _ENTITY_RE.sub(_entity_repl, text)
+        if "&" in text:
+            text = _htmllib.unescape(text)
     if "\xa0" in text:
         text = text.replace("\xa0", " ")
     if "  " in text:
         text = _MULTI_SPACE_RE.sub(" ", text)
     return text.strip()
+
+
+def normalize_lines(text: str) -> list[str]:
+    """``[normalize_text(ln) for ln in text.split("\\n")]``, batched.
+
+    Exact: every normalize_text operation is newline-local — entity
+    strings contain no ``\\n``, ``html.unescape``'s entity pattern
+    excludes ``\\n`` from its char class, NBSP is a single char, and the
+    2+-space collapse matches spaces only — so running them ONCE over the
+    whole page and splitting after is observably identical to per-line
+    application (pinned by a differential test), while collapsing ~40
+    Python calls + regex invocations per page into one pass."""
+    if "&" in text:
+        text = _ENTITY_RE.sub(_entity_repl, text)
+        if "&" in text:
+            text = _htmllib.unescape(text)
+    if "\xa0" in text:
+        text = text.replace("\xa0", " ")
+    if "  " in text:
+        text = _MULTI_SPACE_RE.sub(" ", text)
+    return [ln.strip() for ln in text.split("\n")]
 
 
 def collapse_whitespace(text: str) -> str:

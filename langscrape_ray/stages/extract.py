@@ -31,7 +31,7 @@ from langscrape_ray.kernel.extract import (
     fallback_fields,
     html_to_text,
 )
-from langscrape_ray.kernel.textops import normalize_text
+from langscrape_ray.kernel.textops import normalize_lines
 
 FIELDS = ("article_body", "title", "author", "datetime")
 
@@ -101,7 +101,9 @@ def extract_one(url: str, html: bytes, rules: Dict[str, dict]) -> dict:
     fields = extract_by_xpath_map(cleaned_root, rules)
     fields, flags = fallback_fields(raw_root, fields)
 
-    text_lines = [normalize_text(ln) for ln in html_to_text(cleaned_root).split("\n")]
+    # batched per-page normalize (== per-line normalize_text; newline-local
+    # ops, differential-tested in tests/test_kernel.py)
+    text_lines = normalize_lines(html_to_text(cleaned_root))
     text = "\n".join(ln for ln in text_lines if ln)
 
     return {

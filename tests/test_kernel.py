@@ -37,6 +37,71 @@ def test_normalize_text_entity_table():
     assert normalize_text("&amp;amp;") == "&"
 
 
+def test_normalize_text_single_pass_matches_sequential():
+    """The one-regex entity pass must equal the reference's SEQUENTIAL
+    table replaces (/root/reference/feilian/text_tools.py:20-48) after
+    the full normalize chain — fuzzed over adversarial entity fragments
+    (overlaps, replacement outputs seeding later entities, truncations)."""
+    import random
+    import html as _htmllib
+    from langscrape_ray.kernel.textops import _ENTITY_TABLE, _MULTI_SPACE_RE
+
+    def reference_normalize(text):
+        for src, dst in _ENTITY_TABLE:
+            if src in text:
+                text = text.replace(src, dst)
+        if "&" in text:
+            text = _htmllib.unescape(text)
+        if "\xa0" in text:
+            text = text.replace("\xa0", " ")
+        if "  " in text:
+            text = _MULTI_SPACE_RE.sub(" ", text)
+        return text.strip()
+
+    frags = [s for s, _ in _ENTITY_TABLE] + [s[:-1] for s, _ in _ENTITY_TABLE] + [
+        "&", ";", "#", "amp", "lt", "gt", "x27", "39", "0", "&amp;", "&&",
+        " ", "  ", "\xa0", "a", "Z", "9", "&not", "&notin;", "&#", "&#x",
+        "&frac", "12;", "&e", "acute;", "&amp;amp;", "&amp;lt;",
+        "&amp;#150;", "&#16", "0;", "&#15", "&nb", "sp;", "&quo", "t;",
+    ]
+    rng = random.Random(1234)
+    for _ in range(20000):
+        s = "".join(rng.choice(frags) for _ in range(rng.randint(0, 8)))
+        assert normalize_text(s) == reference_normalize(s), repr(s)
+
+
+def test_normalize_lines_matches_per_line():
+    """normalize_lines(t) must equal [normalize_text(ln) for ln in
+    t.split('\\n')] — the batched page-level pass used by extract_one."""
+    from langscrape_ray.kernel.textops import normalize_lines
+
+    cases = [
+        "a &amp; b\n  two  spaces  \n&nbsp;lead\ttab\n",
+        "&amp\nx\n&notin y\n&not\nin",  # semicolon-less entities at line edges
+        "\n\n",
+        "",
+        "no-op line",
+        "&eacute;\n&#8226;\n\xa0\xa0\n&amp;amp;\nend  ",
+        "trail &\n& lead\nmid & amp\n  \x0b keep-vertical-tab \x0b  ",
+    ]
+    # plus fixture-page texts for realistic coverage
+    from langscrape_ray.kernel.extract import html_to_text
+    from langscrape_ray.kernel.clean import cleaned_tree
+    from langscrape_ray.sources.fixtures_gen import (
+        FixtureConfig, build_page_html,
+    )
+
+    cfg = FixtureConfig(seed=7, n_pages=40, n_hosts=4, n_seeds=8)
+    for h in range(2):
+        for i in range(6):
+            cases.append(html_to_text(cleaned_tree(
+                build_page_html(cfg, h, i, ["https://h0.example/p0"]))))
+    for t in cases:
+        assert normalize_lines(t) == [
+            normalize_text(ln) for ln in t.split("\n")
+        ]
+
+
 def test_remove_control_characters():
     s = "ok\x00\x0b\x1f&#11;&#x0b;&#x1F496;emoji"
     out = remove_control_characters(s)
