@@ -16,7 +16,12 @@ import re as _re
 from langscrape_ray.kernel.dom import Comment, Node, parse_html
 from langscrape_ray.kernel.textops import collapse_whitespace
 
-_WS_RUN_RE = _re.compile(r"\s+")
+# change-only form of r"\s+" -> " ": matches exactly the maximal
+# whitespace runs whose replacement differs from themselves (2+ chars, or
+# a single non-space whitespace char), so single spaces — the vast
+# majority of matches in page text — are skipped instead of rewritten.
+# sub-for-sub equivalent to r"\s+" (fuzz-pinned in tests/test_kernel.py).
+_WS_RUN_RE = _re.compile(r"\s\s+|[^\S ]")
 _WS_NEEDS_RE = _re.compile(r"\s{2,}|[^\S ]")
 
 # /root/reference/feilian/html_constants.py:1-40 — non-content ("interactive")

@@ -70,6 +70,21 @@ def test_normalize_text_single_pass_matches_sequential():
         assert normalize_text(s) == reference_normalize(s), repr(s)
 
 
+def test_ws_change_only_pattern_matches_ws_run():
+    """clean._WS_RUN_RE (change-only form) must collapse identically to
+    the plain r'\\s+' it replaces, including across the NUL joiner."""
+    import re
+    import random
+    from langscrape_ray.kernel.clean import _WS_RUN_RE
+
+    plain = re.compile(r"\s+")
+    rng = random.Random(7)
+    chars = [" ", "\t", "\n", "\xa0", "\r", "\x0c", "\v", "a", ".", "\x00"]
+    for _ in range(20000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 14)))
+        assert _WS_RUN_RE.sub(" ", s) == plain.sub(" ", s), repr(s)
+
+
 def test_normalize_lines_matches_per_line():
     """normalize_lines(t) must equal [normalize_text(ln) for ln in
     t.split('\\n')] — the batched page-level pass used by extract_one."""
