@@ -842,3 +842,152 @@ def embedding_centroids(sf_dir: str, dim: int = 64) -> pd.DataFrame:
         .sort_values(["label", "dim"])
         .reset_index(drop=True)
     )
+
+
+def dsir_select(
+    sf_dir: str,
+    n_buckets: int = 1024,
+    top_n: int = 200,
+    target_mod: int = 7,
+) -> pd.DataFrame:
+    """(doc_id, dsir_score): DSIR data selection — rank raw documents by
+    hashed-n-gram importance weights against a target domain and keep the
+    ``top_n`` (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling": fit bag-of-hashed-bigrams unigram models over
+    the target and raw sets, score each raw doc by its importance
+    log-ratio, resample by weight).  The target domain here is the
+    deterministic pseudo-domain ``doc_id % target_mod == 0``; selection
+    is exact top-k by weight (the paper's Gumbel noise is an injected-
+    randomness knob, omitted so the result is reproducible and
+    SQL-oracled).
+
+    Per-bucket log-ratio, in e6 fixed point so the DuckDB oracle is
+    bit-exact (``ln`` lowers to the same libm on both engines — verified
+    property, and floor of an identical double is exact):
+
+        lr_b = floor(1e6 * (ln((t_b+1)/(T+K)) - ln((r_b+1)/(R+K))))
+
+    with t_b/r_b the bucket's bigram-occurrence counts in target/raw, T/R
+    the totals, K = ``n_buckets`` (add-one smoothing over the hashed
+    vocabulary).  ``dsir_score = sum(lr_bucket(g) for g in doc bigrams)``
+    — an int64 sum, order-independent.  Bigrams/buckets use the repo-wide
+    md5 idiom (``int(md5(g)[:8],16) % K``, embed_docs/textstats.py:499)
+    and lm_familiarity's single-space tokenization for SQL parity.
+
+    Ray shape — the standard fit-then-broadcast two-pass:
+
+      1. FIT: per-block (bucket, t_cnt, r_cnt) partials (dict-combined
+         per batch, ≤K rows each) → ``groupby(bucket).sum`` — the only
+         shuffle, K-bounded;
+      2. the K-row model folds to a driver int64 array (8 KB at K=1024)
+         and broadcasts ONCE via ``ray.put`` — at 100 TB the model stays
+         K-sized: it never grows with the corpus;
+      3. SCORE: stateless actor-pool pass, per-actor bigram→bucket memo
+         (same warm-cache pattern as embed_docs), int64 gather-sum;
+      4. SELECT: per-batch ``select_k_unstable`` partial top-k, tiny
+         driver merge — top_n × n_blocks rows, never the corpus.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        tc: dict = {}
+        rc: dict = {}
+        memo: dict = {}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            is_target = did % target_mod == 0
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                g = w[i] + " " + w[i + 1]
+                b = memo.get(g)
+                if b is None:
+                    b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+                    memo[g] = b
+                rc[b] = rc.get(b, 0) + 1
+                if is_target:
+                    tc[b] = tc.get(b, 0) + 1
+        buckets = sorted(rc)
+        return pa.table(
+            {
+                "b": pa.array(buckets, pa.int64()),
+                "t_cnt": pa.array([tc.get(b, 0) for b in buckets], pa.int64()),
+                "r_cnt": pa.array([rc[b] for b in buckets], pa.int64()),
+            }
+        )
+
+    model = (
+        docs.map_batches(bucket_partials, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("t_cnt", alias_name="t_cnt"), Sum("r_cnt", alias_name="r_cnt"))
+        .to_pandas()
+    )
+    T = int(model["t_cnt"].sum())
+    R = int(model["r_cnt"].sum())
+    lr = np.zeros(n_buckets, dtype=np.int64)
+    for b, t_cnt, r_cnt in zip(model["b"], model["t_cnt"], model["r_cnt"]):
+        lr[int(b)] = math.floor(
+            1e6
+            * (
+                math.log((int(t_cnt) + 1.0) / (T + n_buckets * 1.0))
+                - math.log((int(r_cnt) + 1.0) / (R + n_buckets * 1.0))
+            )
+        )
+    # buckets never observed keep lr=0: no document contains them, so the
+    # value is unread — zero only so the array is total
+    lr_ref = ray.put(lr)
+
+    class Score:
+        def __init__(self, ref):
+            self.lr = ray.get(ref)
+            self.memo: dict = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lr_arr = self.lr
+            memo = self.memo
+            scores = []
+            for text in t["text"].to_pylist():
+                w = text.split(" ")
+                s = 0
+                for i in range(len(w) - 1):
+                    g = w[i] + " " + w[i + 1]
+                    b = memo.get(g)
+                    if b is None:
+                        b = (
+                            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                            % n_buckets
+                        )
+                        memo[g] = b
+                    s += int(lr_arr[b])
+                scores.append(s)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "dsir_score": pa.array(scores, pa.int64()),
+                }
+            )
+
+    scored = docs.map_batches(
+        Score,
+        fn_constructor_args=(lr_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+    def batch_topn(t: pa.Table) -> pa.Table:
+        n = min(top_n, t.num_rows)
+        idx = pc.select_k_unstable(
+            t, n, [("dsir_score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx)
+
+    return (
+        scored.map_batches(batch_topn, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["dsir_score", "doc_id"], ascending=[False, True])
+        .head(top_n)
+        .reset_index(drop=True)
+    )

@@ -442,3 +442,73 @@ def test_url_patterns_randomized_bulk(ray_session):
         ]
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dsir_select_matches_bruteforce(ray_session, tmp_path):
+    """dsir_select must equal a sequential single-process DSIR: Counter
+    bucket models over target (doc_id%7==0) and raw, e6 fixed-point
+    log-ratio, per-doc sum, exact top-k."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from langscrape_ray.pipelines.curation import dsir_select
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "quantum flux capacitors invert the tachyon stream",
+        "the brown dog naps",
+        "",  # no bigrams -> score 0
+        "single",  # one token -> no bigrams
+        "the the the the",  # repeated bigram
+        "fox jumps over the moon tonight again and again",
+        "lorem ipsum dolor sit amet consectetur",
+        "tachyon stream alignment requires the flux",
+        "dog days of summer bring the lazy fox",
+        "a b c d e f g h",
+        "h g f e d c b a",
+        "the quick brown fox",  # near-dup of target doc
+        "completely unrelated words here banana umbrella",
+    ]
+    _write_docs(tmp_path, texts)
+
+    K, MOD, TOP = 1024, 7, 6
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % K
+
+    tc, rc = Counter(), Counter()
+    for did, text in enumerate(texts):
+        w = text.split(" ")
+        for i in range(len(w) - 1):
+            b = bucket(w[i] + " " + w[i + 1])
+            rc[b] += 1
+            if did % MOD == 0:
+                tc[b] += 1
+    T, R = sum(tc.values()), sum(rc.values())
+    lr = {
+        b: math.floor(
+            1e6
+            * (
+                math.log((tc.get(b, 0) + 1.0) / (T + K * 1.0))
+                - math.log((rc[b] + 1.0) / (R + K * 1.0))
+            )
+        )
+        for b in rc
+    }
+    scores = []
+    for did, text in enumerate(texts):
+        w = text.split(" ")
+        s = sum(lr[bucket(w[i] + " " + w[i + 1])] for i in range(len(w) - 1))
+        scores.append((did, s))
+    expected = sorted(scores, key=lambda p: (-p[1], p[0]))[:TOP]
+
+    got = dsir_select(str(tmp_path), n_buckets=K, top_n=TOP, target_mod=MOD)
+    assert list(zip(got["doc_id"], got["dsir_score"])) == expected
+    # the weighting must point toward the target domain: the target doc's
+    # near-dup (12 shares doc 0's bigrams) outscores the unrelated doc 13
+    # (note: docs with no bigrams score 0, which can top a mostly-negative
+    # log-ratio field — the paper's weights are likewise unnormalized)
+    s = dict(scores)
+    assert s[12] > s[13]
+    assert s[0] > s[13]

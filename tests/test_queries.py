@@ -86,6 +86,7 @@ def _to_df(x):
         "mix_sample",
         "shuffle_shards",
         "lm_familiarity",
+        "dsir_select",
         "quantile_gate",
         "source_overlap",
         "inverted_index",
