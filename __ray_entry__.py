@@ -283,7 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
-    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 68
+    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 69
     # SQL-oracled queries exist — more than the window holds — so the
     # window ROTATES per round to give every oracled query a recent
     # driver-green row (the round-3 verdict's item 2).  Round-4 window =
@@ -324,7 +324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-3 sentinels (kept in-window for regression) ----
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_orders": analytics.q3_top_orders,
-        "q_order_priority": analytics.q_order_priority,
+        # fuzzy-dedup keep-best composite (NEW round 4): exact-Jaccard
+        # edges -> union-find CC -> per-cluster quality argmax keeper;
+        # SQL-oracled end to end (recursive closure + row_number argmax;
+        # q_order_priority rotated out to make room, r3 hash-exact,
+        # untouched)
+        "fuzzy_dedup": dedup.fuzzy_dedup_keep_best,
         # DSIR hashed-bigram importance selection (NEW round 4, Xie et al.
         # 2023): fit target/raw bucket models -> broadcast K-sized lr
         # table -> score -> exact top-k; e6 fixed-point ln so the DuckDB
@@ -434,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/check_contract.py and tests/test_queries.py)
         "q_grouped_sample": analytics.q_grouped_sample,
         "q_lineitem_stats": analytics.q_lineitem_stats,
+        "q_order_priority": analytics.q_order_priority,
         "q_distinct_union": analytics.q_distinct_union,
         "q_supplier_balance": analytics.q_supplier_balance_by_nation,
         "q_event_users": analytics.q_event_users,
@@ -668,6 +674,61 @@ def oracle_sql() -> dict[str, str]:
                          JOIN sz sb ON sb.doc_id = i.doc_b
             WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # fuzzy-dedup keep-best: dedup_jaccard's edge CTEs -> recursive
+        # transitive closure (both edge directions) -> min-label clusters
+        # -> quality argmax keeper per cluster (alpha desc, n_chars desc,
+        # doc_id asc), quality integers identical to quality_score
+        "fuzzy_dedup": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT t.doc_id,
+                     array_to_string(
+                       list_slice(t.w, x.i, least(x.i + 2, len(t.w))), ' ') AS s
+              FROM toks t JOIN idx x ON t.doc_id = x.doc_id
+              WHERE len(t.w) > 0
+            ), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), edges0 AS (
+              SELECT i.doc_a AS src, i.doc_b AS dst
+              FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+                           JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
+            ), edges AS (
+              SELECT src, dst FROM edges0
+              UNION SELECT dst, src FROM edges0
+            ), reach(v, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.v
+            ), lab AS (
+              SELECT v AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY v
+            ), qual AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                     'g')) * 10000
+                               // length(text) END AS alpha
+              FROM documents
+            ), ranked AS (
+              SELECT lab.doc_id, lab.cluster_rep,
+                     row_number() OVER (
+                       PARTITION BY lab.cluster_rep
+                       ORDER BY q.alpha DESC, q.n_chars DESC,
+                                lab.doc_id ASC) AS rn
+              FROM lab JOIN qual q ON q.doc_id = lab.doc_id)
+            SELECT doc_id, cluster_rep,
+                   CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM ranked ORDER BY doc_id
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

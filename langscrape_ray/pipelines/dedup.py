@@ -1574,3 +1574,122 @@ def substring_dedup(sf_dir: str, n: int = 4) -> "rd.Dataset":
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def fuzzy_dedup_keep_best(
+    sf_dir: str, threshold: float = 0.5, shingle_len: int = 3
+) -> "rd.Dataset":
+    """(doc_id, cluster_rep, kept): the production fuzzy-dedup composite
+    (RefinedWeb/FineWeb shape) — near-duplicate clusters keep exactly one
+    document each, chosen by QUALITY instead of arrival order: edges from
+    the exact shingle-Jaccard join, connected components, then per-cluster
+    argmax on (alpha_per_10k, n_chars) with doc_id ascending as the tie
+    break.  Singleton documents are their own cluster and always kept.
+
+    Ray shape — every stage is a piece that already carries its own scale
+    story, composed without any new corpus-sized state:
+
+      1. EDGES: ``jaccard_similarity_join`` (DF-ordered positional prefix
+         filter; candidate volume ≈ near-dup output size).  Swap in the
+         MinHash-LSH pair source for the approximate tier at 100 TB —
+         the downstream stages are edge-source-agnostic.
+      2. CC: driver union-find over the near-dup-sized edge list (the
+         same local-phase finish as ``embedding_cc_clusters``, which
+         documents the touched-vertex iterative path once edges outgrow
+         one node).
+      3. KEEPER CHOICE: quality integers are pulled to the driver ONLY
+         for touched docs (edge endpoints — again near-dup-sized, never
+         the corpus) via a pushdown-filtered pass; argmax per cluster is
+         a small pandas groupby.
+      4. LABEL: one stateless broadcast map_batches pass over the corpus
+         emits (doc_id, cluster_rep, kept); untouched docs short-circuit
+         to kept=1 without consulting the keeper table.
+
+    Quality integers mirror ``textstats.quality_score`` exactly
+    (alpha_per_10k = alpha_chars*10000 // n_chars, integer floor) so the
+    SQL oracle is bit-exact.
+    """
+    import ray
+
+    from .textstats import _ALPHA_RE, _read_docs
+
+    pairs = jaccard_similarity_join(
+        sf_dir, threshold=threshold, shingle_len=shingle_len
+    )
+    rep_uf = _cc_union_find(
+        pairs.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
+    )
+    # _cc_union_find omits cluster roots (they never get a parent entry);
+    # the keeper choice must consider EVERY edge endpoint incl. the root,
+    # so widen to the full touched set with roots mapping to themselves
+    touched = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    rep = {int(v): rep_uf.get(int(v), int(v)) for v in touched}
+    touched = set(rep)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def quality_touched(t: pa.Table) -> pa.Table:
+        out_id, out_alpha, out_chars = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did in touched:
+                n = len(text)
+                out_id.append(did)
+                out_chars.append(n)
+                out_alpha.append(
+                    (len(_ALPHA_RE.sub("", text)) * 10000) // n if n else 0
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "alpha": pa.array(out_alpha, pa.int64()),
+                "n_chars": pa.array(out_chars, pa.int64()),
+            }
+        )
+
+    qual = docs.map_batches(quality_touched, batch_format="pyarrow").to_pandas()
+    keeper: dict = {}
+    if not qual.empty:
+        qual["rep"] = qual["doc_id"].map(lambda d: rep.get(d, d))
+        best = qual.sort_values(
+            ["rep", "alpha", "n_chars", "doc_id"],
+            ascending=[True, False, False, True],
+        ).drop_duplicates("rep")
+        keeper = dict(zip(best["rep"], best["doc_id"]))
+
+    state_ref = ray.put((rep, keeper))
+
+    class Label:
+        def __init__(self, ref):
+            self.rep, self.keeper = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rget = self.rep.get
+            kget = self.keeper.get
+            vids = t["doc_id"].to_pylist()
+            reps, kept = [], []
+            for d in vids:
+                r = rget(d)
+                if r is None:
+                    reps.append(d)
+                    kept.append(1)
+                else:
+                    reps.append(r)
+                    kept.append(1 if kget(r) == d else 0)
+            return pa.table(
+                {
+                    "doc_id": pa.array(vids, pa.int64()),
+                    "cluster_rep": pa.array(reps, pa.int64()),
+                    "kept": pa.array(kept, pa.int64()),
+                }
+            )
+
+    return (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(
+            Label,
+            fn_constructor_args=(state_ref,),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+        )
+        .sort("doc_id")
+    )

@@ -170,3 +170,36 @@ def test_simhash_vectorized_pairs_parity(tmp_path, ray_session):
         assert d == r["hamming"] and d <= 3
     planted = {(len(texts) - 3, len(texts) - 1)}
     assert planted <= set(zip(got["doc_a"], got["doc_b"]))
+
+
+def test_fuzzy_dedup_keep_best_planted(ray_session, tmp_path):
+    """Planted near-dup clusters: keep-best must pick the highest
+    (alpha_per_10k, n_chars) member, tie-broken by doc_id; singletons
+    always kept; cluster_rep is the component min."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [
+        base,                                   # 0: cluster A
+        base + " today",                        # 1: cluster A, longer
+        base + " today 12345 67890 !!!",        # 2: cluster A, longer but
+                                                #    digit-heavy (low alpha)
+        "completely different text about quantum flux and tachyon streams",
+        base + " today",                        # 4: exact dup of 1
+        "another standalone document with its own words entirely here",
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    from langscrape_ray.pipelines.dedup import fuzzy_dedup_keep_best
+
+    out = fuzzy_dedup_keep_best(sf, threshold=0.5).to_pandas()
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    by = dict(zip(out["doc_id"], zip(out["cluster_rep"], out["kept"])))
+    # docs 0/1/2/4 form one cluster with rep 0
+    assert by[0][0] == by[1][0] == by[2][0] == by[4][0] == 0
+    # singletons
+    assert by[3] == (3, 1) and by[5] == (5, 1)
+    # exactly one kept in the cluster
+    kept_in_cluster = [d for d in (0, 1, 2, 4) if by[d][1] == 1]
+    assert len(kept_in_cluster) == 1
+    # alpha dominates: doc 1 (all-alpha, longer than 0, lower doc_id
+    # than its exact dup 4) must be the keeper over the digit-heavy 2
+    assert kept_in_cluster == [1]

@@ -87,6 +87,7 @@ def _to_df(x):
         "shuffle_shards",
         "lm_familiarity",
         "dsir_select",
+        "fuzzy_dedup",
         "quantile_gate",
         "source_overlap",
         "inverted_index",
