@@ -41,8 +41,7 @@ from langscrape_ray.frontier.politeness import CrawlPolicy
 from langscrape_ray.frontier.robots import DEFAULT_CRAWL_DELAY_MS, parse_robots
 from langscrape_ray.stages.extract import ExtractPages
 from langscrape_ray.stages.frontier_stages import (
-    CanonProposeBatch,
-    EnqueueBatch,
+    CanonProposePayloadBatch,
     SeenShard,
 )
 from langscrape_ray.state.checkpoint import (
@@ -644,17 +643,20 @@ class RayCrawl:
         n_ok = 0
         n_total = 0
         if frontier is not None:
-            canonprop = frontier.map_batches(
-                CanonProposeBatch(self.robots_rules, self.shards),
+            # ONE pass: canonicalize + robots + payload-carrying propose;
+            # the stats output materializing IS the propose barrier, and
+            # its sums replace the two full-frontier count() launches
+            stats = frontier.map_batches(
+                CanonProposePayloadBatch(self.robots_rules, self.shards),
                 batch_format="pyarrow",
-            ).materialize()  # barrier: every proposal is registered
-            n_total = canonprop.count()  # free (metadata)
+            ).materialize()
+            agg = stats.sum(["n_total", "n_ok"]) if stats.count() else None
+            if agg:
+                n_total = int(agg["sum(n_total)"])
+                n_ok = int(agg["sum(n_ok)"])
             _t = self._tick("canonicalize", _t)
-            # ---- R2b: admit winners + enqueue into shard backlogs --------
-            # EnqueueBatch drops rejected rows, so its output count IS n_ok.
-            n_ok = canonprop.map_batches(
-                EnqueueBatch(self.shards), batch_format="pyarrow"
-            ).count()
+            # ---- R2b: admit winners + enqueue, one RPC per shard ---------
+            ray.get([s.admit_enqueue_round.remote() for s in self.shards])
             self._bump("rejected", n_total - n_ok)
             _t = self._tick("enqueue", _t)
 

@@ -120,6 +120,11 @@ class SeenShard:
         self.exact = set() if exact_audit else None
         # per-round admission state (propose/admit protocol)
         self.proposals: dict = {}
+        # payload-carrying propose (propose_payload_tbl): the min-okey
+        # proposer's (url, host, priority) rides along, so admit+enqueue
+        # resolves as ONE per-shard RPC at the round barrier instead of a
+        # second full pass over the frontier
+        self.prop_payload: dict = {}
         self.round_admitted: set = set()
         # politeness state (host-affine: shard = host_hash % K, so every URL
         # of a host lands here) — the per-host priority queue + virtual
@@ -189,6 +194,60 @@ class SeenShard:
                 p[k] = o
         return len(p)
 
+    def propose_payload_tbl(self, tbl: pa.Table) -> int:
+        """Payload-carrying propose: like ``propose`` but the winning
+        (min order_key) proposer's row payload is retained, so the admit +
+        enqueue phase collapses into the single ``admit_enqueue_round``
+        RPC — no second pass over the frontier.  Idempotent: min-okey is
+        associative and the payload always tracks the current min, so
+        re-sent batches (Ray task retries) converge to the same state."""
+        p = self.proposals
+        pay = self.prop_payload
+        keys = tbl["url_hash"].to_pylist()
+        okeys = tbl["order_key"].to_pylist()
+        urls = tbl["canon_url"].to_pylist()
+        hosts = tbl["host"].to_pylist()
+        prios = tbl["priority"].to_pylist()
+        for k, o, u, h, pr in zip(keys, okeys, urls, hosts, prios):
+            cur = p.get(k)
+            if cur is None or o < cur:
+                p[k] = o
+                pay[k] = (u, h, pr)
+        return len(p)
+
+    def admit_enqueue_round(self) -> int:
+        """Resolve the round: admit every proposal winner not in the
+        cross-round seen set and push its payload into the politeness
+        backlog.  Runs ONCE per shard per round after the propose barrier
+        — every entry in ``proposals`` IS its key's min-okey winner, and
+        the per-key decisions are independent (unique keys), so dict
+        iteration order cannot affect the outcome; downstream scheduling
+        totally orders candidates by (-priority, order_key) anyway.
+        Deterministic and retry-safe (round_admitted memo).  Returns the
+        shard's admitted count this round."""
+        backlog = self.backlog
+        admitted: List[int] = []
+        pay = self.prop_payload
+        for k, o in self.proposals.items():
+            uk = np.int64(k).astype(np.uint64).item()
+            if uk in self.round_admitted:
+                continue  # RPC retry
+            if self.exact is not None:
+                if uk in self.exact:
+                    continue
+            elif self.cuckoo.contains(uk):
+                continue
+            u, h, pr = pay[k]
+            self.round_admitted.add(uk)
+            if self.exact is not None:
+                self.exact.add(uk)
+            self.cuckoo.add(uk)
+            admitted.append(uk)
+            backlog.setdefault(h, []).append((u, int(pr), int(o)))
+        if admitted:
+            self.bloom.add(np.asarray(admitted, dtype=np.uint64))
+        return len(self.round_admitted)
+
     def admit(self, keys: List[int], okeys: List[int]) -> List[bool]:
         out: List[bool] = []
         ukeys = np.asarray(keys, dtype=np.int64).astype(np.uint64)
@@ -219,6 +278,7 @@ class SeenShard:
 
     def end_round(self) -> None:
         self.proposals = {}
+        self.prop_payload = {}
         self.round_admitted = set()
 
     # -- admit + enqueue into the politeness backlog -----------------------
@@ -451,6 +511,47 @@ class CanonProposeBatch:
                 )
             ray.get(futs)
         return out
+
+
+class CanonProposePayloadBatch:
+    """Fully fused R1+R2: canonicalize + robots-filter + payload-carrying
+    propose, one pipeline launch — the admit+enqueue phase then resolves
+    as one per-shard ``admit_enqueue_round`` RPC at the barrier, so the
+    round makes ONE pass over the frontier instead of two (the second
+    pass previously re-shipped every surviving row to the shards and was
+    bounded by the fixed shard-pool, the crawl's worst-scaling phase).
+    Emits one (n_total, n_ok) stats row per batch: materializing the
+    stats output IS the propose barrier, and counter sums replace the two
+    full-frontier count() passes."""
+
+    def __init__(self, robots_rules: Dict[str, tuple],
+                 shards: List["ray.actor.ActorHandle"]):
+        self.canon = CanonicalizeBatch(robots_rules)
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.canon(batch)
+        ok_rows = out.filter(pc.equal(out["status"], STATUS_OK))
+        if ok_rows.num_rows:
+            sub_cols = ok_rows.select(
+                ["url_hash", "order_key", "canon_url", "host", "priority"]
+            )
+            shard_ids = _shard_route(ok_rows, len(self.shards))
+            futs = []
+            for sid in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == sid)[0]
+                futs.append(
+                    self.shards[int(sid)].propose_payload_tbl.remote(
+                        sub_cols.take(pa.array(idx))
+                    )
+                )
+            ray.get(futs)
+        return pa.table(
+            {
+                "n_total": pa.array([out.num_rows], pa.int64()),
+                "n_ok": pa.array([ok_rows.num_rows], pa.int64()),
+            }
+        )
 
 
 class ProposeBatch:
