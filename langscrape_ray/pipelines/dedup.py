@@ -421,16 +421,21 @@ def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
 
     class Verify:
         def __init__(self, ref):
-            # shingle each doc ONCE per actor; pairs then cost one sorted
-            # intersect each (the round-3 per-pair re-shingle dominated
-            # verify wall-time at 10^5 candidates)
-            self.sets = {
-                k: _shingle_set(v, shingle_len)
-                for k, v in ray.get(ref).items()
-            }
+            # hold only the (plasma-resident) ref; shingling happens
+            # lazily INSIDE the first __call__ so it runs on the worker,
+            # not the driver.  Each doc still shingles once per task and
+            # pairs then cost one sorted intersect each (the round-3
+            # per-pair re-shingle dominated verify at 10^5 candidates).
+            self.ref = ref
+            self.sets = None
             self._empty = np.empty(0, dtype=np.uint64)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.sets is None:
+                self.sets = {
+                    k: _shingle_set(v, shingle_len)
+                    for k, v in ray.get(self.ref).items()
+                }
             raw = np.array(
                 [_pair_jaccard(self.sets.get(a, self._empty),
                                self.sets.get(b, self._empty))
@@ -443,8 +448,14 @@ def _verify_pairs_semijoin(sf_dir: str, pairs: pd.DataFrame,
                 return out[out["jaccard"] >= threshold]
             return out[raw >= threshold]
 
+    # split the driver-resident pair list into blocks so verification
+    # parallelizes (from_pandas on one frame = ONE block = one task);
+    # each task re-shingles the candidate-bounded slice once — cheaper
+    # than a single task intersecting 10^5 pairs serially
+    n_chunks = max(1, min(16, len(pairs) // 8192))
+    chunks = np.array_split(pairs, n_chunks)
     return (
-        rd.from_pandas(pairs)
+        rd.from_pandas(chunks)
         .map_batches(Verify(texts_ref), batch_format="pandas")
         .to_pandas()
     )
@@ -1026,15 +1037,16 @@ def jaccard_df_sketch(sf_dir: str, shingle_len: int = 3) -> np.ndarray:
     filter's completeness proof needs; over-estimates only cost a little
     selectivity, never correctness."""
     def partial(t: pa.Table) -> pa.Table:
+        # per-doc distinct shingles concatenated, then ONE bincount per
+        # depth over the whole batch (np.add.at per doc is ~5x slower)
         mh = _shingler(shingle_len)
+        uniq = [np.unique(mh.shingles(text)) for text in t["text"].to_pylist()]
+        uniq = [u for u in uniq if u.size]
         counts = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
-        for text in t["text"].to_pylist():
-            s = np.unique(mh.shingles(text))
-            if s.size == 0:
-                continue
-            rows = _cms_rows(s)
+        if uniq:
+            rows = _cms_rows(np.concatenate(uniq))
             for d in range(_CMS_DEPTH):
-                np.add.at(counts[d], rows[d], 1)
+                counts[d] = np.bincount(rows[d], minlength=_CMS_WIDTH)
         return pa.table({"cms": pa.array([counts.tobytes()], pa.binary())})
 
     parts = (
@@ -1053,7 +1065,8 @@ def jaccard_df_sketch(sf_dir: str, shingle_len: int = 3) -> np.ndarray:
 def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
                                shingle_len: int = 3,
                                n_parts: int = 32,
-                               df_cap: Optional[int] = None) -> rd.Dataset:
+                               df_cap: Optional[int] = None,
+                               dedup_pairs: bool = True) -> rd.Dataset:
     """Candidate (doc_a, doc_b) pairs for the exact Jaccard join, pruned
     by the DF-ordered POSITIONAL PREFIX FILTER (PPJoin, Xiao et al. WWW'08)
     plus the length filter — this is the stop-shingle guard that keeps the
@@ -1085,31 +1098,46 @@ def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
       3. groupby(bucket_part) over prefix rows: vectorized self-merge on
          shingle + length filter (J ≥ t ⟹ min(na,nb) ≥ t·max(na,nb)) +
          within-bucket pair distinct.
-      4. groupby(pair_key): global pair dedup, never on the driver.
-    Rows: (doc_a, doc_b) with doc_a < doc_b, globally distinct."""
+      4. (``dedup_pairs=True``) groupby(pair_key): global pair dedup,
+         never on the driver.  Consumers that pull the (collision-
+         bounded, small) candidate set to the driver anyway pass False
+         and drop_duplicates there — saving one all-to-all exchange,
+         the same trade ``minhash_candidate_pairs_ds`` makes.
+    Rows: (doc_a, doc_b) with doc_a < doc_b; globally distinct iff
+    ``dedup_pairs`` (else distinct within bucket only)."""
     from ray.data.aggregate import Count, Min
 
     from langscrape_ray.pipelines.util import ensure_schema
 
-    cms_ref = ray.put(jaccard_df_sketch(sf_dir, shingle_len))
+    cms = jaccard_df_sketch(sf_dir, shingle_len)
 
     class ExplodePrefix:
-        """Actor-pool stage: the 2 MB sketch is fetched once per actor."""
+        """Plain-TASK stage (no actor pool): the state is the 2 MB sketch
+        captured in the callable — Ray serializes the fn ONCE to the
+        object store and every warm worker reuses it, so there is no
+        per-stage actor spin-up (the same trade the minhash signature
+        stage makes; an actor pool pays ~2 s to hold 2 MB of state)."""
 
-        def __init__(self, ref):
-            self.cms = ray.get(ref)
+        def __init__(self, cms_arr):
+            self.cms = cms_arr
             self.mh = _shingler(shingle_len)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            # shingle per doc (Python regex is per-string), then estimate
+            # DF for the WHOLE batch in one CMS probe and slice per doc
+            docs_in = t["doc_id"].to_pylist()
+            uniq = [np.unique(self.mh.shingles(text))
+                    for text in t["text"].to_pylist()]
+            lens = np.array([u.size for u in uniq], dtype=np.int64)
+            est_all = (_cms_estimate(self.cms, np.concatenate(uniq))
+                       if lens.sum() else np.empty(0, dtype=np.int64))
+            offs = np.concatenate(([0], np.cumsum(lens)))
             sh_parts, doc_parts, size_parts, pos_parts = [], [], [], []
-            for doc_id, text in zip(
-                t["doc_id"].to_pylist(), t["text"].to_pylist()
-            ):
-                s = np.unique(self.mh.shingles(text))  # distinct, sorted
-                n = int(s.size)
+            for i, s in enumerate(uniq):
+                n = int(lens[i])
                 if n == 0:
                     continue
-                est = _cms_estimate(self.cms, s)
+                est = est_all[offs[i]:offs[i + 1]]
                 # global (est_df, shingle) order; stable prefix epsilon:
                 # a too-SHORT prefix breaks completeness, one longer is
                 # merely a superset
@@ -1122,7 +1150,7 @@ def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
                     pick, pos = pick[keep], pos[keep]
                 v = (s[pick] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
                 sh_parts.append(v)
-                doc_parts.append(np.full(len(v), doc_id, dtype=np.int64))
+                doc_parts.append(np.full(len(v), docs_in[i], dtype=np.int64))
                 size_parts.append(np.full(len(v), n, dtype=np.int64))
                 pos_parts.append(pos)
             sh = (np.concatenate(sh_parts) if sh_parts
@@ -1174,24 +1202,23 @@ def jaccard_candidate_pairs_ds(sf_dir: str, threshold: float = 0.5,
 
     cand = (
         _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            ExplodePrefix,
-            fn_constructor_args=(cms_ref,),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        .map_batches(ExplodePrefix(cms), batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(bucket_candidates, batch_format="pandas")
-        .map_batches(
-            lambda t: _with_pair_key(t, "doc_a", "doc_b"), batch_format="pyarrow"
-        )
-        .groupby("pair_key")  # single-int64 key: see _with_pair_key
-        .aggregate(
-            Min("doc_a", alias_name="doc_a"),
-            Min("doc_b", alias_name="doc_b"),
-            Count(alias_name="_n"),
-        )
     )
+    if dedup_pairs:
+        cand = (
+            cand.map_batches(
+                lambda t: _with_pair_key(t, "doc_a", "doc_b"),
+                batch_format="pyarrow",
+            )
+            .groupby("pair_key")  # single-int64 key: see _with_pair_key
+            .aggregate(
+                Min("doc_a", alias_name="doc_a"),
+                Min("doc_b", alias_name="doc_b"),
+                Count(alias_name="_n"),
+            )
+        )
     return ensure_schema(
         cand, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     )
@@ -1228,11 +1255,16 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
          "jaccard": pd.Series([], dtype="float64")}
     )
     pairs = jaccard_candidate_pairs_ds(
-        sf_dir, threshold, shingle_len, n_parts, df_cap
+        sf_dir, threshold, shingle_len, n_parts, df_cap, dedup_pairs=False
     ).to_pandas()
     if pairs.empty:
         return empty_result
-    pairs = pairs.astype({"doc_a": "int64", "doc_b": "int64"})
+    # cross-bucket duplicate candidates dedup HERE on the already-driver-
+    # resident set (one exchange saved; see jaccard_candidate_pairs_ds)
+    pairs = (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+    )
     if len(pairs) > JOIN_TAIL_PAIRS:
         out = _verify_pairs_join(sf_dir, pairs, threshold, None,
                                  shingle_len, round_first=False)
