@@ -388,6 +388,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sources/xlsx.py); same oracle as json_etl_flatten, so the hash
         # proves the encode/decode lossless
         "xlsx_roundtrip": etl.xlsx_roundtrip,
+        # NEW round 4: pages through REAL Common-Crawl-layout WARC bytes
+        # (one gzip member per response record, stdlib codec in
+        # sources/warc.py) and parsed straight back — the hash proves the
+        # archive-format encode/decode lossless (SQL-oracled closed form
+        # over documents, same pattern as xlsx_roundtrip)
+        "warc_roundtrip": etl.warc_roundtrip,
         # composite training-data prep flagship: fused lang-ID + quality
         # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
         # rollup, ONE streaming flow (SQL-oracled end to end)
@@ -1429,6 +1435,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract(rec_json, '$.summary.n_chars') AS BIGINT)
                        AS sum_n_chars
             FROM rec ORDER BY doc_id
+        """,
+        # the WARC hop must be lossless, so the oracle reconstructs the
+        # deterministic row rule (url/date/payload) in closed form; the
+        # Ray side got these values back out of real gzip-member WARC
+        # bytes (md5 compares the payload BYTES both sides)
+        "warc_roundtrip": """
+            SELECT 'https://w' || CAST(doc_id % 97 AS VARCHAR) ||
+                       '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (doc_id) SECOND AS warc_ts,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents ORDER BY url
         """,
         # md5-bucket split: fold the first 8 hex chars of
         # md5('split:' || doc_id) into a 32-bit int (exact in float64:

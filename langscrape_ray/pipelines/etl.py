@@ -164,3 +164,71 @@ def json_etl_nest(flat: rd.Dataset) -> rd.Dataset:
         )
 
     return flat.map_batches(fn, batch_format="pyarrow")
+
+
+def warc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Pages through the REAL archive format: each batch of documents
+    becomes Common-Crawl-layout WARC bytes (one gzip member per response
+    record, ``sources/warc.py``) and is parsed straight back; output is
+    closed-form over the documents table, so the driver hash proves the
+    WARC encode/decode lossless for (url, timestamp, payload bytes).
+
+    Row rule (deterministic, SQL-mirrorable): url =
+    ``https://w{doc_id % 97}.example.com/doc/{doc_id}``, warc_ts =
+    2024-01-01T00:00:00Z + doc_id seconds (WARC dates have second
+    granularity — the contract timestamp unit), payload = the document
+    text utf-8 encoded.  Output (url, warc_ts, n_bytes, payload_md5).
+
+    Scale notes: each batch is ONE in-memory WARC blob on a worker —
+    embarrassingly parallel, never on the driver; gzip member framing
+    means a real corpus written this way is byte-compatible with Common
+    Crawl tooling.  Reference analog: none (input-format surface)."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    from langscrape_ray.sources.warc import read_warc_bytes, warc_bytes
+
+    epoch_us = int(
+        datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+
+    def via_warc(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        pages = pa.table(
+            {
+                "url": pa.array(
+                    [
+                        f"https://w{d % 97}.example.com/doc/{d}"
+                        for d in doc_ids
+                    ],
+                    pa.string(),
+                ),
+                "warc_ts": pa.array(
+                    [epoch_us + d * 1_000_000 for d in doc_ids],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array(
+                    [x.encode("utf-8") for x in texts], pa.binary()
+                ),
+            }
+        )
+        back = read_warc_bytes(warc_bytes(pages))
+        payloads = back["html"].to_pylist()
+        return pa.table(
+            {
+                "url": back["url"],
+                "warc_ts": back["warc_ts"],
+                "n_bytes": pa.array(
+                    [len(p) for p in payloads], pa.int64()
+                ),
+                "payload_md5": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        via_warc, batch_format="pyarrow", batch_size=512
+    )

@@ -66,24 +66,30 @@ def _record_bytes(url: str, ts_us: int, html: bytes, seq: int) -> bytes:
     return b"\r\n".join(headers) + b"\r\n\r\n" + html + b"\r\n\r\n"
 
 
-def write_warc(table: pa.Table, path: str, per_record_gzip: bool = True) -> str:
-    """Serialize a pages table (url, warc_ts, html at minimum) to a WARC
-    file.  ``per_record_gzip=True`` writes the Common-Crawl layout (one
-    gzip member per record); False writes plain WARC."""
+def warc_bytes(table: pa.Table, per_record_gzip: bool = True) -> bytes:
+    """Serialize a pages table (url, warc_ts, html at minimum) to WARC
+    bytes.  ``per_record_gzip=True`` is the Common-Crawl layout (one gzip
+    member per record); False is plain WARC.  Deterministic (gzip mtime
+    pinned to 0)."""
     urls = table["url"].to_pylist()
     tss = table["warc_ts"].cast(pa.timestamp("us")).to_pylist()
     htmls = table["html"].to_pylist()
+    out = io.BytesIO()
+    for i, (u, ts, h) in enumerate(zip(urls, tss, htmls)):
+        ts_us = int(ts.timestamp() * 1_000_000) if ts is not None else 0
+        rec = _record_bytes(u, ts_us, h or b"", i)
+        if per_record_gzip:
+            with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def write_warc(table: pa.Table, path: str, per_record_gzip: bool = True) -> str:
+    """``warc_bytes`` to a file path."""
     with open(path, "wb") as f:
-        for i, (u, ts, h) in enumerate(zip(urls, tss, htmls)):
-            ts_us = int(ts.timestamp() * 1_000_000) if ts is not None else 0
-            rec = _record_bytes(u, ts_us, h or b"", i)
-            if per_record_gzip:
-                buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(rec)
-                f.write(buf.getvalue())
-            else:
-                f.write(rec)
+        f.write(warc_bytes(table, per_record_gzip))
     return path
 
 
@@ -135,13 +141,11 @@ def _parse_record(rec: bytes) -> Optional[Tuple[str, int, bytes]]:
     return url, ts_us, body
 
 
-def read_warc(path: str) -> pa.Table:
-    """Parse a WARC file (plain or member-gzipped) into
+def read_warc_bytes(raw: bytes) -> pa.Table:
+    """Parse WARC bytes (plain or member-gzipped) into
     (url, warc_ts, html)."""
-    with open(path, "rb") as f:
-        raw = f.read()
     if raw[:2] == b"\x1f\x8b":
-        # multi-member gzip: GzipFile iterates members transparently
+        # multi-member gzip: gzip.decompress iterates members transparently
         raw = gzip.decompress(raw)
     urls, tss, htmls = [], [], []
     for rec in _split_records(raw):
@@ -159,6 +163,13 @@ def read_warc(path: str) -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
         }
     )
+
+
+def read_warc(path: str) -> pa.Table:
+    """``read_warc_bytes`` from a file path."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    return read_warc_bytes(raw)
 
 
 def read_warc_ds(paths: List[str]) -> rd.Dataset:

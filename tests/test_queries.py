@@ -64,6 +64,7 @@ def _to_df(x):
         "split_assign",
         "json_etl_flatten",
         "xlsx_roundtrip",
+        "warc_roundtrip",
         "media_wav",
         "token_count_bpe",
         "decontaminate",
