@@ -288,10 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # window ROTATES per round to give every oracled query a recent
     # driver-green row (the round-3 verdict's item 2).  Round-4 window =
     # the 17 entries displaced in round 3 (driver-proven hash-exact in
-    # CORRECTNESS_r02, rotated back in first) + 33 round-3 sentinels
-    # chosen to cover every operator family and everything whose code
-    # changed this round (notably dedup_jaccard after the prefix-filter
-    # rewrite).  The 17 rotated OUT are hash-exact in CORRECTNESS_r03
+    # CORRECTNESS_r02, rotated back in first) + the round-4 NEW oracled
+    # ops (fuzzy_dedup, dsir_select, semdedup_select, warc_roundtrip —
+    # new code must earn a driver row) + round-3 sentinels chosen to
+    # cover every operator family and everything whose code changed this
+    # round (notably dedup_jaccard after the prefix-filter rewrite).  The 17 rotated OUT are hash-exact in CORRECTNESS_r03
     # with code untouched since; every oracled query stays continuously
     # exact via tests/test_queries.py's oracle gate and
     # scripts/check_contract.py.  Rows-only approximations (error-bound /
@@ -336,6 +337,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle hash-matches (q_lineitem_stats rotated out to make room,
         # r3 hash-exact, untouched)
         "dsir_select": curation.dsir_select,
+        # SemDeDup (NEW round 4, Abbas et al. 2023): e6-integer k-means
+        # (min-k init, ONE Lloyd update via per-block partials merged on
+        # the driver) -> within-cluster cosine prune against the first
+        # cluster_cap earliest-id referees; exact end to end (HUGEINT
+        # cross-multiplied cosine test), SQL-oracled with the unrolled
+        # Lloyd iteration
+        "semdedup_select": curation.semdedup_select,
         # hot-key top-k via composite-key (salted) two-stage agg — the
         # explicit skew-handling shape (SQL-oracled: row_number window)
         "q_top_users_by_type": analytics.q_top_users_by_type,
@@ -1672,6 +1680,85 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN score ON d.doc_id = score.doc_id
             ORDER BY dsir_score DESC, d.doc_id ASC
             LIMIT 200
+        """,
+        # SemDeDup with the single Lloyd iteration unrolled: c0 = k
+        # smallest vec_ids, a1 = argmin int64 distance (ties -> lowest
+        # cluster), c1 = floored integer means (empty cluster keeps c0),
+        # a2 = final assignment; the near-dup test cross-multiplies in
+        # HUGEINT so no float ever decides a row
+        "semdedup_select": """
+            WITH e AS (
+              SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+              FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+            ),
+            init_ids AS (
+              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            c0 AS (
+              SELECT i.cluster, e.dim, e.v AS c
+              FROM init_ids i JOIN e ON e.vec_id = i.vec_id
+            ),
+            d1 AS (
+              SELECT e.vec_id, c.cluster, SUM((e.v - c.c) * (e.v - c.c)) AS d2
+              FROM e JOIN c0 c ON c.dim = e.dim GROUP BY 1, 2
+            ),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            s1 AS (
+              SELECT a.cluster, e.dim, SUM(e.v) AS s, COUNT(*) AS n
+              FROM a1 a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2
+            ),
+            c1 AS (
+              SELECT c0.cluster, c0.dim,
+                     CASE WHEN s1.n IS NULL THEN c0.c
+                          ELSE CAST(floor(CAST(s1.s AS DOUBLE) / s1.n) AS BIGINT) END AS c
+              FROM c0 LEFT JOIN s1 ON s1.cluster = c0.cluster AND s1.dim = c0.dim
+            ),
+            d2t AS (
+              SELECT e.vec_id, c.cluster, SUM((e.v - c.c) * (e.v - c.c)) AS d2
+              FROM e JOIN c1 c ON c.dim = e.dim GROUP BY 1, 2
+            ),
+            a2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM d2t) WHERE rn = 1
+            ),
+            nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM e GROUP BY 1),
+            mem AS (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+              FROM a2
+            ),
+            dots AS (
+              SELECT ma.vec_id AS vi, mb.vec_id AS vj, SUM(ea.v * eb.v) AS dot
+              FROM mem ma
+              JOIN mem mb ON mb.cluster = ma.cluster
+                         AND mb.vec_id < ma.vec_id AND mb.rk <= 8192
+              JOIN e ea ON ea.vec_id = ma.vec_id
+              JOIN e eb ON eb.vec_id = mb.vec_id AND eb.dim = ea.dim
+              GROUP BY 1, 2
+            ),
+            dup AS (
+              SELECT d.vi AS vec_id, COUNT(*) AS n_dups
+              FROM dots d
+              JOIN nrm na ON na.vec_id = d.vi
+              JOIN nrm nb ON nb.vec_id = d.vj
+              WHERE d.dot > 0
+                AND CAST(d.dot AS HUGEINT) * d.dot * 100 > CAST(16 AS HUGEINT) * na.n2 * nb.n2
+              GROUP BY 1
+            )
+            SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster,
+                   CAST(COALESCE(dup.n_dups, 0) AS BIGINT) AS n_dups,
+                   CAST(CASE WHEN dup.n_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM a2 LEFT JOIN dup ON dup.vec_id = a2.vec_id
+            ORDER BY a2.vec_id
         """,
         "lm_familiarity": """
             WITH toks AS (

@@ -991,3 +991,167 @@ def dsir_select(
         .head(top_n)
         .reset_index(drop=True)
     )
+
+
+def _quantize_embeddings(t: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+    """(vec_ids, Q) — e6-FLOOR-quantized int64 embedding matrix (the
+    embedding_centroids contract: float32 x 1e6 is exact in double, so
+    floor is unambiguous on both engines)."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(
+        [np.asarray(v, np.float32) for v in t["embedding"].to_pylist()]
+    ).astype(np.float64)
+    return ids, np.floor(mat * 1_000_000).astype(np.int64)
+
+
+def _assign_clusters(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c sum_d (q - c)^2 in exact int64; ties -> lowest cluster id
+    (np.argmin returns the first minimum, clusters ordered 0..k-1)."""
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def semdedup_select(sf_dir: str, k: int = 8, tau2_num: int = 16,
+                    tau2_den: int = 100, cluster_cap: int = 8192,
+                    dim: int = 64) -> pd.DataFrame:
+    """(vec_id, cluster, n_dups, kept): SEMANTIC dedup (SemDeDup, Abbas
+    et al. 2023): k-means-cluster the embedding space, then inside each
+    cluster drop every vector that is near-duplicate (cosine^2 >
+    tau2_num/tau2_den AND cosine positive, i.e. cos > 0.4 for 16/100 --
+    the embedding_neardup_pairs threshold convention) of an earlier-id
+    member — the keep-first-by-id variant of the paper's within-cluster
+    epsilon-ball pruning, chosen because it is deterministic and
+    SQL-mirrorable (the paper keeps the member farthest from the
+    centroid; the clustering-then-local-prune structure is identical).
+
+    EXACT end to end, so the DuckDB oracle hash-matches:
+      - embeddings quantize to e6 ints with FLOOR (embedding_centroids
+        contract); all distances/dots are int64 integer sums.
+      - init centroids = the k smallest vec_ids' vectors (cluster id =
+        vec_id rank); ONE Lloyd update (assign -> per-cluster floored
+        integer mean, empty cluster keeps its init centroid); final
+        assignment under the updated centroids.
+      - near-dup test cross-multiplies integers -- tau2_den * dot^2 >
+        tau2_num * |a|^2 * |b|^2 and dot > 0 -- evaluated with a float64
+        prefilter plus arbitrary-precision recheck inside the float
+        error band (the SQL side uses HUGEINT).
+
+    Ray shape (nothing corpus-sized on the driver):
+      1. min-k partials per block -> driver merges k ids -> pushdown
+         point-read of the k init vectors.
+      2. Lloyd pass: map_batches emits per-cluster (count, sum-blob)
+         partials -- k rows per block, merged on the driver (k x dim x 8
+         bytes; the corpus itself never moves).
+      3. final pass emits (cluster, vec_id, q-blob); ONE
+         groupby(cluster) exchange; per-cluster vectorized int64 matmul
+         against at most ``cluster_cap`` earliest-id referees, so a hot
+         cluster costs O(m * cap * dim), never O(m^2 * dim).
+    At 10^9 vectors k scales ~sqrt(n) so clusters stay cap-bounded; the
+    centroid table (k x dim x 8 B) broadcasts inside the task closure.
+    Reference analog: none (training-data curation surface)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    def min_k_partial(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["vec_id"].to_numpy(zero_copy_only=False))[:k]
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64))})
+
+    init_ids = np.sort(
+        rd.read_parquet(emb_path, columns=["vec_id"])
+        .map_batches(min_k_partial, batch_format="pyarrow")
+        .to_pandas()["vec_id"]
+        .to_numpy()
+    )[:k]
+    init_tbl = (
+        rd.read_parquet(
+            emb_path, columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(init_ids.tolist()),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids0, q0 = _quantize_embeddings(pa.Table.from_pandas(init_tbl))
+    order0 = np.argsort(ids0)
+    cents0 = q0[order0]  # cluster id = vec_id rank among the k smallest
+
+    def lloyd_partial(t: pa.Table) -> pa.Table:
+        _, q = _quantize_embeddings(t)
+        a = _assign_clusters(q, cents0)
+        rows_c, rows_n, rows_s = [], [], []
+        for c in np.unique(a):
+            mask = a == c
+            rows_c.append(int(c))
+            rows_n.append(int(mask.sum()))
+            rows_s.append(q[mask].sum(axis=0).tobytes())
+        return pa.table(
+            {
+                "cluster": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array(rows_s, pa.binary()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(lloyd_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cents1 = cents0.copy()
+    for c in range(k):
+        sub = parts[parts["cluster"] == c]
+        n = int(sub["n"].sum())
+        if n > 0:
+            s = np.zeros(dim, dtype=np.int64)
+            for blob in sub["s"]:
+                s += np.frombuffer(blob, dtype=np.int64)
+            cents1[c] = np.floor_divide(s, n)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        ids, q = _quantize_embeddings(t)
+        a = _assign_clusters(q, cents1)
+        return pa.table(
+            {
+                "cluster": pa.array(a),
+                "vec_id": pa.array(ids),
+                "qblob": pa.array([row.tobytes() for row in q], pa.binary()),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        q = np.stack([np.frombuffer(b, dtype=np.int64) for b in g["qblob"]])
+        m = len(g)
+        n2 = (q * q).sum(axis=1)  # <= 64 * (1.06e6)^2 ~ 7e13: int64-exact
+        r = min(m, cluster_cap)
+        dot = q @ q[:r].T  # int64-exact (|dot| <= 1.8e13 < 2^53)
+        # strict lower-triangle vs referee rank: referee j qualifies for
+        # member i iff vec_id_j < vec_id_i (ids sorted, so j < i)
+        lhs = float(tau2_den) * dot.astype(np.float64) ** 2
+        rhs = float(tau2_num) * np.outer(
+            n2.astype(np.float64), n2[:r].astype(np.float64)
+        )
+        band = 1e14  # >> float64 abs error at 3e28 (~3e12)
+        sure = (dot > 0) & (lhs > rhs + band)
+        amb = (dot > 0) & (np.abs(lhs - rhs) <= band)
+        cond = sure
+        for i, j in zip(*np.nonzero(amb)):
+            di, ni, nj = int(dot[i, j]), int(n2[i]), int(n2[j])
+            cond[i, j] = tau2_den * di * di > tau2_num * ni * nj
+        tri = np.tri(m, r, -1, dtype=bool)  # j < i only
+        n_dups = (cond & tri).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].to_numpy(dtype=np.int64),
+                "cluster": g["cluster"].to_numpy(dtype=np.int64),
+                "n_dups": n_dups,
+                "kept": (n_dups == 0).astype(np.int64),
+            }
+        )
+
+    out = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(final_assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -512,3 +512,71 @@ def test_dsir_select_matches_bruteforce(ray_session, tmp_path):
     s = dict(scores)
     assert s[12] > s[13]
     assert s[0] > s[13]
+
+
+def _write_embeddings(tmp_path, vecs):
+    import numpy as np
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_drops_planted_duplicates(ray_session, tmp_path):
+    """Exact duplicate vectors land in one cluster and every later-id
+    copy is dropped; orthogonal vectors all survive."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 64).astype(np.float32)
+    # vecs 0..5 distinct; 6 and 7 duplicate vec 2's direction (scaled --
+    # cosine is scale-invariant)
+    vecs = list(base) + [base[2] * 0.5, base[2] * 2.0]
+    sf = _write_embeddings(tmp_path, vecs)
+
+    out = curation.semdedup_select(sf, k=2, tau2_num=81, tau2_den=100)
+    by_id = out.set_index("vec_id")
+    assert by_id.loc[2, "kept"] == 1  # first occurrence wins
+    assert by_id.loc[6, "kept"] == 0
+    assert by_id.loc[7, "kept"] == 0
+    # the three copies must share a cluster (identical direction)
+    assert len({by_id.loc[i, "cluster"] for i in (2, 6, 7)}) == 1
+    # unrelated random 64-dim vectors are far below cos 0.9
+    assert by_id.loc[[0, 1, 3, 4, 5], "kept"].eq(1).all()
+
+
+def test_semdedup_cluster_cap_bounds_referees(ray_session, tmp_path):
+    """With cluster_cap=1 only the earliest-id member of each cluster can
+    testify: a duplicate of a NON-minimal member must survive, and n_dups
+    can never exceed the cap."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    a, b, c = rng.randn(3, 64).astype(np.float32)
+    # one cluster-ish world (k=1): ids 0=a, 1=b, 2=b-dup, 3=a-dup
+    vecs = [a, b, b * 1.5, a * 0.25]
+    sf = _write_embeddings(tmp_path, vecs)
+
+    capped = curation.semdedup_select(
+        sf, k=1, tau2_num=81, tau2_den=100, cluster_cap=1
+    ).set_index("vec_id")
+    full = curation.semdedup_select(
+        sf, k=1, tau2_num=81, tau2_den=100
+    ).set_index("vec_id")
+
+    # full referee set: both dups die
+    assert full.loc[2, "kept"] == 0 and full.loc[3, "kept"] == 0
+    # cap=1: only vec 0 testifies -> b-dup (2) survives, a-dup (3) dies
+    assert capped.loc[2, "kept"] == 1
+    assert capped.loc[3, "kept"] == 0
+    assert (capped["n_dups"] <= 1).all()

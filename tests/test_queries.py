@@ -88,6 +88,7 @@ def _to_df(x):
         "shuffle_shards",
         "lm_familiarity",
         "dsir_select",
+        "semdedup_select",
         "fuzzy_dedup",
         "quantile_gate",
         "source_overlap",
