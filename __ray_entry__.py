@@ -344,6 +344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-multiplied cosine test), SQL-oracled with the unrolled
         # Lloyd iteration
         "semdedup_select": curation.semdedup_select,
+        # adaptive recrawl scheduling (NEW round 4, Cho & Garcia-Molina
+        # 2003): per-page Poisson change-rate from fetch-observation
+        # history (pre-reduced 4-int64 groupby, never the event payload),
+        # e6 fixed-point ln (dsir parity contract), int64 staleness score
+        "recrawl_priority": curation.recrawl_priority,
         # hot-key top-k via composite-key (salted) two-stage agg — the
         # explicit skew-handling shape (SQL-oracled: row_number window)
         "q_top_users_by_type": analytics.q_top_users_by_type,
@@ -1759,6 +1764,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN dup.n_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
             FROM a2 LEFT JOIN dup ON dup.vec_id = a2.vec_id
             ORDER BY a2.vec_id
+        """,
+        # recrawl_priority: the Cho & Garcia-Molina estimator in closed
+        # form; ln/floor/e6 follow the dsir_select IEEE-parity contract
+        "recrawl_priority": """
+            WITH per AS (
+              SELECT user_id AS page_id,
+                     COUNT(*) AS n_obs,
+                     SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+                         AS n_changes,
+                     MIN(epoch_us(ts)) AS min_us, MAX(epoch_us(ts)) AS max_us
+              FROM events GROUP BY 1),
+            g AS (SELECT MAX(max_us) AS t_now FROM per),
+            lam AS (
+              SELECT per.*, g.t_now,
+                     CAST(CASE WHEN max_us = min_us THEN 0
+                          ELSE floor(1000000.0 *
+                               (-ln((n_obs - n_changes + 0.5) / (n_obs + 0.5))
+                                / ((max_us - min_us) / 86400000000.0)))
+                          END AS BIGINT) AS lambda_e6
+              FROM per, g)
+            SELECT page_id, CAST(n_obs AS BIGINT) AS n_obs,
+                   CAST(n_changes AS BIGINT) AS n_changes,
+                   CAST(max_us - min_us AS BIGINT) AS span_us,
+                   CAST(t_now - max_us AS BIGINT) AS staleness_us,
+                   lambda_e6,
+                   lambda_e6 * ((t_now - max_us) // 1000000) AS score
+            FROM lam ORDER BY page_id
         """,
         "lm_familiarity": """
             WITH toks AS (

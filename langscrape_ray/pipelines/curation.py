@@ -1155,3 +1155,94 @@ def semdedup_select(sf_dir: str, k: int = 8, tau2_num: int = 16,
         .to_pandas()
     )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def recrawl_priority(sf_dir: str) -> pd.DataFrame:
+    """(page_id, n_obs, n_changes, span_us, staleness_us, lambda_e6,
+    score): ADAPTIVE RECRAWL scheduling (Cho & Garcia-Molina 2003) — fit
+    a per-page Poisson change rate from fetch-observation history and
+    rank pages by expected staleness, the policy a 10^10-URL frontier
+    uses to decide what to refetch next.
+
+    Observation model over the events table: each event row is one fetch
+    observation of page ``user_id``; the page had changed since the
+    previous fetch iff ``event_type <> 'view'``.  The classic
+    repeated-access estimator with add-half smoothing:
+
+        lambda = -ln((n - X + 0.5) / (n + 0.5)) / (span / day)
+
+    (n observations, X detected changes, span = last-first observation).
+    ``lambda_e6 = floor(1e6 * lambda)`` rides the dsir_select ln-parity
+    contract (libm ``math.log`` per value; identical IEEE op sequence in
+    the DuckDB oracle), and ``score = lambda_e6 * staleness_seconds`` is
+    a pure int64 product (<= 2e7 * 3e6), so the driver hash is exact.
+    Pages observed once (span 0) get lambda_e6 = 0: no evidence, lowest
+    refresh priority.
+
+    Ray shape: per-block pandas groupby partials (page, n, x, min_ts,
+    max_ts) -> ONE pre-reduced groupby(page_id) exchange (4 int64 cols,
+    never the event payload) -> the final per-page frame IS the query
+    result; t_now = max(max_ts) folds from the same frame.  At 10^10
+    URLs the output is written partitioned by hash(page_id) instead of
+    collected.  Reference analog: none (frontier-policy surface)."""
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "page_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "us": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "chg": (
+                    pc.not_equal(t["event_type"], "view")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+        g = df.groupby("page_id", sort=False).agg(
+            n=("us", "size"), x=("chg", "sum"),
+            min_us=("us", "min"), max_us=("us", "max"),
+        )
+        return pa.Table.from_pandas(g.reset_index())
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("page_id")
+        .aggregate(
+            Sum("n", alias_name="n_obs"),
+            Sum("x", alias_name="n_changes"),
+            Min("min_us", alias_name="min_us"),
+            Max("max_us", alias_name="max_us"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_obs", "n_changes", "min_us", "max_us"):
+        out[c] = out[c].astype("int64")
+    t_now = int(out["max_us"].max())
+    out["span_us"] = out["max_us"] - out["min_us"]
+    out["staleness_us"] = t_now - out["max_us"]
+    lam = []
+    for n, x, span in zip(out["n_obs"], out["n_changes"], out["span_us"]):
+        if span == 0:
+            lam.append(0)
+        else:
+            r = (int(n) - int(x) + 0.5) / (int(n) + 0.5)
+            lam.append(
+                int(math.floor(
+                    1000000.0 * (-math.log(r) / (span / 86400000000.0))
+                ))
+            )
+    out["lambda_e6"] = pd.Series(lam, dtype="int64")
+    out["score"] = out["lambda_e6"] * (out["staleness_us"] // 1_000_000)
+    return (
+        out[["page_id", "n_obs", "n_changes", "span_us", "staleness_us",
+             "lambda_e6", "score"]]
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )

@@ -89,6 +89,7 @@ def _to_df(x):
         "lm_familiarity",
         "dsir_select",
         "semdedup_select",
+        "recrawl_priority",
         "fuzzy_dedup",
         "quantile_gate",
         "source_overlap",
