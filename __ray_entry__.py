@@ -349,6 +349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # history (pre-reduced 4-int64 groupby, never the event payload),
         # e6 fixed-point ln (dsir parity contract), int64 staleness score
         "recrawl_priority": curation.recrawl_priority,
+        # product-quantization encoding (NEW round 4, Jegou et al. 2011):
+        # n_sub per-subspace codebooks trained by the semdedup fixed-point
+        # k-means in the SAME two streaming passes (no exchange at all);
+        # SQL-oracled with the unrolled Lloyd iteration per subspace
+        "pq_encode": curation.pq_encode,
         # hot-key top-k via composite-key (salted) two-stage agg — the
         # explicit skew-handling shape (SQL-oracled: row_number window)
         "q_top_users_by_type": analytics.q_top_users_by_type,
@@ -1791,6 +1796,57 @@ def oracle_sql() -> dict[str, str]:
                    lambda_e6,
                    lambda_e6 * ((t_now - max_us) // 1000000) AS score
             FROM lam ORDER BY page_id
+        """,
+        # pq_encode: per-subspace k-means unrolled once, subspace = dim//8
+        # folded into the explode so ONE query covers all 8 codebooks
+        "pq_encode": """
+            WITH e AS (
+              SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST((i - 1) // 8 AS BIGINT) AS s,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+              FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+            ),
+            init_ids AS (
+              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            cb0 AS (
+              SELECT i.c, e.s, e.dim, e.v AS cv
+              FROM init_ids i JOIN e ON e.vec_id = i.vec_id
+            ),
+            d1 AS (
+              SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.cv) * (e.v - cb.cv)) AS d2
+              FROM e JOIN cb0 cb ON cb.dim = e.dim GROUP BY 1, 2, 3
+            ),
+            a1 AS (
+              SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            s1 AS (
+              SELECT a.s, a.c, e.dim, SUM(e.v) AS sm, COUNT(*) AS n
+              FROM a1 a JOIN e ON e.vec_id = a.vec_id AND e.s = a.s GROUP BY 1, 2, 3
+            ),
+            cb1 AS (
+              SELECT cb0.c, cb0.s, cb0.dim,
+                     CASE WHEN s1.n IS NULL THEN cb0.cv
+                          ELSE CAST(floor(CAST(s1.sm AS DOUBLE) / s1.n) AS BIGINT) END AS cv
+              FROM cb0 LEFT JOIN s1
+                ON s1.s = cb0.s AND s1.c = cb0.c AND s1.dim = cb0.dim
+            ),
+            d2t AS (
+              SELECT e.vec_id, e.s, cb.c, SUM((e.v - cb.cv) * (e.v - cb.cv)) AS d2
+              FROM e JOIN cb1 cb ON cb.dim = e.dim GROUP BY 1, 2, 3
+            ),
+            a2 AS (
+              SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                FROM d2t) WHERE rn = 1
+            )
+            SELECT vec_id, s AS subspace, CAST(c AS BIGINT) AS code
+            FROM a2 ORDER BY vec_id, subspace
         """,
         "lm_familiarity": """
             WITH toks AS (

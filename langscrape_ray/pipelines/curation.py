@@ -1246,3 +1246,121 @@ def recrawl_priority(sf_dir: str) -> pd.DataFrame:
         .sort_values("page_id")
         .reset_index(drop=True)
     )
+
+
+def pq_encode(sf_dir: str, n_sub: int = 8, k: int = 16,
+              dim: int = 64) -> pd.DataFrame:
+    """(vec_id, subspace, code): PRODUCT QUANTIZATION encoding (Jegou et
+    al. 2011) — the vector-compression path that lets a 10^9-vector ANN
+    index hold 8 bytes/vector instead of 256: split each embedding into
+    ``n_sub`` subvectors and quantize each against a per-subspace
+    ``k``-entry codebook trained by the same fixed-point distributed
+    k-means as ``semdedup_select``.
+
+    EXACT end to end (the DuckDB oracle hash-matches): e6-FLOOR
+    quantization, init codebooks = the ``k`` smallest vec_ids' subvectors
+    (codeword id = vec_id rank), ONE Lloyd update with floored integer
+    means (empty codeword keeps its init), final per-subspace argmin
+    assignment in int64 with ties to the lowest codeword.
+
+    Ray shape: all ``n_sub`` codebooks train in the SAME two streaming
+    passes (per-block partials are (subspace, codeword, count, sum-blob)
+    rows — n_sub*k rows per block, merged on the driver; the corpus
+    never shuffles), and encoding is one stateless map — PQ needs NO
+    exchange at all.  Long-form output keeps the SQL mirror one query;
+    the binary row-major code matrix for an index shard is a trivial
+    pivot of it.  Reference analog: none (ANN-scale surface; exact/IVF
+    tiers live in pipelines/similarity.py)."""
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    sub_d = dim // n_sub
+    assert sub_d * n_sub == dim
+
+    def min_k_partial(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["vec_id"].to_numpy(zero_copy_only=False))[:k]
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64))})
+
+    init_ids = np.sort(
+        rd.read_parquet(emb_path, columns=["vec_id"])
+        .map_batches(min_k_partial, batch_format="pyarrow")
+        .to_pandas()["vec_id"]
+        .to_numpy()
+    )[:k]
+    init_tbl = (
+        rd.read_parquet(
+            emb_path, columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(init_ids.tolist()),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids0, q0 = _quantize_embeddings(pa.Table.from_pandas(init_tbl))
+    # (n_sub, k, sub_d) codebook tensor; codeword id = vec_id rank
+    cb0 = q0[np.argsort(ids0)].reshape(k, n_sub, sub_d).transpose(1, 0, 2)
+
+    def assign_all(q: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        """(n, n_sub) codes: per-subspace exact int64 argmin (first-min
+        tie-break = lowest codeword id)."""
+        sub = q.reshape(len(q), n_sub, sub_d)
+        # (n, n_sub, k) distances
+        d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        return np.argmin(d2, axis=2).astype(np.int64)
+
+    def lloyd_partial(t: pa.Table) -> pa.Table:
+        _, q = _quantize_embeddings(t)
+        codes = assign_all(q, cb0)
+        sub = q.reshape(len(q), n_sub, sub_d)
+        rows_s, rows_c, rows_n, rows_b = [], [], [], []
+        for s in range(n_sub):
+            for c in np.unique(codes[:, s]):
+                mask = codes[:, s] == c
+                rows_s.append(s)
+                rows_c.append(int(c))
+                rows_n.append(int(mask.sum()))
+                rows_b.append(sub[mask, s, :].sum(axis=0).tobytes())
+        return pa.table(
+            {
+                "s": pa.array(rows_s, pa.int64()),
+                "c": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "b": pa.array(rows_b, pa.binary()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(lloyd_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cb1 = cb0.copy()
+    for s in range(n_sub):
+        for c in range(k):
+            sub = parts[(parts["s"] == s) & (parts["c"] == c)]
+            n = int(sub["n"].sum())
+            if n > 0:
+                acc = np.zeros(sub_d, dtype=np.int64)
+                for blob in sub["b"]:
+                    acc += np.frombuffer(blob, dtype=np.int64)
+                cb1[s, c] = np.floor_divide(acc, n)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids, q = _quantize_embeddings(t)
+        codes = assign_all(q, cb1)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_sub)),
+                "subspace": pa.array(
+                    np.tile(np.arange(n_sub, dtype=np.int64), n)
+                ),
+                "code": pa.array(codes.ravel()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(encode, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
+    )

@@ -580,3 +580,48 @@ def test_semdedup_cluster_cap_bounds_referees(ray_session, tmp_path):
     assert capped.loc[2, "kept"] == 1
     assert capped.loc[3, "kept"] == 0
     assert (capped["n_dups"] <= 1).all()
+
+
+def test_pq_encode_improves_on_init_codebook(ray_session, tmp_path):
+    """Lloyd invariant: quantization error under the trained codebook is
+    <= error under the init codebook, codes lie in [0, k), and every
+    (vec, subspace) pair appears exactly once."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    sf = _write_embeddings(tmp_path, vecs)
+
+    out = curation.pq_encode(sf, n_sub=8, k=4)
+    assert len(out) == 40 * 8
+    assert out.code.between(0, 3).all()
+    assert not out.duplicated(["vec_id", "subspace"]).any()
+
+    # reconstruct both codebooks the same way the pipeline defines them
+    q = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    sub = q.reshape(40, 8, 8)
+    cb0 = q[:4].reshape(4, 8, 8).transpose(1, 0, 2)
+
+    def err(cb, codes):
+        e = 0
+        for s in range(8):
+            e += ((sub[:, s, :] - cb[s, codes[:, s]]) ** 2).sum()
+        return e
+
+    def assign(cb):
+        d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        return np.argmin(d2, axis=2)
+
+    c0 = assign(cb0)
+    cb1 = cb0.copy()
+    for s in range(8):
+        for c in range(4):
+            m = c0[:, s] == c
+            if m.sum():
+                cb1[s, c] = np.floor_divide(sub[m, s, :].sum(axis=0), m.sum())
+    codes = (
+        out.pivot(index="vec_id", columns="subspace", values="code")
+        .to_numpy()
+    )
+    assert (codes == assign(cb1)).all()
+    assert err(cb1, codes) <= err(cb0, c0)

@@ -90,6 +90,7 @@ def _to_df(x):
         "dsir_select",
         "semdedup_select",
         "recrawl_priority",
+        "pq_encode",
         "fuzzy_dedup",
         "quantile_gate",
         "source_overlap",
