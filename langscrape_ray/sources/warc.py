@@ -17,6 +17,9 @@ output can be exported in the archive-native format:
   file is the natural parallel unit (the same per-archive rule as
   sources/archive.py); record-level splitting of a gzip stream is not
   possible without an external index.
+- ``write_warc_ds(ds, out_dir)`` — partitioned resumable Ray export:
+  one content-addressed segment file per block, skip-if-exists resume,
+  atomic rename; per-part manifest back to the caller.
 
 Framing (ISO 28500): ``WARC/1.0\\r\\n`` + header lines + ``\\r\\n`` +
 Content-Length payload bytes + ``\\r\\n\\r\\n``.  The writer stores the raw
@@ -182,4 +185,58 @@ def read_warc_ds(paths: List[str]) -> rd.Dataset:
 
     return rd.from_items(paths).map_batches(
         load, batch_format="pyarrow", batch_size=1
+    )
+
+
+def write_warc_ds(ds: rd.Dataset, out_dir: str) -> "List[dict]":
+    """Partitioned, RESUMABLE WARC sink: each block of the pages dataset
+    becomes one content-addressed ``part-<md516>.warc.gz`` segment file
+    (Common-Crawl layout) under ``out_dir``.
+
+    Content addressing (md5 of the record bytes) gives the resume
+    property without coordination: a re-run over the same input produces
+    the same names, and a part whose file already exists is skipped —
+    the same never-one-giant-file / skip-finished-partitions contract as
+    ``sinks.resumable_write``, with the name derived from the DATA so no
+    sentinel is needed (a gzip member set is rewritten atomically via
+    os.replace).  Workers write directly to shared storage; only the
+    per-part manifest rows (path, n_records, n_bytes, skipped) flow back.
+    """
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "n_records": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "skipped": pa.array([], pa.bool_()),
+                }
+            )
+        data = warc_bytes(t)
+        name = f"part-{hashlib.md5(data).hexdigest()[:16]}.warc.gz"
+        path = os.path.join(out_dir, name)
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)  # atomic: no partial part is ever seen
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([t.num_rows], pa.int64()),
+                "n_bytes": pa.array([len(data)], pa.int64()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+    return (
+        ds.map_batches(write_part, batch_format="pyarrow")
+        .to_pandas()
+        .to_dict("records")
     )

@@ -91,3 +91,39 @@ def test_warc_skips_non_response_records(tmp_path):
     assert t.num_rows == 1
     assert t["url"][0].as_py() == "http://x.example/a"
     assert t["html"][0].as_py() == b"abc"
+
+
+def test_write_warc_ds_resumable_sink(ray_session, tmp_path):
+    """Partitioned export: multiple segment files, lossless re-read via
+    read_warc_ds, and a re-run skips every already-written part."""
+    import os
+
+    import ray.data as rd
+
+    from langscrape_ray.sources.warc import write_warc_ds
+
+    pages = _pages().select(["url", "warc_ts", "html"])
+    ds = rd.from_arrow(pages).repartition(4)
+    manifest = write_warc_ds(ds, str(tmp_path / "out"))
+    assert len(manifest) == 4
+    assert not any(m["skipped"] for m in manifest)
+    assert sum(m["n_records"] for m in manifest) == pages.num_rows
+    for m in manifest:
+        assert os.path.exists(m["path"])
+        assert m["path"].endswith(".warc.gz")
+
+    # lossless: read every part back and compare the full (url -> html) map
+    back = read_warc_ds([m["path"] for m in manifest]).to_pandas()
+    assert len(back) == pages.num_rows
+    orig = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    got = dict(zip(back["url"], back["html"]))
+    assert got == {u: (h or b"") for u, h in orig.items()}
+
+    # resume: identical input -> identical content-addressed names, all
+    # parts skipped, nothing rewritten
+    mtimes = {m["path"]: os.path.getmtime(m["path"]) for m in manifest}
+    manifest2 = write_warc_ds(rd.from_arrow(pages).repartition(4),
+                              str(tmp_path / "out"))
+    assert sorted(m["path"] for m in manifest2) == sorted(mtimes)
+    assert all(m["skipped"] for m in manifest2)
+    assert all(os.path.getmtime(p) == t for p, t in mtimes.items())
