@@ -514,6 +514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cc_lsh": dedup.embedding_cc_clusters,
         "knn_lsh": similarity.lsh_bucketed_topk,   # rows-only (approximate)
         "knn_ivf": similarity.ivf_topk,            # rows-only (approximate)
+        # PQ ADC scan tier (NEW round 4): 8-byte-per-vector codes table +
+        # broadcast distance tables + exact re-rank of the candidate set;
+        # recall-gated vs knn_cosine in pytest (approximate -> rows-only)
+        "knn_pq": similarity.pq_search_topk,
         # HyperLogLog distinct-user sketch (rows-only: approximation has no
         # SQL analog; error bound vs exact asserted in tests)
         "hll_users": sketches.hll_users,

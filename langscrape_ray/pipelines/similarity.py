@@ -306,3 +306,192 @@ def lsh_bucketed_topk(
     topk = partials.groupby("query_id", as_index=False).head(k).copy()
     topk["rank"] = topk.groupby("query_id").cumcount() + 1
     return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def pq_search_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+                   n_sub: int = 8, n_codes: int = 16,
+                   rerank: int = 20) -> pd.DataFrame:
+    """Approximate top-k via PRODUCT-QUANTIZATION ADC (Jegou et al. 2011)
+    with exact re-rank — the 8-bytes-per-vector scan tier between
+    brute force (knn_cosine_topk) and the IVF/LSH bucketed tiers:
+
+      1. train ``n_sub`` per-subspace ``n_codes``-entry codebooks over the
+         L2-NORMALIZED corpus (two streaming Lloyd passes of per-block
+         (count, sum) partials — the float sibling of curation.pq_encode's
+         fixed-point trainer; approximate op, so no fixed point needed);
+      2. ENCODE pass materializes the codes dataset: (vec_id, one
+         ``n_sub``-byte uint8 blob) — this 8-byte-per-vector table is
+         what a 10^9-vector deployment keeps hot; the raw vectors stay
+         in cold parquet;
+      3. ADC SCAN over codes only: the query-side distance tables
+         (n_queries x n_sub x n_codes dot-product contributions) broadcast
+         in the task closure (a few KB); each batch gather-sums its codes
+         against the tables and emits per-query top-(k*rerank) partials;
+      4. the candidate union (n_queries * k * rerank ids, driver-sized by
+         construction) re-ranks EXACTLY via one pushdown point-read of the
+         candidate embeddings — output ordering is true cosine within the
+         ADC candidate set.
+
+    Returns (query_id, neighbor_id, rank) like knn_cosine_topk; recall
+    is pytest-gated against the exact baseline (approximate operator —
+    rows-only at the driver, by design, like knn_lsh/knn_ivf)."""
+    import pyarrow.compute as pc
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    dim = qmat.shape[1]
+    sub_d = dim // n_sub
+    r_cand = k * rerank
+
+    def _norm_batch(t: pa.Table):
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        vecs = np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in t["embedding"].to_pylist()]
+        )
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        return vids, vecs
+
+    # --- codebook training: init = first n_codes ids, 2 Lloyd passes ---
+    init = (
+        rd.read_parquet(
+            emb_path, columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < n_codes,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cmat = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cb = cmat.reshape(len(init), n_sub, sub_d).transpose(1, 0, 2).copy()
+
+    def assign(vecs: np.ndarray, cb_t: np.ndarray) -> np.ndarray:
+        sub = vecs.reshape(len(vecs), n_sub, sub_d)
+        d2 = ((sub[:, :, None, :] - cb_t[None, :, :, :]) ** 2).sum(axis=3)
+        return np.argmin(d2, axis=2)
+
+    for _ in range(2):
+        cb_cur = cb
+
+        def lloyd_partial(t: pa.Table) -> pa.Table:
+            _, vecs = _norm_batch(t)
+            codes = assign(vecs, cb_cur)
+            sub = vecs.reshape(len(vecs), n_sub, sub_d)
+            rs, rc, rn, rb = [], [], [], []
+            for s in range(n_sub):
+                for c in np.unique(codes[:, s]):
+                    m = codes[:, s] == c
+                    rs.append(s)
+                    rc.append(int(c))
+                    rn.append(int(m.sum()))
+                    rb.append(sub[m, s, :].sum(axis=0).tobytes())
+            return pa.table(
+                {"s": pa.array(rs, pa.int64()), "c": pa.array(rc, pa.int64()),
+                 "n": pa.array(rn, pa.int64()), "b": pa.array(rb, pa.binary())}
+            )
+
+        parts = (
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(lloyd_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        nxt = cb.copy()
+        for s in range(n_sub):
+            for c in range(n_codes):
+                rows = parts[(parts["s"] == s) & (parts["c"] == c)]
+                n = int(rows["n"].sum())
+                if n > 0:
+                    acc = np.zeros(sub_d, dtype=np.float64)
+                    for blob in rows["b"]:
+                        acc += np.frombuffer(blob, dtype=np.float64)
+                    nxt[s, c] = acc / n
+        cb = nxt
+
+    # --- encode pass: the codes-only table (n_sub bytes per vector) ---
+    cb_final = cb
+
+    def encode(t: pa.Table) -> pa.Table:
+        vids, vecs = _norm_batch(t)
+        codes = assign(vecs, cb_final).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids),
+                "codes": pa.array([row.tobytes() for row in codes],
+                                  pa.binary()),
+            }
+        )
+
+    codes_ds = rd.read_parquet(
+        emb_path, columns=["vec_id", "embedding"]
+    ).map_batches(encode, batch_format="pyarrow")
+
+    # --- ADC scan: query dot-contribution tables, gather-sum per batch ---
+    qsub = qmat.reshape(n_queries, n_sub, sub_d)
+    # tables[q, s, c] = qsub[q, s] . cb[s, c]  (cosine decomposes over
+    # subspaces, so approx_cos = sum_s tables[q, s, code[v, s]])
+    tables = np.einsum("qsd,scd->qsc", qsub, cb_final)
+
+    def scan(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        codes = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in t["codes"].to_pylist()]
+        ).astype(np.int64)  # (n, n_sub)
+        # (n_queries, n) approx cosine via table gather
+        approx = np.zeros((n_queries, len(vids)))
+        for s in range(n_sub):
+            approx += tables[:, s, codes[:, s]]
+        out_q, out_n, out_a = [], [], []
+        for qi, qid in enumerate(qids):
+            row = approx[qi]
+            mask = vids != qid
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            take = min(r_cand, cand.size)
+            top = cand[np.argpartition(-row[cand], take - 1)[:take]]
+            out_q.extend([int(qid)] * len(top))
+            out_n.extend(int(vids[j]) for j in top)
+            out_a.extend(float(row[j]) for j in top)
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "neighbor_id": pa.array(out_n, pa.int64()),
+             "approx": pa.array(out_a, pa.float64())}
+        )
+
+    partials = codes_ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "neighbor_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    cand = (
+        partials.sort_values(["query_id", "approx"], ascending=[True, False])
+        .groupby("query_id", as_index=False)
+        .head(r_cand)
+    )
+
+    # --- exact re-rank: one pushdown point-read of candidate vectors ---
+    cand_ids = sorted(set(cand["neighbor_id"].tolist()))
+    cv = (
+        rd.read_parquet(
+            emb_path, columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(cand_ids),
+        )
+        .to_pandas()
+    )
+    cmat2 = np.stack(cv["embedding"].to_numpy()).astype(np.float64)
+    cmat2 /= np.linalg.norm(cmat2, axis=1, keepdims=True)
+    exact = {int(v): cmat2[i] for i, v in enumerate(cv["vec_id"])}
+    qvec = {int(q): qmat[i] for i, q in enumerate(qids)}
+    cand = cand.copy()
+    cand["cosine"] = [
+        float(qvec[q] @ exact[n])
+        for q, n in zip(cand["query_id"], cand["neighbor_id"])
+    ]
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = cand.groupby("query_id", as_index=False).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

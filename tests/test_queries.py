@@ -255,6 +255,36 @@ def test_knn_ivf_recall_vs_exact(ray_session):
     assert recall >= 0.6, f"IVF recall {recall} too low"
 
 
+def test_knn_pq_recall_vs_exact(ray_session):
+    """PQ ADC scan + exact re-rank: high recall at the default rerank
+    factor, exact ORDER within the candidate set (re-rank is true
+    cosine), shape contract identical to the exact variant."""
+    from langscrape_ray.pipelines.similarity import (
+        knn_cosine_topk,
+        pq_search_topk,
+    )
+
+    approx = pq_search_topk(SF, n_queries=5, k=5)
+    assert list(approx.columns) == ["query_id", "neighbor_id", "rank"]
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    for _qid, g in approx.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    exact = knn_cosine_topk(SF, n_queries=5, k=5)
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    got_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"PQ recall {recall} too low"
+    # within the recovered pairs the RANK order must agree with exact
+    # cosine order (re-rank is exact): a recovered neighbor ranked above
+    # another recovered neighbor in exact must rank above it here too
+    ex_rank = {(q, n): r for q, n, r in exact.itertuples(index=False)}
+    for _qid, g in approx.groupby("query_id"):
+        rec = [(r, ex_rank.get((_qid, n))) for _, n, r in
+               g.itertuples(index=False) if (_qid, n) in ex_rank]
+        ex_order = [e for _, e in rec]
+        assert ex_order == sorted(ex_order)
+
+
 def test_hll_within_error_bound(ray_session, con):
     """HLL estimate must land within ~4x the theoretical relative-error
     std (1.04/sqrt(2^p)) of the exact distinct count."""
