@@ -179,6 +179,10 @@ def run_query_bench(sf_dir: str, names=None) -> dict:
 # comparable across rounds.
 DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard"]
 
+# round-4 curation/ANN additions, timed as their own block for the same
+# reason: wall-time trend on record without moving the headline total
+CURATION_FAMILY = ["semdedup_select", "pq_encode", "knn_pq"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,11 +206,13 @@ def main() -> None:
     # right after it.  A small warm-up pass spins the worker pool first.
     queries = {}
     dedup_family = {}
+    curation_family = {}
     crawl_nr = None
     if not headline_only:
         run_query_bench("/root/testdata/sf0.01")  # untimed warm-up
         queries = run_query_bench(sf_dir)
         dedup_family = run_query_bench(sf_dir, names=DEDUP_FAMILY)
+        curation_family = run_query_bench(sf_dir, names=CURATION_FAMILY)
     store_env = os.environ.get("GRAFT_STORE", "")
     resident = "--store=nonresident" not in sys.argv and store_env != "nonresident"
     crawl = run_crawl_bench(sf_dir, num_cpus, resident=resident)
@@ -229,6 +235,8 @@ def main() -> None:
     }
     if dedup_family:
         payload["dedup_family"] = dedup_family
+    if curation_family:
+        payload["curation_family"] = curation_family
     if crawl_nr is not None:
         payload["crawl_nonresident"] = crawl_nr
     print(json.dumps(payload))

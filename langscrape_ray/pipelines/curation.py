@@ -1011,6 +1011,27 @@ def _assign_clusters(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1).astype(np.int64)
 
 
+def _min_k_vectors(emb_path: str, k: int) -> np.ndarray:
+    """(k, dim) e6-quantized init matrix of the k smallest vec_ids, in
+    ONE streaming pass: each block contributes its own k smallest rows
+    (ids AND vectors), the driver keeps the global k — k x n_blocks rows
+    ever leave the scan, never the corpus."""
+    def min_k_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids)[:k]
+        return t.take(pa.array(take))
+
+    tbl = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(min_k_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k)
+    )
+    ids0, q0 = _quantize_embeddings(pa.Table.from_pandas(tbl))
+    return q0[np.argsort(ids0)]
+
+
 def semdedup_select(sf_dir: str, k: int = 8, tau2_num: int = 16,
                     tau2_den: int = 100, cluster_cap: int = 8192,
                     dim: int = 64) -> pd.DataFrame:
@@ -1051,27 +1072,7 @@ def semdedup_select(sf_dir: str, k: int = 8, tau2_num: int = 16,
     Reference analog: none (training-data curation surface)."""
     emb_path = f"{sf_dir}/embeddings.parquet"
 
-    def min_k_partial(t: pa.Table) -> pa.Table:
-        ids = np.sort(t["vec_id"].to_numpy(zero_copy_only=False))[:k]
-        return pa.table({"vec_id": pa.array(ids.astype(np.int64))})
-
-    init_ids = np.sort(
-        rd.read_parquet(emb_path, columns=["vec_id"])
-        .map_batches(min_k_partial, batch_format="pyarrow")
-        .to_pandas()["vec_id"]
-        .to_numpy()
-    )[:k]
-    init_tbl = (
-        rd.read_parquet(
-            emb_path, columns=["vec_id", "embedding"],
-            filter=pc.field("vec_id").isin(init_ids.tolist()),
-        )
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    ids0, q0 = _quantize_embeddings(pa.Table.from_pandas(init_tbl))
-    order0 = np.argsort(ids0)
-    cents0 = q0[order0]  # cluster id = vec_id rank among the k smallest
+    cents0 = _min_k_vectors(emb_path, k)  # cluster id = vec_id rank
 
     def lloyd_partial(t: pa.Table) -> pa.Table:
         _, q = _quantize_embeddings(t)
@@ -1275,27 +1276,10 @@ def pq_encode(sf_dir: str, n_sub: int = 8, k: int = 16,
     sub_d = dim // n_sub
     assert sub_d * n_sub == dim
 
-    def min_k_partial(t: pa.Table) -> pa.Table:
-        ids = np.sort(t["vec_id"].to_numpy(zero_copy_only=False))[:k]
-        return pa.table({"vec_id": pa.array(ids.astype(np.int64))})
-
-    init_ids = np.sort(
-        rd.read_parquet(emb_path, columns=["vec_id"])
-        .map_batches(min_k_partial, batch_format="pyarrow")
-        .to_pandas()["vec_id"]
-        .to_numpy()
-    )[:k]
-    init_tbl = (
-        rd.read_parquet(
-            emb_path, columns=["vec_id", "embedding"],
-            filter=pc.field("vec_id").isin(init_ids.tolist()),
-        )
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    ids0, q0 = _quantize_embeddings(pa.Table.from_pandas(init_tbl))
     # (n_sub, k, sub_d) codebook tensor; codeword id = vec_id rank
-    cb0 = q0[np.argsort(ids0)].reshape(k, n_sub, sub_d).transpose(1, 0, 2)
+    cb0 = _min_k_vectors(emb_path, k).reshape(
+        k, n_sub, sub_d
+    ).transpose(1, 0, 2)
 
     def assign_all(q: np.ndarray, cb: np.ndarray) -> np.ndarray:
         """(n, n_sub) codes: per-subspace exact int64 argmin (first-min
