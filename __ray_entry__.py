@@ -283,7 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
-    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 69
+    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 73
     # SQL-oracled queries exist — more than the window holds — so the
     # window ROTATES per round to give every oracled query a recent
     # driver-green row (the round-3 verdict's item 2).  Round-4 window =
