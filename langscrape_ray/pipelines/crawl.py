@@ -650,10 +650,16 @@ class RayCrawl:
                 CanonProposePayloadBatch(self.robots_rules, self.shards),
                 batch_format="pyarrow",
             ).materialize()
-            agg = stats.sum(["n_total", "n_ok"]) if stats.count() else None
-            if agg:
-                n_total = int(agg["sum(n_total)"])
-                n_ok = int(agg["sum(n_ok)"])
+            # fold the per-block (n_total, n_ok) rows on the driver from
+            # the already-materialized block refs: stats is k tiny rows
+            # (one per block), and a ds.sum() here would launch a whole
+            # aggregation plan per round — a constant ~0.3-0.5 s that
+            # never parallelizes (measured 0.39 scaling efficiency on the
+            # canonicalize phase before this fold)
+            for blk in ray.get(stats.to_arrow_refs()):
+                if blk.num_rows:
+                    n_total += int(pc.sum(blk["n_total"]).as_py() or 0)
+                    n_ok += int(pc.sum(blk["n_ok"]).as_py() or 0)
             _t = self._tick("canonicalize", _t)
             # ---- R2b: admit winners + enqueue, one RPC per shard ---------
             ray.get([s.admit_enqueue_round.remote() for s in self.shards])
