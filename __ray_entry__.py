@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textstats.token_count,
         "token_count_bpe": textstats.token_count_bpe,
         "split_assign": textstats.split_assign,
+        # leakage-safe GROUP-level split (NEW round 4): the hash keys on
+        # source, so same-site near-dups can never straddle train/test
+        "split_by_group": textstats.split_by_group,
         # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
         # json_extract)
         "json_etl_flatten": etl.json_etl_flatten,
@@ -1485,6 +1488,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        # same fold keyed on the GROUP: md5('gsplit:' || source)
+        "split_by_group": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     list_sum(list_transform(range(1, 9), i ->
+                       (strpos('0123456789abcdef',
+                               substr(md5('gsplit:' || source), i, 1)) - 1)
+                       * CAST(pow(16, 8 - i) AS BIGINT))) % 100 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
                    CASE WHEN bucket < 90 THEN 'train'
                         WHEN bucket < 95 THEN 'valid'
                         ELSE 'test' END AS split

@@ -309,6 +309,46 @@ def split_assign(sf_dir: str) -> "rd.Dataset":
     return _read_docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
 
 
+def split_by_group(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, source, bucket, split): LEAKAGE-SAFE train/valid/test
+    assignment — the split decision hashes the GROUP (``source``), not
+    the document, so every document of a site lands in the same split
+    and near-duplicates within a source can never straddle train/test
+    (the contamination mode a doc-level split like ``split_assign``
+    cannot prevent; the standard practice for web corpora is to split by
+    registered domain).  Same md5 fold and 90/5/5 thresholds as
+    split_assign, keyed 'gsplit:' || source.  Stateless map_batches with
+    a per-batch group-hash memo; no shuffle.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+        buckets, splits = [], []
+        for src in t["source"].to_pylist():
+            got = memo.get(src)
+            if got is None:
+                h = hashlib.md5(f"gsplit:{src}".encode("utf-8")).hexdigest()
+                b = int(h[:8], 16) % 100
+                got = memo[src] = (
+                    b,
+                    "train" if b < 90 else ("valid" if b < 95 else "test"),
+                )
+            buckets.append(got[0])
+            splits.append(got[1])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 29) -> "rd.Dataset":
     """(doc_id, n_hits): benchmark-decontamination check — for every
     candidate training document, the number of DISTINCT word n-grams it

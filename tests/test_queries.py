@@ -62,6 +62,7 @@ def _to_df(x):
         "q_top_users_by_type",
         "repetition_stats",
         "split_assign",
+        "split_by_group",
         "json_etl_flatten",
         "xlsx_roundtrip",
         "warc_roundtrip",
