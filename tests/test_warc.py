@@ -127,3 +127,75 @@ def test_write_warc_ds_resumable_sink(ray_session, tmp_path):
     assert sorted(m["path"] for m in manifest2) == sorted(mtimes)
     assert all(m["skipped"] for m in manifest2)
     assert all(os.path.getmtime(p) == t for p, t in mtimes.items())
+
+
+def test_warc_roundtrip_adversarial_payloads():
+    """Framing relies on Content-Length, so payloads that CONTAIN the
+    record markers (CRLFCRLF, 'WARC/1.0', gzip magic) must survive
+    byte-identically in both layouts."""
+    from langscrape_ray.sources.warc import read_warc_bytes, warc_bytes
+
+    payloads = [
+        b"",
+        b"\r\n\r\n",
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake",
+        b"abc\r\n\r\nWARC/1.0\r\n\r\n" * 3,
+        b"\x1f\x8b\x08\x00fake-gzip-magic",
+        bytes(range(256)),
+        b"x" * 70_000,
+    ]
+    t = pa.table(
+        {
+            "url": pa.array(
+                [f"https://adv.example/p/{i}" for i in range(len(payloads))]
+            ),
+            "warc_ts": pa.array(
+                [1_700_000_000_000_000 + i * 1_000_000
+                 for i in range(len(payloads))],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(payloads, pa.binary()),
+        }
+    )
+    for gz in (True, False):
+        back = read_warc_bytes(warc_bytes(t, per_record_gzip=gz))
+        assert back["url"].to_pylist() == t["url"].to_pylist()
+        assert back["html"].to_pylist() == payloads
+        assert back["warc_ts"].to_pylist() == t["warc_ts"].to_pylist()
+
+
+def test_warc_roundtrip_fuzz():
+    """Property fuzz: random byte payloads (including marker-laden ones)
+    round-trip byte-identically through the member-gzip layout."""
+    import random
+
+    from langscrape_ray.sources.warc import read_warc_bytes, warc_bytes
+
+    rng = random.Random(0xFEED)
+    markers = [b"\r\n", b"\r\n\r\n", b"WARC/1.0", b"Content-Length: 0"]
+    for trial in range(25):
+        n = rng.randint(1, 8)
+        payloads = []
+        for _ in range(n):
+            parts = [
+                bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 200)))
+            ]
+            for _ in range(rng.randint(0, 3)):
+                parts.append(rng.choice(markers))
+                parts.append(
+                    bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 50)))
+                )
+            payloads.append(b"".join(parts))
+        t = pa.table(
+            {
+                "url": pa.array([f"https://f.example/{trial}/{i}"
+                                 for i in range(n)]),
+                "warc_ts": pa.array(
+                    [1_600_000_000_000_000 + i for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+        back = read_warc_bytes(warc_bytes(t))
+        assert back["html"].to_pylist() == payloads, f"trial {trial}"
