@@ -483,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed anti-join with no broadcast/join operator: side-flag
         # union + Max fold (SQL-oracled: NOT EXISTS)
         "q_anti_join": analytics.q_anti_join,
+        # full OUTER join (NEW round 4) via the same side-flag groupby
+        # fold — no join operator, no broadcast, zero-filled absent sides
+        "q_full_outer": analytics.q_full_outer,
         # one-pass Pearson correlation from integer sufficient statistics
         "q_corr": analytics.q_corr,
         # per-label mean embedding (k-means E-step shape; SQL-oracled)
@@ -1965,6 +1968,23 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # full outer join: FULL OUTER JOIN + COALESCE zero fills
+        "q_full_outer": """
+            WITH e AS (
+              SELECT user_id AS key, COUNT(*) AS n_events
+              FROM events GROUP BY 1),
+            c AS (
+              SELECT c_custkey AS key, 1 AS n_cust,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+              FROM customer WHERE c_custkey % 7 = 0)
+            SELECT COALESCE(e.key, c.key) AS key,
+                   CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+                   CAST(COALESCE(c.acctbal_cents, 0) AS BIGINT)
+                       AS acctbal_cents
+            FROM e FULL OUTER JOIN c ON e.key = c.key
+            ORDER BY key
         """,
         # correlation from integer sufficient stats; the corr expression
         # mirrors the Ray side's fixed IEEE op sequence exactly

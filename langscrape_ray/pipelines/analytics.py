@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1334,3 +1335,72 @@ def q_unpivot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["l_orderkey", "l_linenumber", "metric"]
     ).reset_index(drop=True)
+
+
+def q_full_outer(sf_dir: str) -> pd.DataFrame:
+    """(key, n_events, n_cust, acctbal_cents): FULL OUTER join between
+    the per-user event rollup and the ``c_custkey % 7 == 0`` customer
+    subset — the one join family the engine had not witnessed (inner /
+    left / asof / range / semi / anti all exist).  The subset keeps both
+    unmatched sides non-empty: event users off the 7-grid have
+    ``n_cust = 0``, gridded customers without events have
+    ``n_events = 0``.
+
+    Ray shape — the q_anti_join side-flag fold, which IS a full outer
+    join when nothing is filtered afterwards: each side pre-aggregates
+    per key inside ``map_batches`` (events to per-block counts, the
+    customer side to (1, cents)), the union makes ONE ``groupby(key)``
+    Sum exchange, and every folded row survives with zero-filled absent
+    sides.  No join operator, no broadcast, both inputs stream.  SQL
+    oracle: FULL OUTER JOIN + COALESCE.
+    """
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    # the % 7 subset predicate is not pushdown-able (no modulo in parquet
+    # filters); it evaluates vectorized inside cust_side on a pruned
+    # 2-column read instead
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys.astype(np.int64)),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "n_cust": pa.array([0] * n, pa.int64()),
+                "acctbal_cents": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.array(t["c_custkey"].to_numpy(zero_copy_only=False) % 7 == 0)
+        )
+        return pa.table(
+            {
+                "key": pc.cast(t["c_custkey"], pa.int64()),
+                "n_events": pa.array([0] * t.num_rows, pa.int64()),
+                "n_cust": pa.array([1] * t.num_rows, pa.int64()),
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            }
+        )
+
+    folded = (
+        ev.map_batches(ev_side, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_events", "n_cust", "acctbal_cents"):
+        folded[c] = folded[c].astype("int64")
+    return folded.sort_values("key").reset_index(drop=True)

@@ -100,6 +100,7 @@ def _to_df(x):
         "q_rollup",
         "q_funnel",
         "q_anti_join",
+        "q_full_outer",
         "q_corr",
         "embedding_centroids",
         "q_unpivot",
