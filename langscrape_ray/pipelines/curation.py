@@ -22,6 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .util import list_col_matrix
+
 from .textstats import _TOKEN_RE, _read_docs
 
 # coarse hash-order buckets for the shuffle_shards prefix scan: h is a
@@ -799,9 +801,7 @@ def embedding_centroids(sf_dir: str, dim: int = 64) -> pd.DataFrame:
 
     def partials(t: pa.Table) -> pa.Table:
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.stack(
-            [np.asarray(v, np.float32) for v in t["embedding"].to_pylist()]
-        ).astype(np.float64)
+        mat = list_col_matrix(t["embedding"]).astype(np.float64)
         q = np.floor(mat * 1_000_000).astype(np.int64)
         uniq = np.unique(labels)
         rows_k, rows_n, rows_s = [], [], []
@@ -998,9 +998,7 @@ def _quantize_embeddings(t: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
     embedding_centroids contract: float32 x 1e6 is exact in double, so
     floor is unambiguous on both engines)."""
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.stack(
-        [np.asarray(v, np.float32) for v in t["embedding"].to_pylist()]
-    ).astype(np.float64)
+    mat = list_col_matrix(t["embedding"]).astype(np.float64)
     return ids, np.floor(mat * 1_000_000).astype(np.int64)
 
 

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .util import list_col_matrix
+
 _TOKEN_RE = re.compile(r"\S+")
 _MERSENNE = (1 << 61) - 1
 
@@ -676,9 +678,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = np.asarray(t["vec_id"])
-            vecs = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-            )
+            vecs = list_col_matrix(t["embedding"], np.float64)
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
             sims = vecs @ self.mat.T  # (batch, n)
             out_a, out_b, out_s = [], [], []
@@ -918,9 +918,7 @@ def embedding_neardup_lsh(
 
     def explode(t: pa.Table) -> pa.Table:
         vids = np.asarray(t["vec_id"], dtype=np.int64)
-        vecs = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-        )
+        vecs = list_col_matrix(t["embedding"], np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vecs = vecs / norms

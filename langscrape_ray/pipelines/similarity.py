@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .util import list_col_matrix
+
 
 def _load_queries(sf_dir: str, n_queries: int):
     import pyarrow.compute as pc
@@ -54,9 +56,7 @@ def knn_cosine_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFram
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = np.asarray(t["vec_id"], dtype=np.int64)
-            vecs = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-            )
+            vecs = list_col_matrix(t["embedding"], np.float64)
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
             sims = self.qmat @ vecs.T  # (n_queries, batch)
             out_q, out_n, out_s = [], [], []
@@ -155,9 +155,7 @@ def ivf_topk(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = np.asarray(t["vec_id"], dtype=np.int64)
-            vecs = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-            )
+            vecs = list_col_matrix(t["embedding"], np.float64)
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
             cells = (vecs @ self.centroids.T).argmax(axis=1)
             out_q, out_n, out_s = [], [], []
@@ -259,9 +257,7 @@ def lsh_bucketed_topk(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = np.asarray(t["vec_id"], dtype=np.int64)
-            vecs = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-            )
+            vecs = list_col_matrix(t["embedding"], np.float64)
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
             buckets = buckets_of(vecs)  # (n, L)
             out_q, out_n, out_s = [], [], []
@@ -345,10 +341,7 @@ def pq_search_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
     def _norm_batch(t: pa.Table):
         vids = np.asarray(t["vec_id"], dtype=np.int64)
-        vecs = np.stack(
-            [np.asarray(x, dtype=np.float64)
-             for x in t["embedding"].to_pylist()]
-        )
+        vecs = list_col_matrix(t["embedding"], np.float64)
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         return vids, vecs
 
@@ -413,13 +406,12 @@ def pq_search_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
     def encode(t: pa.Table) -> pa.Table:
         vids, vecs = _norm_batch(t)
         codes = assign(vecs, cb_final).astype(np.uint8)
-        return pa.table(
-            {
-                "vec_id": pa.array(vids),
-                "codes": pa.array([row.tobytes() for row in codes],
-                                  pa.binary()),
-            }
+        # fixed-size-list<uint8> = exactly n_sub bytes/vector, no offsets
+        # buffer, and both encode and scan stay loop-free.
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.uint8()), n_sub
         )
+        return pa.table({"vec_id": pa.array(vids), "codes": col})
 
     codes_ds = rd.read_parquet(
         emb_path, columns=["vec_id", "embedding"]
@@ -433,9 +425,7 @@ def pq_search_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
     def scan(t: pa.Table) -> pa.Table:
         vids = np.asarray(t["vec_id"], dtype=np.int64)
-        codes = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in t["codes"].to_pylist()]
-        ).astype(np.int64)  # (n, n_sub)
+        codes = list_col_matrix(t["codes"], np.int64)  # (n, n_sub)
         # (n_queries, n) approx cosine via table gather
         approx = np.zeros((n_queries, len(vids)))
         for s in range(n_sub):

@@ -45,3 +45,31 @@ def compact_for_join(ds: rd.Dataset, max_blocks: int = 8) -> rd.Dataset:
     if n == 0:
         return ds
     return ds.repartition(max(1, min(max_blocks, n)))
+
+
+def list_col_matrix(col: "pa.ChunkedArray | pa.Array", dtype=None):
+    """Vectorized (n_rows, dim) numpy matrix from a ``list<T>`` column.
+
+    Replaces the ``np.stack([np.asarray(x) for x in col.to_pylist()])``
+    per-row decode (a Python loop over rows — ~80x slower on sf0.1
+    embedding batches).  ``flatten()`` is used rather than ``.values``
+    because it respects slice offsets: Ray Data hands map_batches
+    zero-copy SLICES of blocks, where ``.values`` would return the whole
+    underlying child array and silently mis-shape the matrix.
+
+    Assumes equal-length lists with no nulls (the embeddings-table
+    contract); raises if the flat size is not divisible by the row count.
+    """
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.flatten())
+    if dtype is not None:
+        flat = flat.astype(dtype, copy=False)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if flat.size % n:
+        raise ValueError(f"ragged list column: {flat.size} values / {n} rows")
+    return flat.reshape(n, flat.size // n)
