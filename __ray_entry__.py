@@ -458,16 +458,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus bigram-LM familiarity scoring (CCNet/KenLM-style quality
         # signal; train-then-broadcast; SQL-oracled in exact int64)
         "lm_familiarity": curation.lm_familiarity,
+        # EXACT per-group percentile_cont 25/50/75 via a (group, value)
+        # histogram groupby — no global sort; the per-group twin of
+        # quantile_gate (NEW round 4, in-window: new code earns a row)
+        "q_group_median": analytics.q_group_median,
+        # Efraimidis-Spirakis weighted sampling without replacement:
+        # md5-uniform reservoir keys ln(u)/w, per-block top-k partials,
+        # ONE streaming pass (NEW round 4, SQL-oracled bit-exact)
+        "weighted_sample": curation.weighted_sample,
+        # ---- past the driver's 50-entry window from here ----
+        # SQL-oracled, rotated OUT this round (all hash-exact in
+        # CORRECTNESS_r03, code untouched since; locally exact via
+        # scripts/check_contract.py and tests/test_queries.py)
+        # (quantile_gate / source_overlap rotated out to admit the two
+        # NEW round-4 ops above — both r3 hash-exact, code untouched)
         # global length-quantile gate via value-histogram — exact global
         # quantile with NO sort (SQL-oracled: constructive cdf threshold)
         "quantile_gate": curation.quantile_gate,
         # cross-source distinct-n-gram overlap audit (bitmask sum-agg,
         # no per-group Python; SQL-oracled: distinct self-join count)
         "source_overlap": curation.source_overlap,
-        # ---- past the driver's 50-entry window from here ----
-        # SQL-oracled, rotated OUT this round (all hash-exact in
-        # CORRECTNESS_r03, code untouched since; locally exact via
-        # scripts/check_contract.py and tests/test_queries.py)
         "q_grouped_sample": analytics.q_grouped_sample,
         "q_lineitem_stats": analytics.q_lineitem_stats,
         "q_order_priority": analytics.q_order_priority,
@@ -1895,6 +1905,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(per.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        # exact per-group percentiles: values are small ints and the
+        # fractions exact binary doubles, so every interpolation
+        # intermediate is exact and any op order bit-matches
+        "q_group_median": """
+            SELECT l_returnflag, l_linestatus,
+                   percentile_cont(0.25)
+                       WITHIN GROUP (ORDER BY l_quantity) AS p25,
+                   percentile_cont(0.5)
+                       WITHIN GROUP (ORDER BY l_quantity) AS median,
+                   percentile_cont(0.75)
+                       WITHIN GROUP (ORDER BY l_quantity) AS p75,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Efraimidis-Spirakis A-Res: the split_assign md5 fold -> exact
+        # uniform u in (0,1], key ln(u)/n_chars (libm-parity ln, IEEE
+        # division), top-k by key — bit-identical on both engines
+        "weighted_sample": """
+            WITH u AS (
+              SELECT doc_id, source, n_chars,
+                (list_sum(list_transform(range(1, 9), i ->
+                   (strpos('0123456789abcdef',
+                           substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                  i, 1)) - 1)
+                   * CAST(pow(16, 8 - i) AS BIGINT))) + 1.0)
+                / 4294967296.0 AS u
+              FROM documents),
+            keyed AS (
+              SELECT doc_id, source, n_chars, ln(u) / n_chars AS key
+              FROM u)
+            SELECT CAST(row_number()
+                        OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, source, n_chars
+            FROM keyed ORDER BY key DESC, doc_id LIMIT 100
         """,
         # global length-quantile gate: the constructive threshold (smallest
         # v with cdf*100 >= q*total) matches the Ray histogram cumsum

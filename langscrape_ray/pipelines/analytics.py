@@ -1404,3 +1404,85 @@ def q_full_outer(sf_dir: str) -> pd.DataFrame:
     for c in ("n_events", "n_cust", "acctbal_cents"):
         folded[c] = folded[c].astype("int64")
     return folded.sort_values("key").reset_index(drop=True)
+
+
+def q_group_median(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, l_linestatus, p25, median, p75, n_rows): EXACT
+    per-group percentiles (``percentile_cont`` 0.25/0.5/0.75 linear
+    interpolation) without a global sort — the per-group twin of
+    quantile_gate's corpus-wide trick.
+
+    Ray shape: per-batch (group, value, cnt) histogram partials
+    (np.unique over a packed int key — vectorized, no row loop) → ONE
+    groupby Sum whose exchange is bounded by groups x distinct-values
+    (6 x 50 here; a histogram, never the fact table) → driver cumsum +
+    interpolation over that tiny table.  At 100 TB the same plan holds
+    whenever the value domain is bounded (quantities, scores, bucketed
+    floats); unbounded domains fall back to the quantile-sketch tier
+    (sketches.quantile_sketch).
+
+    Exactness: l_quantity values are small integers and the 0.25/0.5/
+    0.75 fractions are exact binary doubles, so every interpolation
+    intermediate is exact — any algebraically-equivalent op order (ours
+    vs DuckDB's) yields bit-identical doubles and the value hash
+    matches.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        stats = t["l_linestatus"].to_numpy(zero_copy_only=False)
+        qty = np.asarray(t["l_quantity"], dtype=np.float64)
+        # pack (flag, status) into small codes; values are 1..50 ints
+        keys = np.char.add(np.char.add(flags.astype("U1"), "|"),
+                           stats.astype("U1"))
+        uk, inv = np.unique(keys, return_inverse=True)
+        packed = inv.astype(np.int64) * 1024 + qty.astype(np.int64)
+        up, cnt = np.unique(packed, return_counts=True)
+        gi = (up // 1024).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array([uk[i][0] for i in gi]),
+                "l_linestatus": pa.array([uk[i][2] for i in gi]),
+                "l_quantity": pa.array((up % 1024).astype(np.float64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist_df = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus", "l_quantity"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+
+    rows = []
+    for (fl, st), g in hist_df.groupby(["l_returnflag", "l_linestatus"]):
+        g = g.sort_values("l_quantity")
+        vals = g["l_quantity"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+
+        def pct(q: float) -> float:
+            pos = q * (n - 1)
+            k = int(np.floor(pos))
+            frac = pos - k
+            lo = float(vals[np.searchsorted(cum, k + 1)])
+            if frac == 0.0:
+                return lo
+            hi = float(vals[np.searchsorted(cum, k + 2)])
+            return lo + frac * (hi - lo)
+
+        rows.append(
+            {"l_returnflag": fl, "l_linestatus": st,
+             "p25": pct(0.25), "median": pct(0.5), "p75": pct(0.75),
+             "n_rows": n}
+        )
+    out = pd.DataFrame(rows).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out

@@ -1346,3 +1346,65 @@ def pq_encode(sf_dir: str, n_sub: int = 8, k: int = 16,
     return (
         out.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
     )
+
+
+def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """(rank, doc_id, source, n_chars): deterministic WEIGHTED sampling
+    without replacement — Efraimidis & Spirakis 2006 A-Res, the standard
+    one-pass distributed weighted sampler (used for quality-weighted
+    training-mix draws where mix_sample's per-source caps are too
+    coarse).
+
+    Per row: u = (first-32-md5-bits('ws:' || doc_id) + 1) / 2^32 — the
+    split_assign/mix_sample hash-uniform contract, so the draw is
+    reproducible across runs, resumes, and engines — and the reservoir
+    key is ln(u) / n_chars; the k LARGEST keys win (heavier docs get
+    keys nearer 0).  ln() bit-matches DuckDB's (the dsir_select parity
+    property: both lower to the platform libm double), u and the
+    division are exact/IEEE-deterministic, so the selected set and its
+    ordering hash-match the SQL oracle with no fixed-point detour.
+
+    Ray shape: stateless map_batches computes keys and emits per-block
+    top-k PARTIALS (argpartition, k rows per block); the driver merges
+    k x n_blocks rows and takes the global top k — one streaming pass,
+    no shuffle, nothing corpus-sized anywhere.  At 10^9 docs this is
+    the textbook distributed-reservoir plan (merge of per-partition
+    reservoirs).
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        w = np.asarray(t["n_chars"], dtype=np.float64)
+        u = np.array(
+            [
+                (int(hashlib.md5(f"ws:{d}".encode()).hexdigest()[:8], 16)
+                 + 1.0)
+                for d in ids
+            ],
+            dtype=np.float64,
+        ) / 4294967296.0
+        key = np.log(u) / w
+        take = min(k, len(ids))
+        top = np.argpartition(-key, take - 1)[:take] if take else []
+        return pa.table(
+            {
+                "doc_id": pa.array([ids[i] for i in top], pa.int64()),
+                "source": t["source"].take(pa.array(top, pa.int64())),
+                "n_chars": t["n_chars"].take(pa.array(top, pa.int64())),
+                "key": pa.array(key[top], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        partial_topk, batch_format="pyarrow"
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["key", "doc_id"], ascending=[False, True]
+    ).head(k)
+    out = cand.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "doc_id", "source", "n_chars"]]

@@ -104,6 +104,8 @@ def _to_df(x):
         "q_corr",
         "embedding_centroids",
         "q_unpivot",
+        "q_group_median",
+        "weighted_sample",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
