@@ -455,9 +455,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic global shuffle into training shards: two-level
         # prefix scan over hash order (SQL-oracled: row_number window)
         "shuffle_shards": curation.shuffle_shards,
-        # corpus bigram-LM familiarity scoring (CCNet/KenLM-style quality
-        # signal; train-then-broadcast; SQL-oracled in exact int64)
-        "lm_familiarity": curation.lm_familiarity,
+        # NEW round 4: every document rendered to html BYTES in six
+        # encodings (meta declarations, BOMs, an undeclared-latin-1 lying
+        # page) and decoded by the REAL sniff_charset+decode_html_bytes
+        # kernel — the hash proves the html:binary ingestion contract's
+        # charset handling distributed (closed-form oracle, the
+        # warc_roundtrip pattern)
+        "charset_roundtrip": etl.charset_roundtrip,
         # EXACT per-group percentile_cont 25/50/75 via a (group, value)
         # histogram groupby — no global sort; the per-group twin of
         # quantile_gate (NEW round 4, in-window: new code earns a row)
@@ -470,8 +474,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled, rotated OUT this round (all hash-exact in
         # CORRECTNESS_r03, code untouched since; locally exact via
         # scripts/check_contract.py and tests/test_queries.py)
-        # (quantile_gate / source_overlap rotated out to admit the two
-        # NEW round-4 ops above — both r3 hash-exact, code untouched)
+        # (quantile_gate / source_overlap / lm_familiarity rotated out to
+        # admit the NEW round-4 ops above — all r3 hash-exact, untouched)
+        # corpus bigram-LM familiarity scoring (CCNet/KenLM-style quality
+        # signal; train-then-broadcast; SQL-oracled in exact int64)
+        "lm_familiarity": curation.lm_familiarity,
         # global length-quantile gate via value-histogram — exact global
         # quantile with NO sort (SQL-oracled: constructive cdf threshold)
         "quantile_gate": curation.quantile_gate,
@@ -1905,6 +1912,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(per.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        # closed-form mirror of the six-case encode rule: decode is
+        # lossless in every case (BOMs stripped), so the expected decoded
+        # string — and its md5 over utf-8 bytes — is reconstructible from
+        # documents.text alone
+        "charset_roundtrip": """
+            SELECT doc_id,
+                   CAST(doc_id % 6 AS BIGINT) AS enc_case,
+                   CASE doc_id % 6
+                        WHEN 1 THEN 'cp1251' WHEN 2 THEN 'shift_jis'
+                        WHEN 3 THEN 'utf-16' WHEN 4 THEN 'utf-8-sig'
+                        ELSE 'utf-8' END AS codec,
+                   CASE doc_id % 6
+                        WHEN 3 THEN 'bom' WHEN 4 THEN 'bom'
+                        WHEN 5 THEN 'default' ELSE 'meta' END AS src,
+                   md5('<html><head>' ||
+                       CASE doc_id % 6
+                            WHEN 0 THEN '<meta charset="utf-8">'
+                            WHEN 1 THEN '<meta charset="windows-1251">'
+                            WHEN 2 THEN '<meta http-equiv="Content-Type" '
+                                        || 'content="text/html; '
+                                        || 'charset=Shift_JIS">'
+                            ELSE '' END
+                       || '</head><body>' || text ||
+                       CASE doc_id % 6
+                            WHEN 1 THEN ' Привет' WHEN 2 THEN ' テスト'
+                            WHEN 3 THEN ' Привет' WHEN 4 THEN ' café'
+                            WHEN 5 THEN ' café' ELSE '' END
+                       || '</body></html>') AS decoded_md5
+            FROM documents ORDER BY doc_id
         """,
         # exact per-group percentiles: values are small ints and the
         # fractions exact binary doubles, so every interpolation

@@ -281,15 +281,79 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def decode_html_bytes(raw: Union[bytes, bytearray, memoryview, str]) -> str:
-    """Decode an ``html: binary`` cell deterministically: UTF-8, else latin-1.
+# WHATWG-ish label -> python codec map (the labels that actually occur on
+# the public web; unknown labels fall through to the utf-8 default path).
+_CHARSET_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "us-ascii": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "windows-1251": "cp1251", "cp1251": "cp1251", "koi8-r": "koi8-r",
+    "iso-8859-2": "iso8859-2", "iso-8859-15": "iso8859-15",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "euc-jp": "euc_jp",
+    "gb2312": "gbk", "gbk": "gbk", "gb18030": "gb18030", "big5": "big5",
+    "utf-16": "utf-16", "utf-16le": "utf-16", "utf-16be": "utf-16",
+}
 
-    The reference relies on BeautifulSoup/requests encoding sniffing; this
-    kernel pins a two-step deterministic rule instead.
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)",
+    re.IGNORECASE,
+)
+
+
+def sniff_charset(raw: Union[bytes, bytearray, memoryview]) -> "tuple[str, str]":
+    """(python codec, source) charset sniff for an ``html: binary`` cell —
+    the deterministic stand-in for requests/BeautifulSoup sniffing:
+
+      1. BOM (utf-8-sig / utf-16 LE / BE) — source ``"bom"``;
+      2. WHATWG meta prescan: ``<meta charset=...>`` or
+         ``<meta http-equiv="Content-Type" content="...charset=...">``
+         within the first 1024 bytes — source ``"meta"``;
+      3. otherwise utf-8 — source ``"default"``.
+
+    The caller still strict-validates: a declared codec that fails to
+    decode falls back down the chain, so a page DECLARING utf-8 while
+    carrying latin-1 bytes (a real and common crawl artifact, exercised
+    by the fixture weird-bytes pages) decodes exactly as the old
+    utf-8-else-latin-1 rule did.
+    """
+    b = bytes(raw)
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"  # the utf-16 codec reads + strips the BOM
+    m = _META_CHARSET_RE.search(b[:1024])
+    if m:
+        codec = _CHARSET_LABELS.get(m.group(1).decode("ascii").lower())
+        if codec:
+            return codec, "meta"
+    return "utf-8", "default"
+
+
+def decode_html_bytes(raw: Union[bytes, bytearray, memoryview, str]) -> str:
+    """Decode an ``html: binary`` cell deterministically.
+
+    BOM / meta-declared charset (strict, via :func:`sniff_charset`), else
+    strict UTF-8, else latin-1 (which cannot fail).  The reference relies
+    on BeautifulSoup/requests encoding sniffing; this kernel pins a
+    deterministic rule with the same observable behavior on well-formed
+    pages, and the old utf-8-else-latin-1 behavior on undeclared or
+    lying-declaration pages (golden outputs unchanged).
     """
     if isinstance(raw, str):
         return raw
     b = bytes(raw)
+    codec, src = sniff_charset(b)
+    if src != "default" and codec not in ("utf-8", "utf-8-sig"):
+        try:
+            return b.decode(codec)
+        except UnicodeDecodeError:
+            pass
+    elif codec == "utf-8-sig":
+        try:
+            return b.decode("utf-8-sig")
+        except UnicodeDecodeError:
+            pass
     try:
         return b.decode("utf-8")
     except UnicodeDecodeError:

@@ -232,3 +232,74 @@ def warc_roundtrip(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         via_warc, batch_format="pyarrow", batch_size=512
     )
+
+
+def charset_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Documents through the REAL charset-sniffing decode path: each row
+    is rendered to html BYTES in one of six deterministic encodings (meta
+    declarations, BOMs, and an undeclared-latin-1 "lying page"), then
+    decoded by the actual kernel (``sniff_charset`` +
+    ``decode_html_bytes`` — the html:binary ingestion contract).  Output
+    is closed-form over documents, so the driver hash proves the
+    distributed sniff+decode recovered every page byte-exactly.
+
+    Case rule (doc_id % 6): 0 = meta utf-8; 1 = meta windows-1251 with a
+    Cyrillic marker; 2 = meta Shift_JIS with a katakana marker; 3 =
+    utf-16 BOM (no declaration); 4 = utf-8 BOM; 5 = undeclared latin-1
+    bytes with an accented marker (invalid utf-8 -> fallback path).
+    Output (doc_id, enc_case, codec, src, decoded_md5) where codec/src
+    are the sniff result and decoded_md5 = md5(utf-8(decoded html)) —
+    reconstructible in SQL because decode is lossless in every case.
+
+    Scale notes: stateless vectorized-enough map_batches (the per-row
+    encode IS the workload being proven), no shuffle, embarrassingly
+    parallel.  Reference analog: requests/BeautifulSoup implicit
+    sniffing (langscrape/browser/request.py) — here pinned deterministic
+    and distributed."""
+    import hashlib
+
+    from langscrape_ray.kernel.dom import decode_html_bytes, sniff_charset
+
+    META = {
+        0: '<meta charset="utf-8">',
+        1: '<meta charset="windows-1251">',
+        2: '<meta http-equiv="Content-Type" '
+           'content="text/html; charset=Shift_JIS">',
+        3: "", 4: "", 5: "",
+    }
+    MARK = {0: "", 1: " Привет", 2: " テスト", 3: " Привет", 4: " café",
+            5: " café"}
+    CODEC = {0: "utf-8", 1: "cp1251", 2: "shift_jis", 3: "utf-16",
+             4: "utf-8-sig", 5: "latin-1"}
+
+    def via_bytes(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        cases, codecs, srcs, md5s = [], [], [], []
+        for d, x in zip(doc_ids, texts):
+            c = d % 6
+            html = (f"<html><head>{META[c]}</head>"
+                    f"<body>{x}{MARK[c]}</body></html>")
+            if c == 4:
+                raw = b"\xef\xbb\xbf" + html.encode("utf-8")
+            else:
+                raw = html.encode(CODEC[c])
+            codec, src = sniff_charset(raw)
+            decoded = decode_html_bytes(raw)
+            cases.append(c)
+            codecs.append(codec)
+            srcs.append(src)
+            md5s.append(hashlib.md5(decoded.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "enc_case": pa.array(cases, pa.int64()),
+                "codec": pa.array(codecs, pa.string()),
+                "src": pa.array(srcs, pa.string()),
+                "decoded_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        via_bytes, batch_format="pyarrow", batch_size=512
+    )

@@ -353,3 +353,37 @@ def test_outlinks_degenerate_delimiters_take_urljoin_path():
     base = "https://base.example/dir/page"
     root = parse_html("".join(f'<a href="{h}">l</a>' for h in hrefs))
     assert extract_outlinks(root, base) == [urljoin(base, h) for h in hrefs]
+
+
+def test_sniff_charset_cases():
+    """BOMs, WHATWG meta prescan (both forms), lying declarations, and
+    unknown labels — the html:binary ingestion contract."""
+    from langscrape_ray.kernel.dom import decode_html_bytes, sniff_charset
+
+    assert sniff_charset(b"\xef\xbb\xbf<html>") == ("utf-8-sig", "bom")
+    assert sniff_charset("x".encode("utf-16")) == ("utf-16", "bom")
+    assert sniff_charset(b'<meta charset="windows-1251">') == (
+        "cp1251", "meta")
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Shift_JIS">'
+    ) == ("shift_jis", "meta")
+    assert sniff_charset(b'<meta charset="no-such-label">x') == (
+        "utf-8", "default")
+    assert sniff_charset(b"plain") == ("utf-8", "default")
+
+    # declared codecs decode; BOMs are stripped
+    assert decode_html_bytes(
+        b'<meta charset="windows-1251">' + "Привет".encode("cp1251")
+    ).endswith("Привет")
+    assert decode_html_bytes("<html>Привет</html>".encode("utf-16")) == (
+        "<html>Привет</html>")
+    assert decode_html_bytes(b"\xef\xbb\xbfhi") == "hi"
+
+    # the lying-declaration page keeps the OLD utf-8-else-latin-1 result
+    # (golden-output compatibility: fixture weird-bytes pages)
+    lying = b'<meta charset="utf-8"><body>caf\xe9</body>'
+    assert decode_html_bytes(lying) == lying.decode("latin-1")
+    # a declared codec that fails strict decode falls down the chain
+    bad = b'<meta charset="shift_jis">\x81'  # truncated sjis lead byte
+    assert decode_html_bytes(bad) == bad.decode("latin-1")

@@ -106,6 +106,7 @@ def _to_df(x):
         "q_unpivot",
         "q_group_median",
         "weighted_sample",
+        "charset_roundtrip",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
