@@ -452,9 +452,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # capped-mix application: deterministic md5 down-sampling of over-
         # cap sources (SQL-oracled)
         "mix_sample": textstats.mix_sample,
-        # deterministic global shuffle into training shards: two-level
-        # prefix scan over hash order (SQL-oracled: row_number window)
-        "shuffle_shards": curation.shuffle_shards,
+        # NEW round 4: documents through the REAL stdlib-zlib PNG codec
+        # (sources/png.py — all five scanline filters cycled on encode so
+        # decode proves every unfilter), resize actor pool on the real
+        # path; closed-form oracle over the doc_id pixel rule hash-proves
+        # the full encode->inflate->unfilter->decode chain
+        "png_roundtrip": media.png_roundtrip,
         # NEW round 4: every document rendered to html BYTES in six
         # encodings (meta declarations, BOMs, an undeclared-latin-1 lying
         # page) and decoded by the REAL sniff_charset+decode_html_bytes
@@ -474,8 +477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled, rotated OUT this round (all hash-exact in
         # CORRECTNESS_r03, code untouched since; locally exact via
         # scripts/check_contract.py and tests/test_queries.py)
-        # (quantile_gate / source_overlap / lm_familiarity rotated out to
-        # admit the NEW round-4 ops above — all r3 hash-exact, untouched)
+        # (quantile_gate / source_overlap / lm_familiarity /
+        # shuffle_shards rotated out to admit the NEW round-4 ops above —
+        # all r3 hash-exact, code untouched)
+        # deterministic global shuffle into training shards: two-level
+        # prefix scan over hash order (SQL-oracled: row_number window)
+        "shuffle_shards": curation.shuffle_shards,
         # corpus bigram-LM familiarity scoring (CCNet/KenLM-style quality
         # signal; train-then-broadcast; SQL-oracled in exact int64)
         "lm_familiarity": curation.lm_familiarity,
@@ -1912,6 +1919,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(per.n_hapax, 0) AS BIGINT) AS n_hapax
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id
+        """,
+        # closed-form per-channel pixel sums from the doc_id rule: flat
+        # value i is (doc_id*7 + i) % 256 over an h x w x 3 image — the
+        # hash proves the real PNG encode/decode chain row by row
+        "png_roundtrip": """
+            SELECT doc_id,
+                   CAST(8 + doc_id % 16 AS BIGINT) AS width,
+                   CAST(6 + doc_id % 11 AS BIGINT) AS height,
+                   CAST(list_sum(list_transform(
+                        range(0, (6 + doc_id % 11) * (8 + doc_id % 16) * 3),
+                        i -> CASE WHEN i % 3 = 0
+                                  THEN (doc_id * 7 + i) % 256
+                                  ELSE 0 END)) AS BIGINT) AS sum_r,
+                   CAST(list_sum(list_transform(
+                        range(0, (6 + doc_id % 11) * (8 + doc_id % 16) * 3),
+                        i -> CASE WHEN i % 3 = 1
+                                  THEN (doc_id * 7 + i) % 256
+                                  ELSE 0 END)) AS BIGINT) AS sum_g,
+                   CAST(list_sum(list_transform(
+                        range(0, (6 + doc_id % 11) * (8 + doc_id % 16) * 3),
+                        i -> CASE WHEN i % 3 = 2
+                                  THEN (doc_id * 7 + i) % 256
+                                  ELSE 0 END)) AS BIGINT) AS sum_b
+            FROM documents ORDER BY doc_id
         """,
         # closed-form mirror of the six-case encode rule: decode is
         # lossless in every case (BOMs stripped), so the expected decoded

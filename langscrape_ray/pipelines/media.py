@@ -292,3 +292,81 @@ def media_audio(sf_dir: str) -> "rd.Dataset":
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def png_roundtrip(sf_dir: str, max_w: int = 32, max_h: int = 32) -> "rd.Dataset":
+    """(doc_id, width, height, sum_r, sum_g, sum_b): documents through the
+    REAL PNG codec (``sources/png.py`` — stdlib zlib, no PIL), distributed:
+
+      1. deterministic RGB pixels from doc_id — flat value i is
+         ``(doc_id*7 + i) % 256`` over a ``(6 + doc_id%11) x (8 +
+         doc_id%16) x 3`` image;
+      2. encode to GENUINE PNG bytes with the scanline filter CYCLING
+         0..4, so the decode exercises every unfilter (None/Sub/Up/
+         Average/Paeth), not just the trivial one;
+      3. the real ``ResizeImageStub(fake=False)`` PNG path runs as the
+         actor-pool normalize step (images here fit max_w/max_h, so it's
+         a verified no-op — the resize math itself is pytest-gated);
+      4. ``read_png`` decodes and per-channel pixel SUMS come out.
+
+    The DuckDB oracle rebuilds the sums in closed form from the same
+    doc_id rule (list_transform over range), so the driver hash proves
+    the full encode->filter->inflate->unfilter->decode chain on every
+    row.  Scale notes: payloads stay worker-local, stateless encode +
+    actor-pool decode, no shuffle."""
+    import numpy as np
+
+    from langscrape_ray.sources.png import png_bytes, read_png
+    from langscrape_ray.stages.multimodal import ResizeImageStub
+
+    def attach_png(t: pa.Table) -> pa.Table:
+        payloads: List[bytes] = []
+        for did in t["doc_id"].to_pylist():
+            w = 8 + did % 16
+            h = 6 + did % 11
+            flat = (np.arange(h * w * 3, dtype=np.int64) * 1 + did * 7) % 256
+            arr = flat.astype(np.uint8).reshape(h, w, 3)
+            payloads.append(png_bytes(arr, filters=[0, 1, 2, 3, 4]))
+        return pa.table(
+            {"doc_id": t["doc_id"], "image": pa.array(payloads, pa.binary())}
+        )
+
+    def decode_sums(t: pa.Table) -> pa.Table:
+        ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+        for did, payload in zip(
+            t["doc_id"].to_pylist(), t["image"].to_pylist()
+        ):
+            arr = read_png(bytes(payload)).astype(np.int64)
+            ids.append(did)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            sums = arr.sum(axis=(0, 1))
+            sr.append(int(sums[0]))
+            sg.append(int(sums[1]))
+            sb.append(int(sums[2]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        docs.map_batches(attach_png, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            ResizeImageStub,
+            fn_constructor_kwargs={
+                "max_w": max_w, "max_h": max_h, "fake": False,
+            },
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+            num_cpus=0.5,
+        )
+        .map_batches(decode_sums, batch_format="pyarrow", batch_size=256)
+    )

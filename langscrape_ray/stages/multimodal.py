@@ -51,14 +51,36 @@ class DecodeImageMeta:
 
     def _decode_one(self, payload: bytes):
         if not self.fake:
+            # REAL tier 1: stdlib PNG codec (sources/png.py) — no PIL
+            # needed for the format a crawl sees most.
+            if payload is not None and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+                from langscrape_ray.sources.png import (
+                    BadPng,
+                    UnsupportedPng,
+                    png_meta,
+                )
+
+                try:
+                    w, h, _ch = png_meta(bytes(payload))
+                    return w, h, "png"
+                except UnsupportedPng:
+                    # valid PNG outside the codec subset — dims are still
+                    # in the IHDR (parsed before the subset check)
+                    w, h = struct.unpack(">II", bytes(payload[16:24]))
+                    return w, h, "png"
+                except BadPng:
+                    return None
+            # tier 2: PIL for the other formats, loud when absent
             try:
                 from io import BytesIO
 
                 from PIL import Image  # optional dep, absent in container
             except ImportError:
                 raise NotImplementedError(
-                    "real image decode requires PIL — not available in this "
-                    "environment; run with fake=True for fixture payloads"
+                    "real non-PNG image decode requires PIL — not available "
+                    "in this environment; PNG decodes natively "
+                    "(sources/png.py), or run with fake=True for fixture "
+                    "payloads"
                 ) from None
             try:
                 with Image.open(BytesIO(payload)) as im:
@@ -139,14 +161,36 @@ class ResizeImageStub:
 
     def _resize_one(self, payload: bytes):
         if not self.fake:
+            # REAL tier 1: stdlib PNG decode -> nearest-neighbor downscale
+            # -> PNG re-encode (sources/png.py), no PIL needed.
+            if payload is not None and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+                from langscrape_ray.sources.png import (
+                    BadPng,
+                    UnsupportedPng,
+                    png_bytes,
+                    read_png,
+                    resize_nearest,
+                )
+
+                try:
+                    arr = read_png(bytes(payload))
+                except (BadPng, UnsupportedPng):
+                    return payload
+                if (arr.shape[1] <= self.max_w
+                        and arr.shape[0] <= self.max_h):
+                    return payload
+                return png_bytes(
+                    resize_nearest(arr, self.max_w, self.max_h)
+                )
             try:
                 from io import BytesIO
 
                 from PIL import Image  # optional dep, absent in container
             except ImportError:
                 raise NotImplementedError(
-                    "real image resize requires PIL — not available here; "
-                    "run with fake=True for fixture payloads"
+                    "real non-PNG image resize requires PIL — not available "
+                    "here; PNG resizes natively (sources/png.py), or run "
+                    "with fake=True for fixture payloads"
                 ) from None
             try:
                 with Image.open(BytesIO(payload)) as im:

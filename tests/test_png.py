@@ -1,0 +1,83 @@
+"""Tests: the real stdlib PNG codec (sources/png.py) and its stage wiring."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from langscrape_ray.sources.png import (
+    BadPng,
+    UnsupportedPng,
+    png_bytes,
+    png_meta,
+    read_png,
+    resize_nearest,
+)
+
+
+@pytest.mark.parametrize("shape", [(16, 24, 3), (5, 3, 4), (9, 7), (1, 1, 3)])
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_roundtrip_all_filters(shape, filters):
+    rng = np.random.default_rng(sum(shape) * 10 + filters[0])
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    data = png_bytes(a, filters)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = read_png(data)
+    ref = a[:, :, None] if a.ndim == 2 else a
+    assert np.array_equal(ref, back)
+    w, h, ch = png_meta(data)
+    assert (h, w, ch) == ref.shape
+
+
+def test_png_meta_rejects_bad_and_unsupported():
+    with pytest.raises(BadPng):
+        png_meta(b"not a png at all----------------")
+    a = np.zeros((2, 2, 3), np.uint8)
+    data = bytearray(png_bytes(a))
+    data[24] = 16  # bit depth 16 -> unsupported subset
+    with pytest.raises(UnsupportedPng):
+        png_meta(bytes(data))
+
+
+def test_png_crc_is_verified():
+    data = bytearray(png_bytes(np.zeros((4, 4, 3), np.uint8)))
+    # flip one byte inside IDAT payload (after the 8-byte sig + 25-byte IHDR
+    # chunk + 8-byte IDAT header)
+    data[8 + 25 + 8 + 2] ^= 0xFF
+    with pytest.raises(BadPng):
+        read_png(bytes(data))
+
+
+def test_resize_nearest_semantics():
+    a = np.arange(100 * 60 * 3, dtype=np.int64).astype(np.uint8).reshape(
+        100, 60, 3
+    )
+    assert resize_nearest(a, 60, 100) is a  # fits: no-op, zero-copy
+    r = resize_nearest(a, 30, 30)
+    assert r.shape == (30, 18, 3)
+    # nearest-neighbor: every output pixel is an exact input pixel
+    ys = (np.arange(30) * 100 // 30)
+    xs = (np.arange(18) * 60 // 18)
+    assert np.array_equal(r, a[ys][:, xs])
+
+
+def test_resize_stage_real_png_path():
+    """ResizeImageStub(fake=False) on an oversized REAL PNG: output is a
+    valid PNG whose pixels equal resize_nearest of the original."""
+    from langscrape_ray.stages.multimodal import DecodeImageMeta, ResizeImageStub
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (40, 70, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "img_id": pa.array([1], pa.int64()),
+            "image": pa.array([png_bytes(a, [0, 4])], pa.binary()),
+        }
+    )
+    out = ResizeImageStub(max_w=32, max_h=32, fake=False)(batch)
+    resized = read_png(out["image"].to_pylist()[0])
+    assert np.array_equal(resized, resize_nearest(a, 32, 32))
+    meta = DecodeImageMeta(fake=False)(out)
+    assert meta["decode_ok"].to_pylist() == [True]
+    assert meta["format"].to_pylist() == ["png"]
+    assert meta["width"].to_pylist()[0] == resized.shape[1]
+    assert meta["height"].to_pylist()[0] == resized.shape[0]

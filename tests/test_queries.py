@@ -107,6 +107,7 @@ def _to_df(x):
         "q_group_median",
         "weighted_sample",
         "charset_roundtrip",
+        "png_roundtrip",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

@@ -327,17 +327,30 @@ def test_audio_real_wav_decode(ray_session):
 
 
 def test_image_real_codec_gate():
-    """fake=False image stages: if PIL is absent (this container) the stage
-    raises NotImplementedError at the integration point; if present, a real
-    decode round-trips.  Either way the gate is exercised, not skipped."""
+    """fake=False image stages: PNG payloads take the REAL stdlib codec
+    path (sources/png.py) with no PIL — truncated PNG degrades to
+    decode_ok=False / pass-through; NON-PNG payloads hit the PIL tier,
+    which raises NotImplementedError when PIL is absent (this container)
+    or decodes when present.  Every branch exercised, none skipped."""
     import pytest as _pytest
 
     from langscrape_ray.stages.multimodal import DecodeImageMeta, ResizeImageStub
 
-    imgs = pa.table(
+    trunc_png = pa.table(
         {
             "img_id": pa.array([0], pa.int64()),
             "image": pa.array([b"\x89PNG\r\n\x1a\nfake"], pa.binary()),
+        }
+    )
+    out = DecodeImageMeta(fake=False)(trunc_png)
+    assert list(out["decode_ok"].to_pylist()) == [False]
+    rz = ResizeImageStub(fake=False)(trunc_png)
+    assert rz["image"].to_pylist() == trunc_png["image"].to_pylist()
+
+    non_png = pa.table(
+        {
+            "img_id": pa.array([0], pa.int64()),
+            "image": pa.array([b"\xff\xd8\xff\xe0 jpeg-ish"], pa.binary()),
         }
     )
     try:
@@ -347,15 +360,13 @@ def test_image_real_codec_gate():
     except ImportError:
         have_pil = False
     if have_pil:
-        out = DecodeImageMeta(fake=False)(imgs)
-        assert list(out["decode_ok"].to_pylist()) == [False]  # truncated PNG
-        rz = ResizeImageStub(fake=False)(imgs)
-        assert rz["image"].to_pylist() == imgs["image"].to_pylist()
+        out = DecodeImageMeta(fake=False)(non_png)
+        assert list(out["decode_ok"].to_pylist()) == [False]
     else:
         with _pytest.raises(NotImplementedError):
-            DecodeImageMeta(fake=False)(imgs)
+            DecodeImageMeta(fake=False)(non_png)
         with _pytest.raises(NotImplementedError):
-            ResizeImageStub(fake=False)(imgs)
+            ResizeImageStub(fake=False)(non_png)
 
 
 def test_video_frames_empty_batch_keeps_schema():
