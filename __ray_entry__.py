@@ -419,39 +419,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # archive-format encode/decode lossless (SQL-oracled closed form
         # over documents, same pattern as xlsx_roundtrip)
         "warc_roundtrip": etl.warc_roundtrip,
-        # composite training-data prep flagship: fused lang-ID + quality
-        # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
-        # rollup, ONE streaming flow (SQL-oracled end to end)
-        "prep_corpus": prep.prep_corpus,
-        # F9 table extraction shape stats (SQL-oracled closed form over the
-        # deterministic planted-table rule; the Ray side runs the real
-        # parse + extract_tables_recursive kernel)
-        "table_stats": tables.table_stats,
-        # M9 extraction through the widened xpath grammar (union + re:test
-        # + starts-with/position) with the sentinel contract, SQL-oracled
-        "xpath_extract": tables.xpath_extract,
-        # iterative distributed PageRank (3 BSP supersteps of hash join +
-        # groupby gather) over the lineitem supplier<->part link graph,
-        # scaled-int64 exact so the unrolled-CTE SQL oracle hash-matches
-        "link_pagerank": graph.link_pagerank,
-        # concat-then-split LLM sequence packing: two-level distributed
-        # prefix scan (bucket totals -> driver exclusive cumsum -> per-
-        # bucket vectorized scan); SQL-oracled via window cumsum
-        "pack_sequences": textstats.pack_sequences,
-        # corpus-frequency boilerplate n-gram removal (C4/RefinedWeb line-
-        # dedup analog: count grams -> broadcast hot set -> rebuild text;
-        # SQL-oracled: anti-join + ordered string_agg reconstruction)
-        "boilerplate_prune": textstats.boilerplate_prune,
-        # per-source training-mix sampling weights with a domain cap
-        # (ONE source-cardinality groupby; SQL-oracled in exact int64)
-        "source_mix_weights": textstats.source_mix_weights,
-        # RefinedWeb-style exact substring dedup, first-occurrence-wins
-        # (packed occurrence keys -> per-gram min -> co-partitioned join
-        # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
-        "substring_dedup": dedup.substring_dedup,
-        # capped-mix application: deterministic md5 down-sampling of over-
-        # cap sources (SQL-oracled)
-        "mix_sample": textstats.mix_sample,
         # NEW round 4: documents through the REAL stdlib-zlib PNG codec
         # (sources/png.py — all five scanline filters cycled on encode so
         # decode proves every unfilter), resize actor pool on the real
@@ -473,15 +440,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-uniform reservoir keys ln(u)/w, per-block top-k partials,
         # ONE streaming pass (NEW round 4, SQL-oracled bit-exact)
         "weighted_sample": curation.weighted_sample,
+        # composite training-data prep flagship: fused lang-ID + quality
+        # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
+        # rollup, ONE streaming flow (SQL-oracled end to end)
+        "prep_corpus": prep.prep_corpus,
+        # F9 table extraction shape stats (SQL-oracled closed form over the
+        # deterministic planted-table rule; the Ray side runs the real
+        # parse + extract_tables_recursive kernel)
+        "table_stats": tables.table_stats,
+        # M9 extraction through the widened xpath grammar (union + re:test
+        # + starts-with/position) with the sentinel contract, SQL-oracled
+        "xpath_extract": tables.xpath_extract,
         # ---- past the driver's 50-entry window from here ----
         # SQL-oracled, rotated OUT this round (all hash-exact in
         # CORRECTNESS_r03, code untouched since; locally exact via
-        # scripts/check_contract.py and tests/test_queries.py)
-        # (quantile_gate / source_overlap / lm_familiarity /
-        # shuffle_shards rotated out to admit the NEW round-4 ops above —
-        # all r3 hash-exact, code untouched)
-        # deterministic global shuffle into training shards: two-level
-        # prefix scan over hash order (SQL-oracled: row_number window)
+        # scripts/check_contract.py and tests/test_queries.py).
+        # quantile_gate / source_overlap / lm_familiarity / shuffle_shards
+        # / substring_dedup / mix_sample / link_pagerank / pack_sequences
+        # / boilerplate_prune / source_mix_weights rotated out to admit
+        # the 7 NEW round-4 oracled ops above — all r3 hash-exact.
+        # RefinedWeb-style exact substring dedup, first-occurrence-wins
+        # (packed occurrence keys -> per-gram min -> co-partitioned join
+        # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
+        "substring_dedup": dedup.substring_dedup,
+        # capped-mix application: deterministic md5 down-sampling of over-
+        # cap sources (SQL-oracled)
+        "mix_sample": textstats.mix_sample,
+        # iterative distributed PageRank (3 BSP supersteps of hash join +
+        # groupby gather) over the lineitem supplier<->part link graph,
+        # scaled-int64 exact so the unrolled-CTE SQL oracle hash-matches
+        "link_pagerank": graph.link_pagerank,
+        # concat-then-split LLM sequence packing: two-level distributed
+        # prefix scan (bucket totals -> driver exclusive cumsum -> per-
+        # bucket vectorized scan); SQL-oracled via window cumsum
+        "pack_sequences": textstats.pack_sequences,
+        # corpus-frequency boilerplate n-gram removal (C4/RefinedWeb line-
+        # dedup analog: count grams -> broadcast hot set -> rebuild text;
+        # SQL-oracled: anti-join + ordered string_agg reconstruction)
+        "boilerplate_prune": textstats.boilerplate_prune,
+        # per-source training-mix sampling weights with a domain cap
+        # (ONE source-cardinality groupby; SQL-oracled in exact int64)
+        "source_mix_weights": textstats.source_mix_weights,
         "shuffle_shards": curation.shuffle_shards,
         # corpus bigram-LM familiarity scoring (CCNet/KenLM-style quality
         # signal; train-then-broadcast; SQL-oracled in exact int64)
