@@ -425,6 +425,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path; closed-form oracle over the doc_id pixel rule hash-proves
         # the full encode->inflate->unfilter->decode chain
         "png_roundtrip": media.png_roundtrip,
+        # NEW round 4: documents through the REAL video container chain —
+        # deterministic frames -> genuine uncompressed RIFF/AVI bytes
+        # (sources/avi.py) -> the real SampleVideoFrames stdlib demux,
+        # sampled frames re-encoded as REAL PNGs and pixel-summed;
+        # closed-form oracle hash-proves both codecs per frame
+        "avi_frames": media.avi_frames,
         # NEW round 4: every document rendered to html BYTES in six
         # encodings (meta declarations, BOMs, an undeclared-latin-1 lying
         # page) and decoded by the REAL sniff_charset+decode_html_bytes
@@ -448,20 +454,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic planted-table rule; the Ray side runs the real
         # parse + extract_tables_recursive kernel)
         "table_stats": tables.table_stats,
-        # M9 extraction through the widened xpath grammar (union + re:test
-        # + starts-with/position) with the sentinel contract, SQL-oracled
-        "xpath_extract": tables.xpath_extract,
         # ---- past the driver's 50-entry window from here ----
         # SQL-oracled, rotated OUT this round (all hash-exact in
         # CORRECTNESS_r03, code untouched since; locally exact via
         # scripts/check_contract.py and tests/test_queries.py).
         # quantile_gate / source_overlap / lm_familiarity / shuffle_shards
         # / substring_dedup / mix_sample / link_pagerank / pack_sequences
-        # / boilerplate_prune / source_mix_weights rotated out to admit
-        # the 7 NEW round-4 oracled ops above — all r3 hash-exact.
+        # / boilerplate_prune / source_mix_weights / xpath_extract rotated
+        # out to admit the 8 NEW round-4 oracled ops above — all r3
+        # hash-exact, code untouched.
         # RefinedWeb-style exact substring dedup, first-occurrence-wins
         # (packed occurrence keys -> per-gram min -> co-partitioned join
         # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
+        # M9 extraction through the widened xpath grammar (union + re:test
+        # + starts-with/position) with the sentinel contract, SQL-oracled
+        "xpath_extract": tables.xpath_extract,
         "substring_dedup": dedup.substring_dedup,
         # capped-mix application: deterministic md5 down-sampling of over-
         # cap sources (SQL-oracled)
@@ -1942,6 +1949,27 @@ def oracle_sql() -> dict[str, str]:
                                   THEN (doc_id * 7 + i) % 256
                                   ELSE 0 END)) AS BIGINT) AS sum_b
             FROM documents ORDER BY doc_id
+        """,
+        # closed-form frame/pixel rule: n_frames = 4+d%5, stride-2
+        # sampling, ts = fi*100 ms at 10 fps, flat pixel i of frame fi is
+        # (d*11 + fi*7 + i) % 256 — hash-proves AVI demux + PNG roundtrip
+        "avi_frames": """
+            WITH f AS (
+              SELECT doc_id, 4 + doc_id % 5 AS n, 4 + doc_id % 5 AS w,
+                     3 + doc_id % 3 AS h
+              FROM documents),
+            fr AS (
+              SELECT doc_id, w, h, fi
+              FROM f, unnest(range(0, n, 2)) AS t(fi))
+            SELECT doc_id,
+                   CAST(fi AS BIGINT) AS frame_idx,
+                   CAST(fi * 100 AS BIGINT) AS ts_ms,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(list_sum(list_transform(range(0, h * w * 3),
+                        i -> (doc_id * 11 + fi * 7 + i) % 256))
+                        AS BIGINT) AS sum_rgb
+            FROM fr ORDER BY doc_id, frame_idx
         """,
         # closed-form mirror of the six-case encode rule: decode is
         # lossless in every case (BOMs stripped), so the expected decoded

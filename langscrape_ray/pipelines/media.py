@@ -370,3 +370,73 @@ def png_roundtrip(sf_dir: str, max_w: int = 32, max_h: int = 32) -> "rd.Dataset"
         )
         .map_batches(decode_sums, batch_format="pyarrow", batch_size=256)
     )
+
+
+def avi_frames(sf_dir: str, stride: int = 2) -> "rd.Dataset":
+    """(doc_id, frame_idx, ts_ms, width, height, sum_rgb): documents
+    through the REAL video container chain, distributed — deterministic
+    RGB frames from doc_id -> genuine uncompressed RIFF/AVI bytes
+    (``sources/avi.py``) -> the real ``SampleVideoFrames(fake=False)``
+    stdlib demux (every ``stride``-th frame re-encoded as a REAL PNG) ->
+    the real PNG decode for per-frame pixel sums.
+
+    Frame rule (SQL-mirrorable): n_frames = 4 + doc_id%5, w = 4 +
+    doc_id%5, h = 3 + doc_id%3, fps = 10, flat pixel i of frame fi is
+    ``(doc_id*11 + fi*7 + i) % 256``.  The closed-form oracle rebuilds
+    frame_idx/ts_ms/dims/sums, so the driver hash proves BOTH real
+    codecs (AVI demux + PNG encode/decode) end to end on every sampled
+    frame.  Scale notes: payloads worker-local, explode layout (one row
+    per frame) exactly as a frame-level training pipeline consumes it,
+    actor pools for the stateful stages, no shuffle."""
+    import numpy as np
+
+    from langscrape_ray.sources.avi import avi_bytes
+    from langscrape_ray.sources.png import read_png
+    from langscrape_ray.stages.multimodal import SampleVideoFrames
+
+    def attach_avi(t: pa.Table) -> pa.Table:
+        payloads: List[bytes] = []
+        for did in t["doc_id"].to_pylist():
+            n = 4 + did % 5
+            w = 4 + did % 5
+            h = 3 + did % 3
+            per = h * w * 3
+            fi = np.arange(n, dtype=np.int64)[:, None]
+            i = np.arange(per, dtype=np.int64)[None, :]
+            flat = (did * 11 + fi * 7 + i) % 256
+            frames = flat.astype(np.uint8).reshape(n, h, w, 3)
+            payloads.append(avi_bytes(frames, fps=10))
+        return pa.table(
+            {"doc_id": t["doc_id"], "video": pa.array(payloads, pa.binary())}
+        )
+
+    def frame_sums(t: pa.Table) -> pa.Table:
+        sums = [
+            int(read_png(bytes(p)).astype(np.int64).sum())
+            for p in t["image"].to_pylist()
+        ]
+        metas = [read_png(bytes(p)).shape for p in t["image"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "frame_idx": t["frame_idx"].cast(pa.int64()),
+                "ts_ms": t["ts_ms"].cast(pa.int64()),
+                "width": pa.array([m[1] for m in metas], pa.int64()),
+                "height": pa.array([m[0] for m in metas], pa.int64()),
+                "sum_rgb": pa.array(sums, pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        docs.map_batches(attach_avi, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            SampleVideoFrames,
+            fn_constructor_kwargs={"stride": stride, "fake": False},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 8),
+            num_cpus=0.5,
+        )
+        .map_batches(frame_sums, batch_format="pyarrow", batch_size=512)
+    )

@@ -259,15 +259,42 @@ class SampleVideoFrames:
         self.fake = fake
 
     def _demux_real(self, payload: bytes):
-        """Real path: pyav demux -> every ``stride``-th decoded frame as
-        (frame_idx, ts_ms, IMG1-wrapped grayscale head).  Import-guarded —
-        pyav is absent in this container."""
+        """Real path, tier 1: stdlib RIFF/AVI demux (sources/avi.py) for
+        uncompressed-DIB containers — every ``stride``-th frame re-encoded
+        as a REAL PNG so the downstream image stages stay on their native
+        codec path.  Tier 2: pyav for compressed containers, import-guarded
+        (absent in this container)."""
+        if payload is not None and bytes(payload[:4]) == b"RIFF" and bytes(
+            payload[8:12]
+        ) == b"AVI ":
+            from langscrape_ray.sources.avi import (
+                BadAvi,
+                UnsupportedAvi,
+                read_avi,
+            )
+            from langscrape_ray.sources.png import png_bytes
+
+            try:
+                frames, fps = read_avi(bytes(payload))
+            except (BadAvi, UnsupportedAvi) as e:
+                if isinstance(e, BadAvi):
+                    return []
+                raise NotImplementedError(
+                    f"compressed AVI needs pyav ({e}); uncompressed DIB "
+                    "demuxes natively (sources/avi.py)"
+                ) from None
+            return [
+                (fi, fi * 1000 // max(1, fps), png_bytes(frames[fi]))
+                for fi in range(0, len(frames), self.stride)
+            ]
         try:
             import av  # optional dep, absent in container
         except ImportError:
             raise NotImplementedError(
-                "real frame sampling requires ffmpeg/pyav — not available "
-                "here; run with fake=True for fixture payloads"
+                "real non-AVI frame sampling requires ffmpeg/pyav — not "
+                "available here; uncompressed AVI demuxes natively "
+                "(sources/avi.py), or run with fake=True for fixture "
+                "payloads"
             ) from None
         from io import BytesIO
 

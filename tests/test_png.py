@@ -81,3 +81,74 @@ def test_resize_stage_real_png_path():
     assert meta["format"].to_pylist() == ["png"]
     assert meta["width"].to_pylist()[0] == resized.shape[1]
     assert meta["height"].to_pylist()[0] == resized.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# AVI container codec (sources/avi.py) — the video sibling
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_shapes():
+    from langscrape_ray.sources.avi import avi_bytes, avi_meta, read_avi
+
+    rng = np.random.default_rng(11)
+    for shape in [(4, 6, 8, 3), (1, 1, 1, 3), (3, 5, 7, 3)]:  # odd widths pad
+        f = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = avi_bytes(f, fps=10)
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        back, fps = read_avi(data)
+        assert fps == 10
+        assert np.array_equal(f, back)
+        n, w, h, _ = avi_meta(data)
+        assert (n, h, w) == shape[:3]
+
+
+def test_avi_gates():
+    from langscrape_ray.sources.avi import (
+        BadAvi,
+        UnsupportedAvi,
+        avi_bytes,
+        avi_meta,
+    )
+
+    with pytest.raises(BadAvi):
+        avi_meta(b"not an avi" + b"\0" * 40)
+    data = bytearray(avi_bytes(np.zeros((2, 4, 4, 3), np.uint8)))
+    i = data.index(b"DIB ")
+    data[i : i + 4] = b"MJPG"  # compressed fourcc -> pyav tier
+    with pytest.raises(UnsupportedAvi):
+        avi_meta(bytes(data))
+
+
+def test_sample_video_frames_real_avi_path():
+    """SampleVideoFrames(fake=False) on a REAL AVI: stdlib demux, sampled
+    frames come back as REAL PNGs whose pixels equal the originals."""
+    from langscrape_ray.sources.avi import avi_bytes
+    from langscrape_ray.sources.png import read_png
+    from langscrape_ray.stages.multimodal import SampleVideoFrames
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, (6, 4, 5, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "video": pa.array([avi_bytes(frames, fps=5)], pa.binary()),
+        }
+    )
+    out = SampleVideoFrames(stride=2, fake=False)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 2, 4]
+    assert out["ts_ms"].to_pylist() == [0, 400, 800]
+    for fi, blob in zip(out["frame_idx"].to_pylist(), out["image"].to_pylist()):
+        assert np.array_equal(read_png(bytes(blob)), frames[fi])
+    # non-AVI payload without pyav raises at the integration point
+    other = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "video": pa.array([b"\x00\x00\x00\x18ftypmp42 fake"], pa.binary()),
+        }
+    )
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            SampleVideoFrames(stride=2, fake=False)(other)

@@ -108,6 +108,7 @@ def _to_df(x):
         "weighted_sample",
         "charset_roundtrip",
         "png_roundtrip",
+        "avi_frames",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
