@@ -411,19 +411,17 @@ def avi_frames(sf_dir: str, stride: int = 2) -> "rd.Dataset":
         )
 
     def frame_sums(t: pa.Table) -> pa.Table:
-        sums = [
-            int(read_png(bytes(p)).astype(np.int64).sum())
-            for p in t["image"].to_pylist()
-        ]
-        metas = [read_png(bytes(p)).shape for p in t["image"].to_pylist()]
+        arrs = [read_png(bytes(p)) for p in t["image"].to_pylist()]
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
                 "frame_idx": t["frame_idx"].cast(pa.int64()),
                 "ts_ms": t["ts_ms"].cast(pa.int64()),
-                "width": pa.array([m[1] for m in metas], pa.int64()),
-                "height": pa.array([m[0] for m in metas], pa.int64()),
-                "sum_rgb": pa.array(sums, pa.int64()),
+                "width": pa.array([a.shape[1] for a in arrs], pa.int64()),
+                "height": pa.array([a.shape[0] for a in arrs], pa.int64()),
+                "sum_rgb": pa.array(
+                    [int(a.astype(np.int64).sum()) for a in arrs], pa.int64()
+                ),
             }
         )
 
