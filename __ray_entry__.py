@@ -446,28 +446,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-uniform reservoir keys ln(u)/w, per-block top-k partials,
         # ONE streaming pass (NEW round 4, SQL-oracled bit-exact)
         "weighted_sample": curation.weighted_sample,
+        # Gopher document-quality rules (Rae et al. 2021, NEW round 4):
+        # the published pre-training gate in exact integer form (mean
+        # word length / bullet / ellipsis / symbol / stop-word rules via
+        # int64 cross-multiplication); SQL-oracled hash-exact
+        "gopher_quality": textstats.gopher_quality,
         # composite training-data prep flagship: fused lang-ID + quality
         # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
         # rollup, ONE streaming flow (SQL-oracled end to end)
         "prep_corpus": prep.prep_corpus,
-        # F9 table extraction shape stats (SQL-oracled closed form over the
-        # deterministic planted-table rule; the Ray side runs the real
-        # parse + extract_tables_recursive kernel)
-        "table_stats": tables.table_stats,
         # ---- past the driver's 50-entry window from here ----
         # SQL-oracled, rotated OUT this round (all hash-exact in
         # CORRECTNESS_r03, code untouched since; locally exact via
         # scripts/check_contract.py and tests/test_queries.py).
         # quantile_gate / source_overlap / lm_familiarity / shuffle_shards
         # / substring_dedup / mix_sample / link_pagerank / pack_sequences
-        # / boilerplate_prune / source_mix_weights / xpath_extract rotated
-        # out to admit the 8 NEW round-4 oracled ops above — all r3
-        # hash-exact, code untouched.
+        # / boilerplate_prune / source_mix_weights / xpath_extract /
+        # table_stats rotated out to admit the 9 NEW round-4 oracled ops
+        # above — all r3 hash-exact, code untouched.
         # RefinedWeb-style exact substring dedup, first-occurrence-wins
         # (packed occurrence keys -> per-gram min -> co-partitioned join
         # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
         # M9 extraction through the widened xpath grammar (union + re:test
         # + starts-with/position) with the sentinel contract, SQL-oracled
+        # F9 table extraction shape stats (SQL-oracled closed form over the
+        # deterministic planted-table rule; the Ray side runs the real
+        # parse + extract_tables_recursive kernel)
+        "table_stats": tables.table_stats,
         "xpath_extract": tables.xpath_extract,
         "substring_dedup": dedup.substring_dedup,
         # capped-mix application: deterministic md5 down-sampling of over-
@@ -1949,6 +1954,48 @@ def oracle_sql() -> dict[str, str]:
                                   THEN (doc_id * 7 + i) % 256
                                   ELSE 0 END)) AS BIGINT) AS sum_b
             FROM documents ORDER BY doc_id
+        """,
+        # the published Gopher thresholds, every comparison int64
+        # cross-multiplied; split semantics matched to Python str.split
+        # (regex whitespace runs, empties dropped)
+        "gopher_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x != '') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(words,
+                     x -> length(x))), 0) AS BIGINT) AS sum_word_chars,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(coalesce(list_sum(list_transform(lines, l ->
+                     CASE WHEN l LIKE '- %' OR l LIKE '* %'
+                          THEN 1 ELSE 0 END)), 0)
+                     AS BIGINT) AS n_bullet_lines,
+                CAST(coalesce(list_sum(list_transform(lines, l ->
+                     CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)), 0)
+                     AS BIGINT) AS n_ellipsis_lines,
+                CAST((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', '')))
+                       / 3 AS BIGINT) AS n_symbols,
+                CAST(len(list_intersect(
+                     list_distinct(list_transform(words, x -> lower(x))),
+                     ['the','be','to','of','and','that','have','with']))
+                     AS BIGINT) AS n_stop
+              FROM w)
+            SELECT *,
+              CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                         AND sum_word_chars
+                             BETWEEN 3 * n_words AND 10 * n_words
+                         AND n_bullet_lines * 10 <= 9 * n_lines
+                         AND n_ellipsis_lines * 10 <= 3 * n_lines
+                         AND n_symbols * 10 <= n_words
+                         AND n_stop >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM c ORDER BY doc_id
         """,
         # closed-form frame/pixel rule: n_frames = 4+d%5, stride-2
         # sampling, ts = fi*100 ms at 10 fps, flat pixel i of frame fi is

@@ -970,3 +970,68 @@ def mix_sample(
         batch_format="pyarrow",
         concurrency=(2, 8),
     )
+
+
+_GOPHER_STOPS = frozenset(
+    ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+
+def gopher_quality(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, n_words, sum_word_chars, n_lines, n_bullet_lines,
+    n_ellipsis_lines, n_symbols, n_stop, keep): the published Gopher
+    document-quality rules (Rae et al. 2021, Table A1) in exact integer
+    form — the industry-standard pre-training gate alongside C4's.
+
+    Signals: whitespace word count and summed word length (mean word
+    length via cross-multiplication, no float), bullet-started and
+    ellipsis-ended line fractions, symbol-to-word ratio (# and ...),
+    and the 8-stop-word requirement.  ``keep`` applies the published
+    thresholds: 50 <= words <= 100k, 3 <= mean word len <= 10, <=90%
+    bullet lines, <=30% ellipsis lines, symbol ratio <= 0.1, >= 2
+    distinct stop words — every comparison done as int64
+    cross-multiplication so the SQL oracle is hash-exact.
+
+    Ray shape: stateless map_batches, no shuffle.  Reference analog:
+    none (the reference has no corpus-quality gate) — engine surface
+    for the training-pipeline requirement, same family as
+    quality_score / lang_id."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        rows = {k: [] for k in (
+            "n_words", "sum_word_chars", "n_lines", "n_bullet_lines",
+            "n_ellipsis_lines", "n_symbols", "n_stop", "keep")}
+        for x in texts:
+            words = x.split()
+            nw = len(words)
+            swc = sum(len(w) for w in words)
+            lines = x.split("\n")
+            nl = len(lines)
+            nb = sum(1 for ln in lines if ln.startswith(("- ", "* ")))
+            ne = sum(1 for ln in lines if ln.endswith("..."))
+            nsym = x.count("#") + x.count("...")
+            nstop = len({w.lower() for w in words} & _GOPHER_STOPS)
+            keep = (
+                50 <= nw <= 100_000
+                and 3 * nw <= swc <= 10 * nw
+                and nb * 10 <= 9 * nl
+                and ne * 10 <= 3 * nl
+                and nsym * 10 <= nw
+                and nstop >= 2
+            )
+            for k, v in (
+                ("n_words", nw), ("sum_word_chars", swc), ("n_lines", nl),
+                ("n_bullet_lines", nb), ("n_ellipsis_lines", ne),
+                ("n_symbols", nsym), ("n_stop", nstop),
+                ("keep", int(keep)),
+            ):
+                rows[k].append(v)
+        cols = {"doc_id": t["doc_id"]}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+        return pa.table(cols)
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

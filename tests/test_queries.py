@@ -109,6 +109,7 @@ def _to_df(x):
         "charset_roundtrip",
         "png_roundtrip",
         "avi_frames",
+        "gopher_quality",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

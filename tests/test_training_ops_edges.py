@@ -188,3 +188,41 @@ def test_compression_ratio_replay(ray_session, edge_dir):
     ]
     # doc 4 is a 3x-repeated span; doc 2 is unique text of similar length
     assert out.loc[4, "ratio_e4"] < out.loc[2, "ratio_e4"]
+
+
+def test_gopher_quality_keep_classes(ray_session, tmp_path):
+    """Both keep classes of the Gopher gate on crafted docs: a passing
+    document (enough words, 2+ stop words, sane ratios) and failures for
+    each individual rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langscrape_ray.pipelines.textstats import gopher_quality
+
+    good = ("the quick brown fox jumps over lazy dogs and keeps " * 6).strip()
+    docs = {
+        0: good,                                    # keep
+        1: "short of the",                          # < 50 words
+        2: ("aaaaaaaaaaaaaaaaaaaaaa " * 60) + "the and",  # mean len > 10
+        3: "\n".join(["- bullet the and word list item here ok"] * 50),  # bullets
+        4: good.replace("dogs", "#dogs#"),          # symbols over 10%
+        5: ("word " * 60) + "plain",                # no 2 stop words
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(docs[k]) for k in sorted(docs)], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        gopher_quality(str(tmp_path)).to_pandas().sort_values("doc_id")
+    )
+    assert out["keep"].tolist() == [1, 0, 0, 0, 0, 0]
+    # rule attribution: doc 3 fails ONLY the bullet rule
+    r3 = out[out.doc_id == 3].iloc[0]
+    assert r3.n_bullet_lines == r3.n_lines
+    assert r3.n_stop >= 2 and 50 <= r3.n_words <= 100000
