@@ -183,6 +183,10 @@ DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard"]
 # reason: wall-time trend on record without moving the headline total
 CURATION_FAMILY = ["semdedup_select", "pq_encode", "knn_pq"]
 
+# round-4 REAL-codec tier (stdlib PNG / AVI / charset chains), timed as
+# its own block so the media-format surface has a wall-time trend too
+CODEC_FAMILY = ["png_roundtrip", "avi_frames", "charset_roundtrip"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,12 +211,14 @@ def main() -> None:
     queries = {}
     dedup_family = {}
     curation_family = {}
+    codec_family = {}
     crawl_nr = None
     if not headline_only:
         run_query_bench("/root/testdata/sf0.01")  # untimed warm-up
         queries = run_query_bench(sf_dir)
         dedup_family = run_query_bench(sf_dir, names=DEDUP_FAMILY)
         curation_family = run_query_bench(sf_dir, names=CURATION_FAMILY)
+        codec_family = run_query_bench(sf_dir, names=CODEC_FAMILY)
     store_env = os.environ.get("GRAFT_STORE", "")
     resident = "--store=nonresident" not in sys.argv and store_env != "nonresident"
     crawl = run_crawl_bench(sf_dir, num_cpus, resident=resident)
@@ -237,6 +243,8 @@ def main() -> None:
         payload["dedup_family"] = dedup_family
     if curation_family:
         payload["curation_family"] = curation_family
+    if codec_family:
+        payload["codec_family"] = codec_family
     if crawl_nr is not None:
         payload["crawl_nonresident"] = crawl_nr
     print(json.dumps(payload))
