@@ -124,18 +124,57 @@ class ImageFeatureStub:
     """Actor-pool stage: payload -> deterministic feature vector
     (list<float32>, dim=``dim``).  Stands in for batched model inference —
     the state (the 'model': a projection matrix) loads once per actor in
-    __init__, exactly the pattern a real encoder uses."""
+    __init__, exactly the pattern a real encoder uses.
+
+    REAL-pixel tier: a payload carrying genuine PNG bytes is decoded by
+    the stdlib codec (sources/png.py) and featurized from its ACTUAL
+    pixels — per-channel means/stds, normalized dims, and an 8-bin
+    grayscale histogram, projected up/down to ``dim``.  Non-PNG payloads
+    keep the byte-head projection (the deterministic stand-in for an
+    absent learned encoder)."""
 
     def __init__(self, dim: int = 16):
         rng = np.random.RandomState(1234)
         self.proj = rng.standard_normal((64, dim)).astype(np.float32)
+        self.dim = dim
+
+    def _pixel_features(self, arr: "np.ndarray") -> "np.ndarray":
+        """16 deterministic stats from decoded pixels, tiled/cut to dim."""
+        a = arr.astype(np.float32)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        h, w, ch = a.shape
+        gray = a.mean(axis=2)
+        hist = np.histogram(gray, bins=8, range=(0.0, 256.0))[0]
+        hist = hist.astype(np.float32) / max(1, gray.size)
+        chans = np.zeros(6, dtype=np.float32)
+        for c in range(min(3, ch)):
+            chans[c] = a[:, :, c].mean() / 255.0
+            chans[3 + c] = a[:, :, c].std() / 255.0
+        base = np.concatenate(
+            [chans, [w / 4096.0, h / 4096.0], hist]
+        ).astype(np.float32)  # 16 values
+        reps = -(-self.dim // base.size)
+        return np.tile(base, reps)[: self.dim]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats: List[np.ndarray] = []
         for payload in batch["image"].to_pylist():
             if not payload:
-                feats.append(np.zeros(self.proj.shape[1], dtype=np.float32))
+                feats.append(np.zeros(self.dim, dtype=np.float32))
                 continue
+            if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+                from langscrape_ray.sources.png import (
+                    BadPng,
+                    UnsupportedPng,
+                    read_png,
+                )
+
+                try:
+                    feats.append(self._pixel_features(read_png(bytes(payload))))
+                    continue
+                except (BadPng, UnsupportedPng):
+                    pass
             head = np.frombuffer(bytes(payload[:64]).ljust(64, b"\0"), dtype=np.uint8)
             feats.append((head.astype(np.float32) / 255.0) @ self.proj)
         cols = {n: batch[n] for n in batch.column_names if n != "image"}

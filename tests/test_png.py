@@ -152,3 +152,33 @@ def test_sample_video_frames_real_avi_path():
     except ImportError:
         with pytest.raises(NotImplementedError):
             SampleVideoFrames(stride=2, fake=False)(other)
+
+
+def test_image_features_from_real_pixels():
+    """ImageFeatureStub on genuine PNG bytes featurizes the DECODED pixels
+    (channel means/stds, dims, gray histogram), not the byte head."""
+    from langscrape_ray.stages.multimodal import ImageFeatureStub
+
+    solid = np.zeros((10, 20, 3), np.uint8)
+    solid[:, :, 0] = 200  # pure red 200
+    batch = pa.table(
+        {
+            "img_id": pa.array([0, 1], pa.int64()),
+            "image": pa.array(
+                [png_bytes(solid), b"not-an-image-head" + b"\0" * 50],
+                pa.binary(),
+            ),
+        }
+    )
+    out = ImageFeatureStub(dim=16)(batch)
+    emb = np.array(out["embedding"].to_pylist(), dtype=np.float32)
+    assert emb.shape == (2, 16)
+    f = emb[0]
+    assert abs(f[0] - 200 / 255.0) < 1e-6  # mean_r
+    assert abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6  # mean_g/b zero
+    assert abs(f[3]) < 1e-6  # std_r zero (solid)
+    assert abs(f[6] - 20 / 4096.0) < 1e-6 and abs(f[7] - 10 / 4096.0) < 1e-6
+    # gray = 200/3 ≈ 66.7 -> histogram bin 2 of 8 gets everything
+    assert abs(f[8 + 2] - 1.0) < 1e-6
+    # the non-PNG row keeps the projection path (non-degenerate values)
+    assert np.abs(emb[1]).sum() > 0
