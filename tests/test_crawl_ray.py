@@ -281,3 +281,52 @@ def test_pages_store_shard_count_mismatch_raises(tmp_path):
         PagesStore(path=str(path), partitioned=True, num_shards=2)
     PagesStore(path=str(path), partitioned=True, num_shards=4)
     PagesStore(path=str(path), partitioned=True, num_shards=8)
+
+
+def test_crawl_hot_host_skew_parity(ray_session):
+    """EXTREME hot-host skew (one host holds 70% of all pages — the
+    north-rule's 10^10-frontier failure mode): the distributed crawl must
+    still reproduce the oracle exactly, AND the politeness budget must
+    bound the hot host's per-round fetch share — the mechanism that
+    breaks skew at scale (hash(host) spreads hosts across shards; within
+    a shard the per-host queue caps work, so no worker drowns)."""
+    from langscrape_ray.sources.fixtures_gen import (
+        FixtureConfig,
+        build_pages_table,
+        build_robots_table,
+        build_seeds_table,
+    )
+
+    cfg = FixtureConfig(
+        n_pages=400, n_hosts=8, n_seeds=24, hot_host_share=0.7, seed=17
+    )
+    pages = build_pages_table(cfg)
+    seeds = build_seeds_table(cfg)
+    robots = build_robots_table(cfg)
+    policy = CrawlPolicy(max_rounds=3)
+
+    otrace, oseen = oracle_crawl(
+        _seedlist(seeds), pages_dict(pages), robots_dict(robots), policy
+    )
+    crawl = _make_crawl(cfg, pages, robots, policy)
+    res = crawl.run(seeds)
+
+    ofetched = [(r["seq"], r["url"]) for r in otrace if r["status"] == "fetched"]
+    assert [(r["seq"], r["url"]) for r in res["trace_fetched"]] == ofetched
+    assert res["seen_size"] == len(oseen)
+    oc = collections.Counter(r["status"] for r in otrace)
+    for key in ("rejected", "deduped", "fetched", "deferred"):
+        assert res["counters"].get(key, 0) == oc.get(key, 0), key
+
+    # the skew-breaking property: per round, the hot host fetches at most
+    # the politeness budget, regardless of owning 70% of the frontier
+    hot = host_name(cfg, 0)
+    per_round = collections.Counter()
+    for r in res["trace_fetched"]:
+        if f"//{hot}/" in r["url"]:
+            per_round[r["round"]] += 1
+    assert per_round, "hot host never fetched — fixture drifted"
+    assert all(v <= policy.max_per_host_per_round for v in per_round.values())
+    # and the skew actually exists in the world: the hot host dominates
+    hot_pages = sum(1 for u in pages["url"].to_pylist() if f"//{hot}/" in u)
+    assert hot_pages >= int(0.6 * pages.num_rows)
