@@ -394,8 +394,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,
-        # TPC-H Q5-style multi-hop join, every hop pre-reduced (SQL-oracled)
-        "q5_nation_revenue": analytics.q5_nation_revenue,
         # multimodal ingest: real binary payload -> resize -> decode actor
         # pipeline; SQL oracle = closed form of the deterministic payload
         # rule (same oracle pattern as table_stats)
@@ -451,6 +449,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word length / bullet / ellipsis / symbol / stop-word rules via
         # int64 cross-multiplication); SQL-oracled hash-exact
         "gopher_quality": textstats.gopher_quality,
+        # INTERSECT set operation (NEW round 4): per-batch-distinct
+        # side-bit rows, ONE groupby Max-fold per bit, both-bits
+        # survivors — the set family's last member (union/anti exist);
+        # SQL-oracled (INTERSECT)
+        "q_intersect": analytics.q_intersect,
         # composite training-data prep flagship: fused lang-ID + quality
         # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
         # rollup, ONE streaming flow (SQL-oracled end to end)
@@ -462,8 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantile_gate / source_overlap / lm_familiarity / shuffle_shards
         # / substring_dedup / mix_sample / link_pagerank / pack_sequences
         # / boilerplate_prune / source_mix_weights / xpath_extract /
-        # table_stats rotated out to admit the 9 NEW round-4 oracled ops
-        # above — all r3 hash-exact, code untouched.
+        # table_stats / q5_nation_revenue rotated out to admit the 10 NEW
+        # round-4 oracled ops above — all r3 hash-exact, code untouched.
         # RefinedWeb-style exact substring dedup, first-occurrence-wins
         # (packed occurrence keys -> per-gram min -> co-partitioned join
         # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
@@ -472,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # F9 table extraction shape stats (SQL-oracled closed form over the
         # deterministic planted-table rule; the Ray side runs the real
         # parse + extract_tables_recursive kernel)
+        # TPC-H Q5-style multi-hop join, every hop pre-reduced (SQL-oracled)
+        "q5_nation_revenue": analytics.q5_nation_revenue,
         "table_stats": tables.table_stats,
         "xpath_extract": tables.xpath_extract,
         "substring_dedup": dedup.substring_dedup,
@@ -1954,6 +1959,12 @@ def oracle_sql() -> dict[str, str]:
                                   THEN (doc_id * 7 + i) % 256
                                   ELSE 0 END)) AS BIGINT) AS sum_b
             FROM documents ORDER BY doc_id
+        """,
+        "q_intersect": """
+            SELECT CAST(user_id AS BIGINT) AS key FROM events
+            INTERSECT
+            SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+            ORDER BY key
         """,
         # the published Gopher thresholds, every comparison int64
         # cross-multiplied; split semantics matched to Python str.split

@@ -1486,3 +1486,45 @@ def q_group_median(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
+
+
+def q_intersect(sf_dir: str) -> pd.DataFrame:
+    """(key,): distinct keys present on BOTH sides — event user_ids that
+    are also customer keys (the INTERSECT set operation, completing the
+    set family next to ordered-union and the anti-join EXCEPT shape).
+
+    Ray shape: each side enters the exchange as per-batch-distinct
+    (key, side_bit) rows with side_bit 1 or 2; ONE ``groupby(key)`` Max
+    fold per bit — implemented as a single Sum over per-side-distinct
+    bits is WRONG under multi-block duplicates, so the fold is
+    Max(side1), Max(side2) — and survivors need both bits set.  Both
+    inputs stream; the exchange carries one row per distinct key per
+    side per block, never the fact tables.  SQL oracle: INTERSECT.
+    """
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def side(col: str, bit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = pc.unique(pc.cast(t[col], pa.int64()))
+            n = len(keys)
+            return pa.table(
+                {
+                    "key": keys,
+                    "s1": pa.array([1 if bit == 1 else 0] * n, pa.int64()),
+                    "s2": pa.array([1 if bit == 2 else 0] * n, pa.int64()),
+                }
+            )
+
+        return fn
+
+    folded = (
+        ev.map_batches(side("user_id", 1), batch_format="pyarrow")
+        .union(cust.map_batches(side("c_custkey", 2), batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(Max("s1", alias_name="s1"), Max("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    out = folded[(folded["s1"] == 1) & (folded["s2"] == 1)][["key"]]
+    out["key"] = out["key"].astype("int64")
+    return out.sort_values("key").reset_index(drop=True)

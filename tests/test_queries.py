@@ -110,6 +110,7 @@ def _to_df(x):
         "png_roundtrip",
         "avi_frames",
         "gopher_quality",
+        "q_intersect",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
