@@ -207,16 +207,19 @@ class ResizeImageStub:
                     BadPng,
                     UnsupportedPng,
                     png_bytes,
+                    png_meta,
                     read_png,
                     resize_nearest,
                 )
 
                 try:
+                    # header-only sniff first: the fits-already no-op path
+                    # must cost O(IHDR), not a full inflate+unfilter
+                    w, h, _ch = png_meta(bytes(payload))
+                    if w <= self.max_w and h <= self.max_h:
+                        return payload
                     arr = read_png(bytes(payload))
                 except (BadPng, UnsupportedPng):
-                    return payload
-                if (arr.shape[1] <= self.max_w
-                        and arr.shape[0] <= self.max_h):
                     return payload
                 return png_bytes(
                     resize_nearest(arr, self.max_w, self.max_h)
