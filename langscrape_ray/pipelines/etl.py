@@ -300,6 +300,7 @@ def charset_roundtrip(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        via_bytes, batch_format="pyarrow", batch_size=512
-    )
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,  # fan out the six-codec encode/decode
+    ).map_batches(via_bytes, batch_format="pyarrow", batch_size=512)

@@ -355,7 +355,13 @@ def png_roundtrip(sf_dir: str, max_w: int = 32, max_h: int = 32) -> "rd.Dataset"
             }
         )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # a single small parquet file plans as ONE block, which would serialize
+    # the per-pixel encode/decode work; split the read so the codec chain
+    # fans out (at 100 TB the row groups do this naturally)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        override_num_blocks=16,
+    )
     return (
         docs.map_batches(attach_png, batch_format="pyarrow", batch_size=256)
         .map_batches(
@@ -425,7 +431,10 @@ def avi_frames(sf_dir: str, stride: int = 2) -> "rd.Dataset":
             }
         )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        override_num_blocks=16,  # fan out the codec chain (see png_roundtrip)
+    )
     return (
         docs.map_batches(attach_avi, batch_format="pyarrow", batch_size=256)
         .map_batches(
