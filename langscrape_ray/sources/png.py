@@ -62,6 +62,18 @@ def png_bytes(arr: np.ndarray, filters: Optional[List[int]] = None) -> bytes:
     if ch not in _COLOR_TYPE:
         raise UnsupportedPng(f"{ch}-channel arrays not encodable")
     filters = filters or [0]
+    if filters == [0]:
+        # all-None filtering (the default encode) needs no per-row loop:
+        # one filter byte column + the raw scanlines
+        buf = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+        buf[:, 1:] = a.reshape(h, w * ch)
+        ihdr0 = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
+        return (
+            _SIG
+            + _chunk(b"IHDR", ihdr0)
+            + _chunk(b"IDAT", zlib.compress(buf.tobytes()))
+            + _chunk(b"IEND", b"")
+        )
     bpp = ch
     raw = bytearray()
     prev = np.zeros((w, ch), dtype=np.uint8)
