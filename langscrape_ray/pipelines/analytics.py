@@ -1518,13 +1518,20 @@ def q_intersect(sf_dir: str) -> pd.DataFrame:
 
         return fn
 
+    def both_sides(t: pa.Table) -> pa.Table:
+        # filter ON THE WORKERS: only intersection rows reach the driver
+        # (the fold output is distinct-key-sized; shipping the union would
+        # be corpus-sized at 10^10 keys)
+        mask = pc.and_(pc.equal(t["s1"], 1), pc.equal(t["s2"], 1))
+        return t.filter(mask).select(["key"])
+
     folded = (
         ev.map_batches(side("user_id", 1), batch_format="pyarrow")
         .union(cust.map_batches(side("c_custkey", 2), batch_format="pyarrow"))
         .groupby("key")
         .aggregate(Max("s1", alias_name="s1"), Max("s2", alias_name="s2"))
+        .map_batches(both_sides, batch_format="pyarrow")
         .to_pandas()
     )
-    out = folded[(folded["s1"] == 1) & (folded["s2"] == 1)][["key"]]
-    out["key"] = out["key"].astype("int64")
-    return out.sort_values("key").reset_index(drop=True)
+    folded["key"] = folded["key"].astype("int64")
+    return folded.sort_values("key").reset_index(drop=True)
