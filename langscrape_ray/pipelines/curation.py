@@ -1399,9 +1399,24 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
             }
         )
 
-    cand = ds.map_batches(
-        partial_topk, batch_format="pyarrow"
-    ).to_pandas()
+    def refold(t: pa.Table) -> pa.Table:
+        # second-level reservoir merge: top-k of a union of per-block
+        # top-ks IS the global top-k, so folding k x blocks down to k per
+        # coalesced partition keeps the driver merge k x 8 even at 10^10
+        # docs / 10^5 blocks
+        keys = np.asarray(t["key"], dtype=np.float64)
+        take = min(k, len(keys))
+        if take == 0:
+            return t
+        top = np.argpartition(-keys, take - 1)[:take]
+        return t.take(pa.array(np.sort(top), pa.int64()))
+
+    cand = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(refold, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
     cand = cand.sort_values(
         ["key", "doc_id"], ascending=[False, True]
     ).head(k)
