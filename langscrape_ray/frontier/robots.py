@@ -3,7 +3,8 @@
 New design (SURVEY.md §2.3 T8): the reference has no robots handling (its
 stealth browser bypasses robots entirely).  This parser implements the subset
 the fixtures' robots table uses: ``User-agent: *`` groups, ``Disallow:``
-path-prefix rules, ``Crawl-delay:`` seconds.  Unknown directives are ignored;
+path-prefix rules, ``Crawl-delay:`` seconds, and the group-independent ``Sitemap:``
+directive (feeding the sitemap seed source).  Unknown directives are ignored;
 an absent/empty robots.txt means allow-all with the default delay.
 """
 
@@ -19,6 +20,7 @@ DEFAULT_CRAWL_DELAY_MS = 1000
 class RobotsRules:
     disallow: tuple = field(default_factory=tuple)  # path prefixes
     crawl_delay_ms: int = DEFAULT_CRAWL_DELAY_MS
+    sitemaps: tuple = field(default_factory=tuple)  # Sitemap: urls (global)
 
     def allowed(self, path: str) -> bool:
         return not any(p and path.startswith(p) for p in self.disallow)
@@ -29,6 +31,7 @@ def parse_robots(robots_txt: Optional[str]) -> RobotsRules:
     if not robots_txt:
         return RobotsRules()
     disallow: List[str] = []
+    sitemaps: List[str] = []
     delay_ms = DEFAULT_CRAWL_DELAY_MS
     in_star_group = False
     seen_any_group = False
@@ -39,6 +42,11 @@ def parse_robots(robots_txt: Optional[str]) -> RobotsRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            # per the spec, Sitemap: is GLOBAL — valid outside any group
+            if val:
+                sitemaps.append(val)
+            continue
         if key == "user-agent":
             if seen_any_group and in_star_group:
                 # a new group after ours ends the * group
@@ -53,4 +61,8 @@ def parse_robots(robots_txt: Optional[str]) -> RobotsRules:
                     delay_ms = max(0, int(float(val) * 1000))
                 except ValueError:
                     pass
-    return RobotsRules(disallow=tuple(disallow), crawl_delay_ms=delay_ms)
+    return RobotsRules(
+        disallow=tuple(disallow),
+        crawl_delay_ms=delay_ms,
+        sitemaps=tuple(sitemaps),
+    )

@@ -179,3 +179,20 @@ def harvest_sitemap_seeds(
             "priority": pa.array(all_prios, pa.int64()),
         }
     )
+
+
+def sitemaps_from_robots(robots_bodies) -> List[str]:
+    """Sitemap discovery: collect the group-independent ``Sitemap:`` urls
+    from robots.txt bodies (first-seen order, deduped) — the standard
+    crawl bootstrap chain robots.txt -> sitemap -> seeds, feeding
+    ``harvest_sitemap_seeds``."""
+    from langscrape_ray.frontier.robots import parse_robots
+
+    seen = set()
+    out: List[str] = []
+    for body in robots_bodies:
+        for sm in parse_robots(body).sitemaps:
+            if sm not in seen:
+                seen.add(sm)
+                out.append(sm)
+    return out

@@ -135,3 +135,21 @@ def test_harvested_seeds_drive_the_crawl(ray_session, sitemap_server,
     res = crawl.run(seeds)
     assert res["counters"]["fetched"] == 4  # scheduled (then all miss)
     assert res["counters"]["fetch_miss"] == 4
+
+
+def test_sitemaps_from_robots_chain():
+    """robots.txt -> Sitemap: discovery -> harvest input, deduped in
+    first-seen order; Sitemap: is group-independent per the spec."""
+    from langscrape_ray.sources.sitemap import sitemaps_from_robots
+
+    bodies = [
+        "User-agent: *\nDisallow: /x\nSitemap: https://a.ex/sm.xml\n",
+        # inside a foreign group — still valid (global directive)
+        "User-agent: bot\nDisallow: /\nSitemap: https://b.ex/sm.xml\n",
+        "Sitemap: https://a.ex/sm.xml\n",  # duplicate
+        "User-agent: *\nDisallow:\n",      # none
+    ]
+    assert sitemaps_from_robots(bodies) == [
+        "https://a.ex/sm.xml",
+        "https://b.ex/sm.xml",
+    ]
