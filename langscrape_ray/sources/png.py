@@ -74,34 +74,33 @@ def png_bytes(arr: np.ndarray, filters: Optional[List[int]] = None) -> bytes:
             + _chunk(b"IDAT", zlib.compress(buf.tobytes()))
             + _chunk(b"IEND", b"")
         )
-    bpp = ch
-    raw = bytearray()
-    prev = np.zeros((w, ch), dtype=np.uint8)
-    for y in range(h):
-        row = a[y]
-        ft = filters[y % len(filters)]
-        if ft == 0:
-            enc = row
-        elif ft == 1:  # Sub
-            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
-            enc = (row.astype(np.int16) - left).astype(np.uint8)
-        elif ft == 2:  # Up
-            enc = (row.astype(np.int16) - prev).astype(np.uint8)
-        elif ft == 3:  # Average
-            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
-            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
-            enc = (row.astype(np.int16) - avg).astype(np.uint8)
-        elif ft == 4:  # Paeth
-            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
-            ul = np.vstack([np.zeros((1, ch), np.uint8), prev[:-1]])
-            enc = (row.astype(np.int16) - _paeth(left, prev, ul)).astype(
-                np.uint8
-            )
-        else:
-            raise UnsupportedPng(f"filter {ft}")
-        raw.append(ft)
-        raw.extend(enc.tobytes())
-        prev = row
+    if any(ft not in (0, 1, 2, 3, 4) for ft in filters):
+        raise UnsupportedPng(f"filter set {filters}")
+    # Encode predictors reference the RAW previous scanline (not the
+    # encoded one), so the whole image filters in one vectorized pass:
+    ai = a.astype(np.int16)
+    left = np.zeros_like(ai)
+    left[:, 1:] = ai[:, :-1]
+    up = np.zeros_like(ai)
+    up[1:] = ai[:-1]
+    ul = np.zeros_like(ai)
+    ul[1:, 1:] = ai[:-1, :-1]
+    ftcol = np.array(
+        [filters[y % len(filters)] for y in range(h)], dtype=np.uint8
+    )
+    pred = np.zeros_like(ai)
+    pred[ftcol == 1] = left[ftcol == 1]
+    pred[ftcol == 2] = up[ftcol == 2]
+    pred[ftcol == 3] = ((left + up) // 2)[ftcol == 3]
+    if np.any(ftcol == 4):
+        pred[ftcol == 4] = _paeth(
+            left[ftcol == 4], up[ftcol == 4], ul[ftcol == 4]
+        )
+    enc = (ai - pred).astype(np.uint8).reshape(h, w * ch)
+    buf = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    buf[:, 0] = ftcol
+    buf[:, 1:] = enc
+    raw = buf.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
     return (
         _SIG
