@@ -213,7 +213,7 @@ class PagesStore:
                 self._refs.append(ray.put((shard, index)))
         return self._refs
 
-    def fetch_with_meta(self, meta_tbl: pa.Table, chunk_rows: int = 256) -> rd.Dataset:
+    def fetch_with_meta(self, meta_tbl: pa.Table, chunk_rows: int = 512) -> rd.Dataset:
         """meta_tbl: (url, seq, round, priority, order_key, fetch_ms) for
         the round's fetch list.  Returns a Dataset of meta + (html, warc_ts)
         for the urls present in the store (misses dropped).
