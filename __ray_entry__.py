@@ -2086,7 +2086,7 @@ def oracle_sql() -> dict[str, str]:
                                   i, 1)) - 1)
                    * CAST(pow(16, 8 - i) AS BIGINT))) + 1.0)
                 / 4294967296.0 AS u
-              FROM documents),
+              FROM documents WHERE n_chars > 0),
             keyed AS (
               SELECT doc_id, source, n_chars, ln(u) / n_chars AS key
               FROM u)

@@ -1377,6 +1377,9 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
 
     def partial_topk(t: pa.Table) -> pa.Table:
+        # zero-weight docs never win (ln(u)/0 -> -inf, nan at u==1):
+        # filtered on BOTH engines (oracle carries WHERE n_chars > 0)
+        t = t.filter(pc.greater(t["n_chars"], 0))
         ids = t["doc_id"].to_pylist()
         w = np.asarray(t["n_chars"], dtype=np.float64)
         u = np.array(
@@ -1389,7 +1392,13 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
         ) / 4294967296.0
         key = np.log(u) / w
         take = min(k, len(ids))
-        top = np.argpartition(-key, take - 1)[:take] if take else []
+        # lexsort, not argpartition: a key tie crossing the k boundary
+        # must keep the doc_id-ascending row the oracle's ORDER BY keeps
+        if take:
+            order = np.lexsort((np.asarray(ids, dtype=np.int64), -key))
+            top = order[:take]
+        else:
+            top = np.array([], dtype=np.int64)
         return pa.table(
             {
                 "doc_id": pa.array([ids[i] for i in top], pa.int64()),
@@ -1408,8 +1417,10 @@ def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
         take = min(k, len(keys))
         if take == 0:
             return t
-        top = np.argpartition(-keys, take - 1)[:take]
-        return t.take(pa.array(np.sort(top), pa.int64()))
+        order = np.lexsort(
+            (np.asarray(t["doc_id"], dtype=np.int64), -keys)
+        )
+        return t.take(pa.array(np.sort(order[:take]), pa.int64()))
 
     cand = (
         ds.map_batches(partial_topk, batch_format="pyarrow")

@@ -975,6 +975,10 @@ def mix_sample(
 _GOPHER_STOPS = frozenset(
     ["the", "be", "to", "of", "and", "that", "have", "with"]
 )
+# ASCII-only whitespace, NOT str.split(): the DuckDB oracle tokenizes
+# with RE2 '\s+' which is ASCII-only, while Python str.split() also
+# splits on U+00A0/U+2028/etc. — the two must agree byte-for-byte
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def gopher_quality(sf_dir: str) -> "rd.Dataset":
@@ -1004,7 +1008,7 @@ def gopher_quality(sf_dir: str) -> "rd.Dataset":
             "n_words", "sum_word_chars", "n_lines", "n_bullet_lines",
             "n_ellipsis_lines", "n_symbols", "n_stop", "keep")}
         for x in texts:
-            words = x.split()
+            words = [w for w in _ASCII_WS.split(x) if w]
             nw = len(words)
             swc = sum(len(w) for w in words)
             lines = x.split("\n")

@@ -148,7 +148,12 @@ def read_avi(data: bytes) -> Tuple[np.ndarray, int]:
             if kind in (b"hdrl", b"strl", b"movi"):
                 pos += 12  # descend into headers AND frame data
                 continue
-        elif tag in (b"00db", b"00dc"):
+        elif tag == b"00dc":
+            # '00dc' marks a COMPRESSED-stream chunk: even when the strh
+            # fourcc is the tolerated all-zero value, decoding it as a raw
+            # DIB would silently mis-decode whenever the size coincides
+            raise UnsupportedAvi("compressed frame chunk '00dc'")
+        elif tag == b"00db":
             raw = data[pos + 8 : pos + 8 + ln]
             if len(raw) != row_len * h:
                 raise BadAvi(f"frame size {len(raw)} != {row_len * h}")

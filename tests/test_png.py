@@ -120,6 +120,19 @@ def test_avi_gates():
         avi_meta(bytes(data))
 
 
+def test_avi_00dc_chunk_rejected():
+    """A '00dc' (compressed-stream) frame chunk must raise UnsupportedAvi
+    even when its size coincides with the raw DIB size — never silently
+    decode compressed bytes as pixels."""
+    from langscrape_ray.sources.avi import UnsupportedAvi, avi_bytes, read_avi
+
+    data = bytearray(avi_bytes(np.zeros((2, 4, 4, 3), np.uint8)))
+    i = data.index(b"00db")  # first frame chunk
+    data[i : i + 4] = b"00dc"
+    with pytest.raises(UnsupportedAvi):
+        read_avi(bytes(data))
+
+
 def test_sample_video_frames_real_avi_path():
     """SampleVideoFrames(fake=False) on a REAL AVI: stdlib demux, sampled
     frames come back as REAL PNGs whose pixels equal the originals."""
