@@ -473,16 +473,40 @@ def _pair_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
 def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
                        n_parts: Optional[int], shingle_len: int = 3,
                        round_first: bool = True) -> pd.DataFrame:
-    """Join-tail verify for candidate sets too big to broadcast: each
-    pair's two texts arrive via co-partitioned hash joins on doc_id.
+    """Join-tail verify for candidate sets too big to broadcast —
+    driver-resident wrapper of ``_verify_pairs_join_ds``."""
+    out = _verify_pairs_join_ds(
+        rd.from_pandas(pairs_pd), sf_dir, threshold,
+        n_parts if n_parts is not None else _join_parts(n_rows=len(pairs_pd)),
+        shingle_len, round_first,
+    )
+    if out is None:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.to_pandas()
+
+
+def _verify_pairs_join_ds(pairs_ds: "rd.Dataset", sf_dir: str,
+                          threshold: float, n_parts: int,
+                          shingle_len: int = 3,
+                          round_first: bool = True) -> "Optional[rd.Dataset]":
+    """Dataset-returning core of the join-tail verify: each candidate
+    pair's two texts arrive via co-partitioned hash joins on doc_id, the
+    exact shingle Jaccard filters, and the verified edge set STAYS a
+    Dataset — the 100-TB path feeds it straight into the distributed CC
+    tier without ever collecting edges on the driver.  Returns None when
+    the candidate set is empty (callers pick their empty shape).
     ``round_first`` as in ``_verify_pairs_semijoin``."""
     from langscrape_ray.pipelines.util import compact_for_join
 
     # compact so no empty block reaches the join (empty first blocks break
     # Ray's join schema broadcast — see compact_for_join)
-    pairs = compact_for_join(rd.from_pandas(pairs_pd))
-    if n_parts is None:
-        n_parts = _join_parts(n_rows=len(pairs_pd))
+    pairs = compact_for_join(pairs_ds)
+    if pairs.count() == 0:
+        return None
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     agg_args = {"num_cpus": 0.25}
 
@@ -494,11 +518,7 @@ def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
     # re-compact between the two joins for the same empty-block reason
     joined = compact_for_join(joined)
     if joined.count() == 0:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
+        return None
     joined = joined.join(
         docs, join_type="inner", num_partitions=n_parts,
         on=("doc_b",), right_on=("doc_id",),
@@ -531,7 +551,7 @@ def _verify_pairs_join(sf_dir: str, pairs_pd: pd.DataFrame, threshold: float,
             return out[out["jaccard"] >= threshold]
         return out[raw >= threshold]
 
-    return joined.map_batches(verify, batch_format="pandas").to_pandas()
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -730,6 +750,126 @@ def _cc_union_find(pairs: pd.DataFrame) -> dict:
     return {v: find(v) for v in list(parent)}
 
 
+def _cc_labels_distributed(pairs_ds: "rd.Dataset", a_col: str = "vec_a",
+                           b_col: str = "vec_b", max_iters: int = 25,
+                           iter_log: Optional[list] = None) -> "rd.Dataset":
+    """Distributed min-label connected components over an EDGE DATASET —
+    the above-one-node tier of ``_cc_union_find`` (which stays the local
+    finish while the near-dup edge list fits on a single node).
+
+    Algorithm: iterated neighbor-min label propagation WITH a per-round
+    POINTER-DOUBLING shortcut (label := label(label)), the shortcutting
+    idea of the MapReduce-CC literature (Rastogi et al. 2013 Hash-to-Min;
+    Kiveris et al. 2014 large-star/small-star).  Plain neighbor-min alone
+    needs O(component diameter) rounds — an adversarial chain-shaped
+    near-dup cluster (paginated series, boilerplate chains) turns that
+    into hundreds; with doubling the label's hop-distance to the
+    component min at least halves per round, so convergence is
+    O(log diameter) and ``max_iters=25`` covers diameters beyond 10^7.
+
+    Per-iteration exchange is bounded by O(|E| + |touched V|): ONE
+    edges⋈labels hash join (propagate), ONE groupby-min (merge), ONE
+    labels⋈labels self-join (shortcut).  Labels only ever decrease and
+    label(u) <= u invariantly (init self, min-merges), so every label
+    value is itself a touched vertex and the shortcut join is total —
+    replacement needs no extra min-merge.  The driver sees one int64
+    checksum per round (monotone fixpoint detection), never the edges.
+
+    Returns (vec_id, label) for TOUCHED vertices (edge endpoints) only;
+    callers fill untouched corpus ids with label := vec_id via ONE
+    left-outer join (see ``embedding_cc_clusters``).  ``iter_log``, when
+    given, records one entry per executed round (tests bound round count
+    to prove the log-diameter behavior)."""
+    from ray.data.aggregate import Min
+
+    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
+
+    label_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64())])
+    agg_args = {"num_cpus": 0.25}
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col], dtype=np.int64)
+        b = np.asarray(t[b_col], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    # compact: aggregate-derived edge sources can carry zero-row blocks,
+    # which break the hash-join schema broadcast (see compact_for_join);
+    # 64 blocks keeps each near-dup-sized edge shard worker-resident
+    edges = compact_for_join(
+        pairs_ds.map_batches(sym, batch_format="pyarrow"), max_blocks=64
+    )
+
+    # touched vertices: distinct edge endpoints, labeled self.  Derived
+    # from the edge set itself (groupby-distinct) — tiny vs the corpus.
+    labels = compact_for_join(
+        ensure_schema(
+            edges.map_batches(
+                lambda t: pa.table({"vec_id": t["src"], "label": t["src"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("vec_id")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema,
+        )
+    )
+    n_parts = _join_parts(4, n_rows=labels.count())
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # 1) propagate: each edge sends src's current label to dst
+        prop = edges.join(
+            labels, join_type="inner", num_partitions=n_parts,
+            on=("src",), right_on=("vec_id",),
+            aggregator_ray_remote_args=agg_args,
+        ).map_batches(
+            lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        # 2) merge: min over (self, all neighbor proposals)
+        labels = compact_for_join(
+            ensure_schema(
+                labels.union(prop)
+                .groupby("vec_id")
+                .aggregate(Min("label", alias_name="label")),
+                label_schema,
+            )
+        )
+        # 3) shortcut: label := label(label) — halves hop-distance
+        reps = labels.map_batches(
+            lambda t: pa.table(
+                {"rep_id": t["vec_id"], "rep_label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = compact_for_join(
+            ensure_schema(
+                labels.join(
+                    reps, join_type="inner", num_partitions=n_parts,
+                    on=("label",), right_on=("rep_id",),
+                    aggregator_ray_remote_args=agg_args,
+                ).map_batches(
+                    lambda t: pa.table(
+                        {"vec_id": t["vec_id"], "label": t["rep_label"]}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                label_schema,
+            )
+        )
+        cur_sum = labels.sum("label")
+        if iter_log is not None:
+            iter_log.append(int(cur_sum))
+        if cur_sum == prev_sum:  # min-labels are monotone: fixpoint
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
                           max_iters: int = 25,
                           local_edge_limit: int = 2_000_000,
@@ -740,10 +880,12 @@ def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
     pipeline — pairs alone can't drop rows; components pick one keeper per
     duplicate cluster.
 
-    ``pairs_fn`` is the edge source — (sf_dir, threshold=...) -> DataFrame
-    with (vec_a, vec_b, ...) columns.  The DEFAULT is the bucketed LSH
-    generator (``embedding_neardup_lsh``): no corpus broadcast, no
-    full-matrix matmul — the 10^9-vector shape.  Pass
+    ``pairs_fn`` is the edge source — (sf_dir, threshold=...) -> edge
+    DATASET or DataFrame with (vec_a, vec_b, ...) columns.  The DEFAULT
+    is the bucketed LSH generator's Dataset form
+    (``embedding_neardup_lsh_ds``): no corpus broadcast, no full-matrix
+    matmul, and above ``local_edge_limit`` the edges feed the
+    distributed CC tier without ever touching the driver.  Pass
     ``embedding_neardup_pairs`` (exact all-pairs) for the exactness
     baseline; ``embedding_cc_clusters_exact`` wraps that and backs the
     SQL-oracled ``dedup_cc`` query, while the LSH default is rows-only
@@ -754,24 +896,34 @@ def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
     (<= ``local_edge_limit`` edges) components come from a driver-side
     union-find and the corpus is labeled in ONE broadcast map_batches
     pass — no iteration, no shuffle (the standard local-phase finish in
-    distributed CC implementations).  Above the limit, the distributed
-    path iterates only over the TOUCHED vertex set (edge endpoints):
-    per iteration ONE hash join (edges ⋈ touched-labels on src) + ONE
-    groupby-min shuffle; converges in O(component diameter) rounds
-    (driver checks a scalar label-sum).  Untouched vertices join back
+    distributed CC implementations).  Above the limit,
+    ``_cc_labels_distributed`` iterates only over the TOUCHED vertex set
+    (edge endpoints) — hash-to-min propagation plus a pointer-doubling
+    shortcut per round, so convergence is O(log diameter) with O(|E|)
+    exchange per round (driver sees one scalar checksum; edges never
+    leave the workers).  Untouched vertices join back
     once at the end via a left-outer join with label := vec_id fill —
     one corpus-sized pass total instead of one per iteration.  SQL
     oracle: recursive transitive closure + min per node."""
     import ray
-    from ray.data.aggregate import Min
 
     emb_ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     if pairs_fn is None:
-        pairs_fn = embedding_neardup_lsh
+        pairs_fn = embedding_neardup_lsh_ds
     pairs = pairs_fn(sf_dir, threshold=threshold)
+    # the edge source may be a DATASET (default scale path — the edge list
+    # never lands on the driver) or a DataFrame (exactness baselines)
+    if isinstance(pairs, rd.Dataset):
+        pairs = pairs.materialize()
+        n_edges = pairs.count()
+    else:
+        n_edges = len(pairs)
 
-    if not pairs.empty and len(pairs) <= local_edge_limit:
-        rep_ref = ray.put(_cc_union_find(pairs))
+    if 0 < n_edges <= local_edge_limit:
+        pairs_pd = (
+            pairs.to_pandas() if isinstance(pairs, rd.Dataset) else pairs
+        )
+        rep_ref = ray.put(_cc_union_find(pairs_pd))
 
         class LabelLookup:
             def __init__(self, ref):
@@ -798,61 +950,22 @@ def embedding_cc_clusters(sf_dir: str, threshold: float = 0.4,
     def self_labels(t: pa.Table) -> pa.Table:
         return pa.table({"vec_id": t["vec_id"], "label": t["vec_id"]})
 
-    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
-
-    label_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64())])
-
-    if pairs.empty:
+    if n_edges == 0:
         out = emb_ids.map_batches(self_labels, batch_format="pyarrow").to_pandas()
         out = out.astype({"vec_id": "int64", "label": "int64"})
         out = out.rename(columns={"label": "cluster_rep"})
         return out.sort_values("vec_id").reset_index(drop=True)
 
-    both = pd.DataFrame(
-        {
-            "src": pd.concat([pairs["vec_a"], pairs["vec_b"]], ignore_index=True),
-            "dst": pd.concat([pairs["vec_b"], pairs["vec_a"]], ignore_index=True),
-        }
-    ).astype("int64")
-    edges = rd.from_pandas(both).materialize()
-    # touched vertices: distinct edge endpoints.  Derived from the edge set
-    # itself (groupby-distinct), so it inherits the edge set's partitioning
-    # and is tiny relative to the corpus.
-    labels = compact_for_join(
-        ensure_schema(
-            edges.map_batches(
-                lambda t: pa.table({"vec_id": t["src"], "label": t["src"]}),
-                batch_format="pyarrow",
-            )
-            .groupby("vec_id")
-            .aggregate(Min("label", alias_name="label")),
-            label_schema,
-        )
+    # distributed tier: hash-to-min + pointer doubling over the edge
+    # Dataset — the edge list never lands on the driver
+    pairs_ds = (
+        pairs if isinstance(pairs, rd.Dataset)
+        else rd.from_pandas(pairs[["vec_a", "vec_b"]])
+    )
+    labels = _cc_labels_distributed(
+        pairs_ds, "vec_a", "vec_b", max_iters=max_iters
     )
     n_parts = _join_parts(4, n_rows=labels.count())
-
-    prev_sum = None
-    for _ in range(max_iters):
-        prop = edges.join(
-            labels, join_type="inner", num_partitions=n_parts,
-            on=("src",), right_on=("vec_id",),
-            aggregator_ray_remote_args={"num_cpus": 0.25},
-        ).map_batches(
-            lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        labels = compact_for_join(
-            ensure_schema(
-                labels.union(prop)
-                .groupby("vec_id")
-                .aggregate(Min("label", alias_name="label")),
-                label_schema,
-            )
-        )
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:  # min-labels are monotone: fixpoint
-            break
-        prev_sum = cur_sum
 
     # single corpus-sized pass: untouched ids label themselves (right side
     # key renamed so the outer join never carries two `vec_id` columns)
@@ -889,10 +1002,10 @@ def embedding_cc_clusters_exact(sf_dir: str, threshold: float = 0.4,
     )
 
 
-def embedding_neardup_lsh(
+def embedding_neardup_lsh_ds(
     sf_dir: str, threshold: float = 0.4, bands: int = 16, bits_per_band: int = 4,
     seed: int = 1337, n_parts: int = 32,
-) -> pd.DataFrame:
+) -> "rd.Dataset":
     """Bucketed (scale-path) embedding near-dup: random-hyperplane LSH.
 
     ``bands`` independent signatures of ``bits_per_band`` hyperplane sign
@@ -967,7 +1080,9 @@ def embedding_neardup_lsh(
             }
         )
 
-    out = (
+    from langscrape_ray.pipelines.util import ensure_schema
+
+    return ensure_schema(
         emb.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -980,9 +1095,24 @@ def embedding_neardup_lsh(
             Min("vec_b", alias_name="vec_b"),
             Min("cos_e4", alias_name="cos_e4"),
             Count(alias_name="_n"),
-        )
-        .to_pandas()
+        ),
+        pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+             ("cos_e4", pa.int64())]
+        ),
     )
+
+
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.4, bands: int = 16, bits_per_band: int = 4,
+    seed: int = 1337, n_parts: int = 32,
+) -> pd.DataFrame:
+    """Driver-resident wrapper of ``embedding_neardup_lsh_ds`` (float
+    cosine, sorted) — the inspection/test surface; the CC clustering
+    default consumes the Dataset variant so edges never hit the driver."""
+    out = embedding_neardup_lsh_ds(
+        sf_dir, threshold, bands, bits_per_band, seed, n_parts
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"vec_a": pd.Series([], dtype="int64"),
@@ -1274,6 +1404,59 @@ def jaccard_similarity_join(sf_dir: str, threshold: float = 0.5,
     return (
         out.astype({"doc_a": "int64", "doc_b": "int64"})
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
+def _pair_dedup_ds(cands: "rd.Dataset") -> "rd.Dataset":
+    """Cross-bucket candidate dedup IN the Dataset (single-int64 pair-key
+    groupby, see ``_with_pair_key``) — the distributed sibling of the
+    driver-side ``drop_duplicates`` the small tier uses."""
+    from ray.data.aggregate import Count, Min
+
+    from langscrape_ray.pipelines.util import ensure_schema
+
+    return ensure_schema(
+        cands.map_batches(
+            lambda t: _with_pair_key(t, "doc_a", "doc_b"),
+            batch_format="pyarrow",
+        )
+        .groupby("pair_key")
+        .aggregate(
+            Min("doc_a", alias_name="doc_a"),
+            Min("doc_b", alias_name="doc_b"),
+            Count(alias_name="_n"),
+        ),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+
+
+def jaccard_similarity_join_ds(sf_dir: str, threshold: float = 0.5,
+                               shingle_len: int = 3,
+                               n_parts: int = 32,
+                               df_cap: Optional[int] = None,
+                               _cands: "Optional[rd.Dataset]" = None,
+                               ) -> "Optional[rd.Dataset]":
+    """Dataset-returning exact Jaccard join — same semantics as
+    ``jaccard_similarity_join`` but the edge set NEVER lands on the
+    driver: candidates are pair-deduped in the Dataset (pair-key
+    aggregate) and verified through the co-partitioned join tail
+    (``_verify_pairs_join_ds``).  This is the edge source of
+    ``fuzzy_dedup_keep_best``'s distributed tier; returns None when
+    there are no candidates.  ``_cands`` lets a caller that already
+    materialized the candidate Dataset (to count it for tiering) pass
+    it in instead of re-running the corpus shingle pass."""
+    cands = _cands
+    if cands is None:
+        cands = jaccard_candidate_pairs_ds(
+            sf_dir, threshold, shingle_len, n_parts, df_cap,
+            dedup_pairs=False,
+        ).materialize()
+    n_cand = cands.count()
+    if n_cand == 0:
+        return None
+    return _verify_pairs_join_ds(
+        _pair_dedup_ds(cands), sf_dir, threshold,
+        _join_parts(n_rows=n_cand), shingle_len, round_first=False,
     )
 
 
@@ -1607,7 +1790,8 @@ def substring_dedup(sf_dir: str, n: int = 4) -> "rd.Dataset":
 
 
 def fuzzy_dedup_keep_best(
-    sf_dir: str, threshold: float = 0.5, shingle_len: int = 3
+    sf_dir: str, threshold: float = 0.5, shingle_len: int = 3,
+    local_edge_limit: int = 2_000_000, max_iters: int = 25,
 ) -> "rd.Dataset":
     """(doc_id, cluster_rep, kept): the production fuzzy-dedup composite
     (RefinedWeb/FineWeb shape) — near-duplicate clusters keep exactly one
@@ -1623,29 +1807,67 @@ def fuzzy_dedup_keep_best(
          filter; candidate volume ≈ near-dup output size).  Swap in the
          MinHash-LSH pair source for the approximate tier at 100 TB —
          the downstream stages are edge-source-agnostic.
-      2. CC: driver union-find over the near-dup-sized edge list (the
-         same local-phase finish as ``embedding_cc_clusters``, which
-         documents the touched-vertex iterative path once edges outgrow
-         one node).
-      3. KEEPER CHOICE: quality integers are pulled to the driver ONLY
-         for touched docs (edge endpoints — again near-dup-sized, never
-         the corpus) via a pushdown-filtered pass; argmax per cluster is
-         a small pandas groupby.
-      4. LABEL: one stateless broadcast map_batches pass over the corpus
-         emits (doc_id, cluster_rep, kept); untouched docs short-circuit
-         to kept=1 without consulting the keeper table.
+      2. CC: TIERED on the candidate count (the cheap upper bound on the
+         edge count, known before verification).  At or below
+         ``local_edge_limit`` candidates, a driver union-find over the
+         near-dup-sized edge list — the standard local-phase finish.
+         ABOVE it, the fully distributed tail
+         (``_fuzzy_keep_best_distributed``): the verified edge set stays
+         a Dataset end-to-end and components come from
+         ``_cc_labels_distributed`` (hash-to-min + pointer doubling,
+         O(log diameter) rounds, O(|E|) exchange per round).
+      3. KEEPER CHOICE: quality integers computed ONLY for touched docs
+         (edge endpoints — near-dup-sized, never the corpus); small tier
+         pulls them to the driver via a pushdown-filtered pass, the
+         distributed tier computes them behind a docs⋈labels join and
+         picks each cluster's argmax in a groupby.map_groups.
+      4. LABEL: small tier broadcasts (rep, keeper) dicts into one
+         stateless map_batches pass; the distributed tier labels via two
+         left-outer joins (labels on doc_id, keepers on cluster_rep).
+         Untouched docs short-circuit to kept=1 either way.
 
     Quality integers mirror ``textstats.quality_score`` exactly
     (alpha_per_10k = alpha_chars*10000 // n_chars, integer floor) so the
-    SQL oracle is bit-exact.
+    SQL oracle is bit-exact — both tiers produce identical output
+    (tier-parity tested).
     """
     import ray
 
     from .textstats import _ALPHA_RE, _read_docs
 
-    pairs = jaccard_similarity_join(
-        sf_dir, threshold=threshold, shingle_len=shingle_len
-    )
+    # ONE corpus shingle pass: candidates materialized, counted for the
+    # tier decision, then reused by whichever tier runs
+    cands = jaccard_candidate_pairs_ds(
+        sf_dir, threshold, shingle_len, dedup_pairs=False
+    ).materialize()
+    n_cand = cands.count()
+
+    if n_cand > local_edge_limit:
+        edges = jaccard_similarity_join_ds(
+            sf_dir, threshold, shingle_len, _cands=cands
+        )
+        return _fuzzy_keep_best_distributed(
+            sf_dir, edges, max_iters=max_iters
+        )
+
+    # ---- driver tier: candidate set fits on one node ----
+    if n_cand == 0:
+        pairs = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
+    else:
+        pairs_pd = (
+            cands.to_pandas()
+            .drop_duplicates(["doc_a", "doc_b"])
+            .astype({"doc_a": "int64", "doc_b": "int64"})
+        )
+        if len(pairs_pd) > JOIN_TAIL_PAIRS:
+            pairs = _verify_pairs_join(sf_dir, pairs_pd, threshold, None,
+                                       shingle_len, round_first=False)
+        else:
+            pairs = _verify_pairs_semijoin(sf_dir, pairs_pd, threshold,
+                                           shingle_len, round_first=False)
     rep_uf = _cc_union_find(
         pairs.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
     )
@@ -1723,3 +1945,139 @@ def fuzzy_dedup_keep_best(
         )
         .sort("doc_id")
     )
+
+
+def _fuzzy_keep_best_distributed(sf_dir: str, edges: "Optional[rd.Dataset]",
+                                 max_iters: int = 25) -> "rd.Dataset":
+    """Fully distributed tail of ``fuzzy_dedup_keep_best`` — nothing
+    corpus- or edge-sized ever lands on the driver:
+
+      CC        ``_cc_labels_distributed`` over the verified edge Dataset
+                (hash-to-min + pointer doubling).
+      QUALITY   docs ⋈ labels inner join pulls text ONLY for touched
+                docs; alpha/n_chars integers computed per batch.
+      KEEPER    groupby(cluster).map_groups argmax on
+                (alpha DESC, n_chars DESC, doc_id ASC).
+      LABEL     corpus ids ⟕ labels (cluster_rep := coalesce(label,
+                doc_id)), then ⟕ keepers on cluster_rep; kept :=
+                coalesce(keeper, doc_id) == doc_id — untouched docs have
+                no keeper row and short-circuit to kept=1.
+
+    Output identical to the driver tier (tier-parity tested)."""
+    from .textstats import _ALPHA_RE, _read_docs
+    from langscrape_ray.pipelines.util import compact_for_join, ensure_schema
+
+    ids = _read_docs(sf_dir, ["doc_id"])
+    agg_args = {"num_cpus": 0.25}
+
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "cluster_rep": t["doc_id"].cast(pa.int64()),
+                "kept": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    if edges is None:  # no candidates at all: everything is a singleton
+        return ids.map_batches(
+            self_label, batch_format="pyarrow"
+        ).sort("doc_id")
+
+    labels = _cc_labels_distributed(
+        edges, "doc_a", "doc_b", max_iters=max_iters
+    ).materialize()
+    n_touched = labels.count()
+    if n_touched == 0:  # candidates existed but none verified
+        return ids.map_batches(
+            self_label, batch_format="pyarrow"
+        ).sort("doc_id")
+    n_parts = _join_parts(n_rows=n_touched)
+
+    # quality integers for TOUCHED docs only (mirror quality_score)
+    touched_k = labels.map_batches(
+        lambda t: pa.table({"t_vid": t["vec_id"], "rep": t["label"]}),
+        batch_format="pyarrow",
+    )
+    qual = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .join(
+            compact_for_join(touched_k), join_type="inner",
+            num_partitions=n_parts, on=("doc_id",), right_on=("t_vid",),
+            aggregator_ray_remote_args=agg_args,
+        )
+    )
+
+    def quality(t: pa.Table) -> pa.Table:
+        out_a, out_c = [], []
+        for text in t["text"].to_pylist():
+            n = len(text)
+            out_c.append(n)
+            out_a.append(
+                (len(_ALPHA_RE.sub("", text)) * 10000) // n if n else 0
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "rep": t["rep"].cast(pa.int64()),
+                "alpha": pa.array(out_a, pa.int64()),
+                "n_chars": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["alpha", "n_chars", "doc_id"], ascending=[False, False, True]
+        )
+        return pd.DataFrame(
+            {
+                "k_rep": [int(g["rep"].iloc[0])],
+                "keeper": [int(g["doc_id"].iloc[0])],
+            }
+        )
+
+    keepers = compact_for_join(
+        ensure_schema(
+            qual.map_batches(quality, batch_format="pyarrow")
+            .groupby("rep")
+            .map_groups(best, batch_format="pandas"),
+            pa.schema([("k_rep", pa.int64()), ("keeper", pa.int64())]),
+        )
+    )
+
+    # label the corpus: two left-outer joins, one corpus-sized pass each
+    lab = ids.join(
+        touched_k, join_type="left_outer", num_partitions=n_parts,
+        on=("doc_id",), right_on=("t_vid",),
+        aggregator_ray_remote_args=agg_args,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "cluster_rep": pc.coalesce(
+                    t["rep"], t["doc_id"].cast(pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # corpus-sized left side: compact only to drop empty join-output
+    # blocks (schema-broadcast bug), with block count scaled to the data
+    # so this never funnels 100 TB into 8 blocks
+    out = compact_for_join(lab, max_blocks=max(8, n_parts * 8)).join(
+        keepers, join_type="left_outer", num_partitions=n_parts,
+        on=("cluster_rep",), right_on=("k_rep",),
+        aggregator_ray_remote_args=agg_args,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_rep": t["cluster_rep"],
+                "kept": pc.equal(
+                    pc.coalesce(t["keeper"], t["doc_id"]), t["doc_id"]
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort("doc_id")

@@ -203,3 +203,60 @@ def test_fuzzy_dedup_keep_best_planted(ray_session, tmp_path):
     # alpha dominates: doc 1 (all-alpha, longer than 0, lower doc_id
     # than its exact dup 4) must be the keeper over the digit-heavy 2
     assert kept_in_cluster == [1]
+
+
+def test_fuzzy_dedup_tier_parity(ray_session, tmp_path):
+    """The driver union-find tier and the fully distributed tail
+    (local_edge_limit=0 forces it) must emit IDENTICAL
+    (doc_id, cluster_rep, kept) rows — the round-4 verdict's tier-parity
+    requirement for the CC dedup family."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [
+        base,
+        base + " today",
+        base + " today 12345 67890 !!!",
+        "completely different text about quantum flux and tachyon streams",
+        base + " today",
+        "another standalone document with its own words entirely here",
+        "yet another unrelated page about gardens and hedgerows in spring",
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    from langscrape_ray.pipelines.dedup import fuzzy_dedup_keep_best
+
+    driver = fuzzy_dedup_keep_best(sf, threshold=0.5).to_pandas()
+    dist = fuzzy_dedup_keep_best(
+        sf, threshold=0.5, local_edge_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+
+
+def test_cc_distributed_chain_log_rounds(ray_session):
+    """Planted mega-cluster: a 300-node PATH (diameter 299) — the
+    adversarial shape for min-label propagation.  Plain neighbor-min
+    needs ~300 rounds; the pointer-doubling tier must (a) label every
+    node with the component min and (b) converge in O(log diameter)
+    rounds.  Per-round exchange is structurally bounded at O(|E|) (one
+    edges-join + one groupby-min + one labels self-join)."""
+    import ray.data as rd
+
+    from langscrape_ray.pipelines.dedup import _cc_labels_distributed
+
+    n = 300
+    edges = pd.DataFrame(
+        {
+            "vec_a": np.arange(n - 1, dtype=np.int64),
+            "vec_b": np.arange(1, n, dtype=np.int64),
+        }
+    ).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    iter_log = []
+    labels = _cc_labels_distributed(
+        rd.from_pandas(edges), max_iters=25, iter_log=iter_log
+    ).to_pandas()
+    assert len(labels) == n
+    assert (labels["label"] == 0).all()
+    # log-diameter convergence: ceil(log2(300)) == 9; allow fixpoint
+    # detection + slack.  Plain propagation would need 299 rounds.
+    assert len(iter_log) <= 14, iter_log
