@@ -423,6 +423,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path; closed-form oracle over the doc_id pixel rule hash-proves
         # the full encode->inflate->unfilter->decode chain
         "png_roundtrip": media.png_roundtrip,
+        # NEW round 5: documents through the REAL stdlib baseline JPEG
+        # codec (sources/jpeg.py — FDCT/quantize/zigzag/Huffman and the
+        # full decode chain, no PIL).  The fixture family (constant
+        # 8x8 blocks, R=G=B, DC quant step 8) survives the lossy pipe
+        # bit-exact by construction, so the closed-form oracle
+        # hash-proves encode->Huffman->IDCT->upsample->color end to end
+        "jpeg_roundtrip": media.jpeg_roundtrip,
         # NEW round 4: documents through the REAL video container chain —
         # deterministic frames -> genuine uncompressed RIFF/AVI bytes
         # (sources/avi.py) -> the real SampleVideoFrames stdlib demux,
@@ -1958,6 +1965,28 @@ def oracle_sql() -> dict[str, str]:
                         i -> CASE WHEN i % 3 = 2
                                   THEN (doc_id * 7 + i) % 256
                                   ELSE 0 END)) AS BIGINT) AS sum_b
+            FROM documents ORDER BY doc_id
+        """,
+        # closed-form per-channel sums from the constant-block rule:
+        # block b of doc_id is worth 64 * ((doc_id*13 + b*29) % 256) and
+        # R=G=B — the hash proves the real lossy JPEG chain is bit-exact
+        # on this family (see sources/jpeg.py docstring for why)
+        "jpeg_roundtrip": """
+            SELECT doc_id,
+                   CAST(16 * (1 + doc_id % 2) AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(list_sum(list_transform(
+                        range(0, 4 * (1 + doc_id % 2)),
+                        b -> 64 * ((doc_id * 13 + b * 29) % 256)))
+                        AS BIGINT) AS sum_r,
+                   CAST(list_sum(list_transform(
+                        range(0, 4 * (1 + doc_id % 2)),
+                        b -> 64 * ((doc_id * 13 + b * 29) % 256)))
+                        AS BIGINT) AS sum_g,
+                   CAST(list_sum(list_transform(
+                        range(0, 4 * (1 + doc_id % 2)),
+                        b -> 64 * ((doc_id * 13 + b * 29) % 256)))
+                        AS BIGINT) AS sum_b
             FROM documents ORDER BY doc_id
         """,
         "q_intersect": """

@@ -378,6 +378,109 @@ def png_roundtrip(sf_dir: str, max_w: int = 32, max_h: int = 32) -> "rd.Dataset"
     )
 
 
+class _JpegDecodeSums:
+    """Actor-pool stage for jpeg_roundtrip: real header sniff
+    (``jpeg_meta``) + full baseline decode -> per-channel pixel sums.
+    Codec import and DCT-matrix setup happen once per actor."""
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        from langscrape_ray.sources.jpeg import jpeg_meta, read_jpeg
+
+        self._np = np
+        self._meta = jpeg_meta
+        self._read = read_jpeg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        np = self._np
+        ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+        for did, payload in zip(
+            t["doc_id"].to_pylist(), t["image"].to_pylist()
+        ):
+            raw = bytes(payload)
+            w, h, nc = self._meta(raw)  # cheap sniff first (no decode)
+            arr = self._read(raw).astype(np.int64)
+            assert arr.shape == (h, w, nc)
+            ids.append(did)
+            ws.append(w)
+            hs.append(h)
+            sums = arr.sum(axis=(0, 1))
+            sr.append(int(sums[0]))
+            sg.append(int(sums[1]))
+            sb.append(int(sums[2]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+            }
+        )
+
+
+def jpeg_roundtrip(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, width, height, sum_r, sum_g, sum_b): documents through
+    the REAL baseline JPEG codec (``sources/jpeg.py`` — stdlib + numpy,
+    no PIL), distributed — the lossy sibling of ``png_roundtrip``:
+
+      1. deterministic images from doc_id: W = 16*(1 + doc_id%2),
+         H = 16, gray-valued RGB (R=G=B) constant per 8x8 block, block
+         b (raster order) valued ``(doc_id*13 + b*29) % 256``;
+      2. encode to GENUINE 4:2:0 color JPEG bytes — RGB->YCbCr, chroma
+         box-downsample, FDCT, quantize (DC step 8 so constant blocks
+         survive exactly — see sources/jpeg.py docstring), zigzag,
+         differential-DC Huffman, byte stuffing;
+      3. an actor-pool stage header-sniffs (``jpeg_meta``) then runs
+         the full marker walk + Huffman decode + dequant + batch IDCT
+         + chroma upsample + YCbCr->RGB.
+
+    The DuckDB oracle rebuilds the per-channel sums in closed form from
+    the block rule (64 * block value, summed), so the driver hash proves
+    the ENTIRE lossy codec chain is bit-exact on this fixture family —
+    every stage of a real JPEG passes through, including the
+    interleaved-MCU layout and the differential DC chain across blocks.
+    The general lossy path (AC coefficients, arbitrary content, 4:4:4,
+    restart markers, odd dims) is error-bound-tested in
+    tests/test_jpeg.py.  Scale notes: payloads stay worker-local,
+    stateless encode + actor-pool decode, no shuffle."""
+    import numpy as np
+
+    from langscrape_ray.sources.jpeg import exact_dc_tables, jpeg_bytes
+
+    qtabs = exact_dc_tables()
+
+    def attach_jpeg(t: pa.Table) -> pa.Table:
+        payloads: List[bytes] = []
+        for did in t["doc_id"].to_pylist():
+            w = 16 * (1 + did % 2)
+            bx, by = w // 8, 2
+            v = ((did * 13 + np.arange(bx * by, dtype=np.int64) * 29) % 256)
+            blocks = v.astype(np.uint8).reshape(by, bx)
+            gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            rgb = np.stack([gray] * 3, axis=-1)
+            payloads.append(jpeg_bytes(rgb, subsample="420", qtables=qtabs))
+        return pa.table(
+            {"doc_id": t["doc_id"], "image": pa.array(payloads, pa.binary())}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        override_num_blocks=16,  # fan out the codec chain (see png_roundtrip)
+    )
+    return docs.map_batches(
+        attach_jpeg, batch_format="pyarrow", batch_size=256
+    ).map_batches(
+        _JpegDecodeSums,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=0.5,
+    )
+
+
 def avi_frames(sf_dir: str, stride: int = 2) -> "rd.Dataset":
     """(doc_id, frame_idx, ts_ms, width, height, sum_rgb): documents
     through the REAL video container chain, distributed — deterministic

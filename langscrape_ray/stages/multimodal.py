@@ -70,6 +70,19 @@ class DecodeImageMeta:
                     return w, h, "png"
                 except BadPng:
                     return None
+            # REAL tier 1b: stdlib baseline JPEG codec (sources/jpeg.py)
+            if payload is not None and bytes(payload[:2]) == b"\xff\xd8":
+                from langscrape_ray.sources.jpeg import (
+                    BadJpeg,
+                    UnsupportedJpeg,
+                    jpeg_meta,
+                )
+
+                try:
+                    w, h, _nc = jpeg_meta(bytes(payload))
+                    return w, h, "jpeg"
+                except (UnsupportedJpeg, BadJpeg):
+                    return None
             # tier 2: PIL for the other formats, loud when absent
             try:
                 from io import BytesIO
@@ -77,9 +90,10 @@ class DecodeImageMeta:
                 from PIL import Image  # optional dep, absent in container
             except ImportError:
                 raise NotImplementedError(
-                    "real non-PNG image decode requires PIL — not available "
-                    "in this environment; PNG decodes natively "
-                    "(sources/png.py), or run with fake=True for fixture "
+                    "real image decode beyond PNG/baseline-JPEG requires "
+                    "PIL — not available in this environment; PNG decodes "
+                    "natively (sources/png.py), baseline JPEG natively "
+                    "(sources/jpeg.py), or run with fake=True for fixture "
                     "payloads"
                 ) from None
             try:

@@ -108,6 +108,7 @@ def _to_df(x):
         "weighted_sample",
         "charset_roundtrip",
         "png_roundtrip",
+        "jpeg_roundtrip",
         "avi_frames",
         "gopher_quality",
         "q_intersect",
