@@ -581,6 +581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable quantile sketch over o_totalprice (rows-only:
         # rank-error vs exact quantile_disc asserted in tests)
         "orders_quantile_sketch": sketches.orders_quantile_sketch,
+        # per-group quantiles over an UNBOUNDED float domain — the
+        # documented sketch-tier fallback of q_group_median (NEW round
+        # 5; rows-only: approximate by construction, 2%-rank-error
+        # gate in tests/test_queries.py)
+        "q_group_median_sketch": analytics.q_group_median_sketch,
         # DEFLATE-compressibility quality signal (rows-only: DuckDB has no
         # zlib; single-process replay equality asserted in tests)
         "compression_ratio": textstats.compression_ratio,

@@ -1418,8 +1418,8 @@ def q_group_median(sf_dir: str) -> pd.DataFrame:
     (6 x 50 here; a histogram, never the fact table) → driver cumsum +
     interpolation over that tiny table.  At 100 TB the same plan holds
     whenever the value domain is bounded (quantities, scores, bucketed
-    floats); unbounded domains fall back to the quantile-sketch tier
-    (sketches.quantile_sketch).
+    floats); unbounded domains fall back to the per-group sketch tier
+    ``q_group_median_sketch`` (rank-error-bounded, rows-only).
 
     Exactness: l_quantity values are small integers and the 0.25/0.5/
     0.75 fractions are exact binary doubles, so every interpolation
@@ -1486,6 +1486,86 @@ def q_group_median(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
+
+
+def q_group_median_sketch(sf_dir: str, k: int = 256) -> pd.DataFrame:
+    """(l_returnflag, l_linestatus, p25, median, p75, n_rows): per-group
+    quantiles over an UNBOUNDED float domain (l_extendedprice) — the
+    documented fallback tier for ``q_group_median`` when the value
+    domain isn't bounded-int and the (group, value) histogram would be
+    corpus-sized.
+
+    Ray shape (the sketches.py weighted-stride-sample construction, per
+    group): each block emits, per group it touches, a sorted k-point
+    weighted sample (``_quantile_partial``) → ONE ``groupby(group)``
+    ``map_groups`` merges the per-block samples by weighted rank.  The
+    exchange volume is blocks x groups x k floats regardless of row
+    count — never the fact table — so the plan holds at 100 TB for any
+    float column.  Per-block rank error <= n_block/k; the merged
+    estimate's rank error is bounded by the sum of block strides
+    (~N/k with uniform blocks) — the pytest gate asserts exactly that
+    bound against the exact per-group quantiles.
+
+    Rows-only for the driver (approximate by construction); the exact
+    bounded-domain twin ``q_group_median`` keeps its SQL oracle."""
+    from langscrape_ray.pipelines.sketches import (
+        _quantile_partial,
+        _quantile_query,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        stats = t["l_linestatus"].to_numpy(zero_copy_only=False)
+        vals = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        keys = np.char.add(np.char.add(flags.astype("U1"), "|"),
+                           stats.astype("U1"))
+        uk, inv = np.unique(keys, return_inverse=True)
+        gs, pts_l, w_l, n_l = [], [], [], []
+        for gi, key in enumerate(uk):
+            gv = vals[inv == gi]
+            pts, w = _quantile_partial(gv, k)
+            gs.append(str(key))
+            pts_l.append(pts.tolist())
+            w_l.append(w.tolist())
+            n_l.append(len(gv))
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "pts": pa.array(pts_l, pa.list_(pa.float64())),
+                "w": pa.array(w_l, pa.list_(pa.float64())),
+                "n": pa.array(n_l, pa.int64()),
+            }
+        )
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["g"].iloc[0]
+        pts = np.concatenate([np.asarray(p) for p in df["pts"]])
+        w = np.concatenate([np.asarray(x) for x in df["w"]])
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g[0]],
+                "l_linestatus": [g[2]],
+                "p25": [_quantile_query(pts, w, 0.25)],
+                "median": [_quantile_query(pts, w, 0.5)],
+                "p75": [_quantile_query(pts, w, 0.75)],
+                "n_rows": [int(df["n"].sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
 
 
 def q_intersect(sf_dir: str) -> pd.DataFrame:

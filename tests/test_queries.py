@@ -351,6 +351,34 @@ def test_quantile_sketch_rank_error(ray_session, con):
         assert abs(rank - q) <= 0.02, (q, est, rank)
 
 
+def test_group_median_sketch_rank_error(ray_session, con):
+    """The unbounded-domain tier of q_group_median: per-group sketched
+    p25/median/p75 over l_extendedprice must land within 2% rank error
+    of the exact per-group distribution, and n_rows must be exact."""
+    import numpy as np
+
+    from langscrape_ray.pipelines.analytics import q_group_median_sketch
+
+    got = q_group_median_sketch(SF)
+    exact = con.execute(
+        "SELECT l_returnflag, l_linestatus, "
+        "list(l_extendedprice ORDER BY l_extendedprice) AS v "
+        "FROM lineitem GROUP BY 1, 2"
+    ).df()
+    by_g = {
+        (r.l_returnflag, r.l_linestatus): np.asarray(r.v)
+        for r in exact.itertuples()
+    }
+    assert len(got) == len(by_g)
+    for row in got.itertuples():
+        vals = by_g[(row.l_returnflag, row.l_linestatus)]
+        n = len(vals)
+        assert row.n_rows == n
+        for q, est in ((0.25, row.p25), (0.5, row.median), (0.75, row.p75)):
+            rank = np.searchsorted(vals, est, side="right") / n
+            assert abs(rank - q) <= 0.02, (row, q, est, rank)
+
+
 def test_cc_local_matches_distributed(ray_session):
     """The small-edge-set union-find escape hatch must produce exactly the
     labels of the distributed join-iteration path (local_edge_limit=0
