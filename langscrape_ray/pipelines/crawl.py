@@ -347,6 +347,14 @@ class PagesStore:
 
 
 class RayCrawl:
+    """Distributed crawl loop.  ``pages`` is the fetcher plug-point: any
+    PagesAdapter (see stages/fetchers.py — fetch_with_meta /
+    fetch_with_meta_ds returning meta + (html, warc_ts), misses dropped)
+    drives the same loop: the simulated PagesStore, the real
+    HttpPagesStore, or a JS-rendering BrowserPagesStore — proven
+    interchangeable by the three-way trace-parity test in
+    tests/test_http_fetch.py."""
+
     def __init__(
         self,
         pages: PagesStore,

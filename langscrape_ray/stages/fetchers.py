@@ -310,10 +310,49 @@ def fetch_robots_table(
     return dict(zip(out["host"], out["robots_txt"]))
 
 
+class PagesAdapter:
+    """THE FETCHER PLUG-POINT CONTRACT (documentation class).
+
+    ``RayCrawl(pages=...)`` accepts ANY object with these two methods —
+    the crawl loop is fetcher-agnostic (proven by the three-way
+    sim/http/fake-browser trace-parity test in tests/test_http_fetch.py):
+
+    ``fetch_with_meta(meta_tbl: pa.Table) -> ray.data.Dataset``
+        ``meta_tbl`` carries the round's fetch list: columns ``url``
+        (str) plus opaque scheduling metadata (``seq``, ``round``,
+        ``priority``, ``order_key``, ``fetch_ms``) that MUST ride along
+        untouched.  Return a Dataset whose rows are the SUBSET of input
+        rows that fetched (misses dropped — the crawl counts
+        ``fetch_miss`` by row delta), with every input column preserved
+        plus ``html`` (binary) and ``warc_ts`` (timestamp[us]).  Row
+        order is free; the crawl re-orders by ``seq`` downstream.
+
+    ``fetch_with_meta_ds(meta_ds: ray.data.Dataset) -> ray.data.Dataset``
+        Same contract with a Dataset input — the distributed-ordering
+        path, where the fetch list never touches the driver.
+
+    Implementations are ACTOR-POOL map_batches stages when fetching
+    holds state (connections, a browser context, an index shard):
+    state in ``__init__`` once per actor, work per batch in
+    ``__call__``.  Politeness is enforced UPSTREAM by the frontier
+    shards — adapters never rate-limit.  Shipped adapters:
+
+    - ``pipelines.crawl.PagesStore`` — parquet/in-memory simulated web
+      (shard-broadcast hash join resident, pushdown reads non-resident);
+    - ``HttpPagesStore`` (below) — real HTTP with persistent
+      connections, retries, redirects, the M3 fallback;
+    - ``BrowserPagesStore`` (below) — the JS-rendering tier's adapter
+      shape (reference: langscrape/browser/chrome.py:9-41); the real
+      Chromium runtime is absent in this container, so the render
+      callable is injectable and the engine-side plumbing is what the
+      adapter certifies.
+    """
+
+
 class HttpPagesStore:
-    """PagesStore-compatible adapter over the real fetcher: RayCrawl's two
-    fetch entry points (driver meta table / distributed meta Dataset) map
-    the batch stream through an ``HttpFetcher`` ACTOR POOL (connections are
+    """PagesAdapter over the real fetcher: RayCrawl's two fetch entry
+    points (driver meta table / distributed meta Dataset) map the batch
+    stream through an ``HttpFetcher`` ACTOR POOL (connections are
     per-actor state -> must be a class stage, never stateless tasks).  The
     crawl loop itself is unchanged — swap ``pages=`` and the engine crawls
     a live web instead of the parquet sim."""
@@ -336,6 +375,99 @@ class HttpPagesStore:
             fn_constructor_kwargs={
                 "connect_to": self.connect_to,
                 **self.fetcher_kwargs,
+            },
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )
+
+    def fetch_with_meta(self, meta_tbl: pa.Table, chunk_rows: int = 256):
+        import ray.data as rd
+
+        return self._map(rd.from_arrow(meta_tbl))
+
+    def fetch_with_meta_ds(self, meta_ds):
+        return self._map(meta_ds)
+
+
+class BrowserFetcher:
+    """map_batches callable class for the JS-rendering fetch tier: one
+    browser context per ACTOR (reference analog: the persistent-context
+    Chromium session in langscrape/browser/chrome.py:9-41 — launched
+    once, ``goto`` + dwell per URL).  Batch contract identical to
+    ``HttpFetcher``: misses dropped, (html, warc_ts) appended.
+
+    ``render_fn(url) -> Optional[(html_bytes, warc_ts_us)]`` injects the
+    renderer.  When None, the real runtime is required — Playwright/
+    Patchright Chromium is not installable in this container, so the
+    gate is LOUD (the PIL/pyav pattern): the adapter's engine-side shape
+    (actor pool, schema, miss semantics, scheduling-metadata passthrough)
+    is fully exercised by the fake-renderer parity test instead."""
+
+    def __init__(self, render_fn=None, dwell_ms: int = 0):
+        if render_fn is None:
+            try:  # pragma: no cover - absent in this environment
+                from patchright.sync_api import sync_playwright  # noqa: F401
+            except ImportError:
+                try:
+                    from playwright.sync_api import sync_playwright  # noqa: F401
+                except ImportError:
+                    raise NotImplementedError(
+                        "JS-rendering fetch requires Playwright/Patchright "
+                        "Chromium — not available in this environment; "
+                        "inject render_fn= (any url -> (html, warc_ts_us) "
+                        "callable) or use HttpPagesStore/PagesStore"
+                    ) from None
+            raise NotImplementedError(
+                "browser runtime detected but the launch adapter is not "
+                "wired in this build; inject render_fn="
+            )
+        # per-actor 'browser context': created once, reused across batches
+        self.render_fn = render_fn
+        self.dwell_ms = dwell_ms
+        self.n_rendered = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep: List[int] = []
+        htmls: List[bytes] = []
+        stamps: List[int] = []
+        for i, url in enumerate(batch["url"].to_pylist()):
+            if self.dwell_ms:
+                time.sleep(self.dwell_ms / 1000.0)
+            got = self.render_fn(url)
+            if got is None:
+                continue
+            body, ts_us = got
+            keep.append(i)
+            htmls.append(bytes(body))
+            stamps.append(int(ts_us))
+            self.n_rendered += 1
+        out = batch.take(pa.array(keep, pa.int64()))
+        out = out.append_column("html", pa.array(htmls, pa.binary()))
+        return out.append_column(
+            "warc_ts", pa.array(stamps, pa.timestamp("us"))
+        )
+
+
+class BrowserPagesStore:
+    """PagesAdapter for the JS-rendering tier — the exact actor-pool
+    shape of ``HttpPagesStore`` over ``BrowserFetcher``.  With a real
+    runtime this is where a Chromium pool plugs in; in tests a fake
+    renderer proves the crawl is fetcher-agnostic (identical traces
+    across sim/http/fake-browser)."""
+
+    def __init__(self, render_fn=None, concurrency=(1, 4),
+                 batch_size: int = 256, dwell_ms: int = 0):
+        self.render_fn = render_fn
+        self.concurrency = concurrency
+        self.batch_size = batch_size
+        self.dwell_ms = dwell_ms
+
+    def _map(self, ds):
+        return ds.map_batches(
+            BrowserFetcher,
+            fn_constructor_kwargs={
+                "render_fn": self.render_fn, "dwell_ms": self.dwell_ms,
             },
             batch_format="pyarrow",
             batch_size=self.batch_size,

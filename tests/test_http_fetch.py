@@ -325,3 +325,73 @@ def test_crawl_end_to_end_http_parity(
     assert http["counters"] == sim["counters"]
     assert http["trace_fetched"] == sim["trace_fetched"]
     assert http["seen_size"] == sim["seen_size"]
+
+
+def test_crawl_fetcher_agnostic_three_way(
+    ray_session, world_server, small_cfg, small_world
+):
+    """The PagesAdapter plug-point contract (stages/fetchers.py): the
+    SAME crawl over three fetcher adapters — simulated parquet store,
+    real HTTP against the local server, and a fake 'renders JS' browser
+    pool (BrowserPagesStore with an injected render_fn) — must produce
+    identical counters, crawl order, and seen set."""
+    from langscrape_ray.pipelines.crawl import PagesStore, RayCrawl
+    from langscrape_ray.stages.fetchers import BrowserPagesStore
+
+    pages, seeds, robots = small_world
+    rules_by_host = {
+        host_name(small_cfg, h): field_rules(small_cfg, host_name(small_cfg, h))
+        for h in range(small_cfg.n_hosts)
+    }
+
+    # the fake browser: a per-actor 'context' (plain dict) looked up per
+    # url — the renderer returns what the dom would be post-JS; here the
+    # world is static so render == page bytes, and warc_ts rides as
+    # epoch-us exactly like the HTTP Date header does
+    world = {
+        url: (html, ts.timestamp() * 1_000_000 if hasattr(ts, "timestamp") else ts)
+        for url, html, ts in zip(
+            pages["url"].to_pylist(),
+            pages["html"].to_pylist(),
+            pages["warc_ts"].to_pylist(),
+        )
+    }
+
+    def render_fn(url):
+        got = world.get(url)
+        if got is None:
+            return None
+        html, ts_us = got
+        return html, int(ts_us)
+
+    def run(store):
+        crawl = RayCrawl(
+            store, robots_dict(robots), field_rules(small_cfg),
+            rules_by_host, CrawlPolicy(max_rounds=3),
+        )
+        return crawl.run(seeds)
+
+    sim = run(PagesStore(table=pages))
+    http = run(
+        HttpPagesStore(
+            connect_to=("127.0.0.1", world_server.port),
+            concurrency=(1, 2), batch_size=64,
+        )
+    )
+    browser = run(
+        BrowserPagesStore(render_fn=render_fn, concurrency=(1, 2),
+                          batch_size=64)
+    )
+    for got, name in ((http, "http"), (browser, "browser")):
+        assert got["counters"] == sim["counters"], name
+        assert got["trace_fetched"] == sim["trace_fetched"], name
+        assert got["seen_size"] == sim["seen_size"], name
+
+
+def test_browser_fetcher_loud_gate_without_runtime():
+    """BrowserFetcher with no render_fn must gate LOUDLY (Chromium is
+    not installable here), never silently stub."""
+    from langscrape_ray.stages.fetchers import BrowserFetcher
+
+    with pytest.raises(NotImplementedError, match="Playwright|render_fn"):
+        BrowserFetcher()
