@@ -52,6 +52,102 @@ from langscrape_ray.state.checkpoint import (
 
 _FRONTIER_SCHEMA = {"url": pa.string(), "priority": pa.int64(), "order_key": pa.int64()}
 
+# sentinel returned by _run_round when the NEXT round's frontier was already
+# exploded + canonicalized + proposed inside this round's extract launch
+# (the fused pipeline) — the loop then starts the next round at admit
+_PROPOSED = object()
+
+
+def explode_outlinks(batch: pa.Table) -> pa.Table:
+    """R6 outlink explode with per-row order keys — vectorized:
+    pc.list_flatten for the urls (zero-copy view of the child array) +
+    pc.list_parent_indices / offsets for per-link positions, no per-row
+    Python loop.  The okey hash itself stays a flat comprehension (it's
+    a keyed blake2 per link — the semantic, not an artifact)."""
+    links = batch["outlinks"]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = pc.list_flatten(links)
+    n = len(flat)
+    if n == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "priority": pa.array([], pa.int64()),
+                "order_key": pa.array([], pa.int64()),
+            }
+        )
+    parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(links)
+    if counts.null_count:
+        counts = pc.fill_null(counts, 0)
+    counts = counts.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.arange(n, dtype=np.int64) - starts[parent]
+    pkeys = batch["order_key"].to_numpy(zero_copy_only=False)[parent]
+    okeys = [outlink_order_key(int(k), int(p)) for k, p in zip(pkeys, pos)]
+    if not pa.types.is_string(flat.type):
+        flat = flat.cast(pa.string())
+    return pa.table(
+        {
+            "url": flat,
+            "priority": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "order_key": pa.array(okeys, pa.int64()),
+        }
+    )
+
+
+class ExtractProposeBatch:
+    """FUSED R5+R6+next-round-R1/R2a: extract a fetched batch, then
+    explode its outlinks and canonicalize + robots-filter + propose them
+    for the NEXT round — all inside ONE Dataset launch (the round-4
+    scaling verdict's coordination floor was ~0.5 s of fixed per-round
+    launch overhead; this removes one of the two launches per round and
+    one full pass over the extracted blocks).
+
+    The extract materialize IS the propose barrier: when it returns,
+    every outlink proposal is resident on its host-affine shard, so the
+    next round starts directly at the one-per-shard admit_enqueue_round
+    RPC.  Counter stats (n_total, n_ok) ride to a shard keyed by a
+    deterministic batch token (first/last order_key + row count), so a
+    retried task overwrites its own contribution instead of
+    double-counting; admit_enqueue_round folds and returns them.
+
+    Ordering parity: proposals are min-order_key idempotent and the
+    admit decision is deferred to the barrier exactly as in the unfused
+    path, so the crawl order and all counters are bit-identical (the
+    three-path parity is pinned by scripts/verify_crawl.py and the
+    fused-vs-unfused test)."""
+
+    def __init__(self, default_rules, rules_by_host, robots_rules,
+                 shards, post_udfs=None):
+        self.ext = ExtractPages(
+            default_rules, rules_by_host, post_udfs=post_udfs
+        )
+        self.canonprop = CanonProposePayloadBatch(robots_rules, shards)
+        self.shards = shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.ext(batch)
+        links = explode_outlinks(
+            out.select(["order_key", "outlinks"])
+        )
+        if links.num_rows:
+            stats = self.canonprop(links)
+            n_total = int(stats["n_total"][0].as_py())
+            n_ok = int(stats["n_ok"][0].as_py())
+            ok = links["order_key"]
+            token = (
+                int(ok[0].as_py()),
+                int(ok[-1].as_py()),
+                links.num_rows,
+            )
+            sid = (token[0] ^ token[1]) % len(self.shards)
+            ray.get(
+                self.shards[sid].propose_stats.remote(token, n_total, n_ok)
+            )
+        return out
+
 
 class PagesStore:
     """Simulated web: lookup html by canonical url (SURVEY.md §2.4 J5).
@@ -371,6 +467,7 @@ class RayCrawl:
         trace_dir: Optional[str] = None,
         extract_udfs: Optional[list] = None,
         dist_order_threshold: int = 200_000,
+        fuse_propose: bool = True,
     ):
         self.pages = pages
         self.policy = policy or CrawlPolicy()
@@ -389,6 +486,13 @@ class RayCrawl:
         # worth of rows); the distributed path is the 10^7-rows-per-round
         # configuration.  Tests set 0 to force the distributed path.
         self.dist_order_threshold = dist_order_threshold
+        # fuse round n+1's explode+canonicalize+propose INTO round n's
+        # extract launch (ExtractProposeBatch): one Dataset launch per
+        # round instead of two — the round-4 scaling analysis measured a
+        # fixed ~0.5 s/round coordination floor dominated by per-launch
+        # overhead, the Amdahl term capping raw 4->16-CPU scaling.  Off
+        # switch kept for the fused-vs-unfused parity test.
+        self.fuse_propose = fuse_propose
         # robots parsed once; broadcast as a plain dict (small side).  At
         # 10^8-host scale this becomes a host-partitioned join table.
         self.robots_rules = {
@@ -477,7 +581,14 @@ class RayCrawl:
                     )
                 start_round = last + 1
                 nf_path = manifest.get("next_frontier_path")
-                frontier = rd.read_parquet(nf_path) if nf_path else None
+                if manifest.get("next_proposed"):
+                    # the interrupted run's fused extract already proposed
+                    # round start_round's frontier; the restored shard
+                    # snapshots carry the pending proposals + stats, so
+                    # the round resumes directly at the admit barrier
+                    frontier = _PROPOSED
+                else:
+                    frontier = rd.read_parquet(nf_path) if nf_path else None
                 # drop any trace file an interrupted round left behind —
                 # the re-run rewrites it (deterministically identical), but
                 # a round that re-runs to zero fetches writes nothing and
@@ -647,10 +758,27 @@ class RayCrawl:
         # ---- R1/R2a: canonicalize + robots + propose (fused, 1 launch) ---
         # ``frontier`` may be a LAZY chain ending in the previous round's
         # outlink explode — it fuses into this launch (no materialized
-        # intermediate frontier).
+        # intermediate frontier).  Or it may be the _PROPOSED sentinel:
+        # the previous round's FUSED extract (ExtractProposeBatch) already
+        # exploded + canonicalized + proposed this round's frontier inside
+        # its own launch, so this round makes ZERO frontier passes and
+        # starts directly at the admit barrier.
         n_ok = 0
         n_total = 0
-        if frontier is not None:
+        had_frontier = frontier is not None
+        if frontier is _PROPOSED:
+            # proposals are resident on the host-affine shards; the admit
+            # RPC returns the (n_total, n_ok) stats the fused extract
+            # batches deposited (token-keyed, retry-idempotent)
+            _t = self._tick("canonicalize", _t)
+            res = ray.get(
+                [s.admit_enqueue_round.remote() for s in self.shards]
+            )
+            n_total = sum(r[1] for r in res)
+            n_ok = sum(r[2] for r in res)
+            self._bump("rejected", n_total - n_ok)
+            _t = self._tick("enqueue", _t)
+        elif frontier is not None:
             # ONE pass: canonicalize + robots + payload-carrying propose;
             # the stats output materializing IS the propose barrier, and
             # its sums replace the two full-frontier count() launches
@@ -687,7 +815,7 @@ class RayCrawl:
         n_deferred = sum(c[1] for c in counts)
         n_admitted = sum(c[2] for c in counts)
         self._bump("deferred", n_deferred)
-        if frontier is not None:
+        if had_frontier:
             self._bump("deduped", n_ok - n_admitted)
         self._bump("fetched", n_fetch)
         if n_fetch == 0:
@@ -735,20 +863,42 @@ class RayCrawl:
         # cheap to ship, and tasks reuse warm workers across rounds instead
         # of paying actor-pool ramp-up per round.  extract_concurrency opts
         # into a bounded actor pool (the right mode once the stage holds
-        # heavy state, e.g. a model).
-        ext = ExtractPages(
-            self.default_rules, self.rules_by_host, post_udfs=self.extract_udfs
-        )
+        # heavy state, e.g. a model).  When fusing, the extract batch UDF
+        # is ExtractProposeBatch: it also explodes the batch's outlinks and
+        # canonicalizes + proposes them for round rnd+1 inside THIS launch
+        # (no fusion into the final round — there is no rnd+1 to propose).
+        fused = self.fuse_propose and (rnd + 1 < self.policy.max_rounds)
         if self.extract_concurrency:
+            cls = ExtractProposeBatch if fused else ExtractPages
+            ctor = (
+                (self.default_rules, self.rules_by_host,
+                 self.robots_rules, self.shards)
+                if fused
+                else (self.default_rules, self.rules_by_host)
+            )
             extracted = pages_ds.map_batches(
-                ExtractPages,
-                fn_constructor_args=(self.default_rules, self.rules_by_host),
+                cls,
+                fn_constructor_args=ctor,
                 fn_constructor_kwargs={"post_udfs": self.extract_udfs},
                 batch_format="pyarrow",
                 batch_size=64,
                 concurrency=self.extract_concurrency,
             ).materialize()
         else:
+            if fused:
+                ext = ExtractProposeBatch(
+                    self.default_rules,
+                    self.rules_by_host,
+                    self.robots_rules,
+                    self.shards,
+                    post_udfs=self.extract_udfs,
+                )
+            else:
+                ext = ExtractPages(
+                    self.default_rules,
+                    self.rules_by_host,
+                    post_udfs=self.extract_udfs,
+                )
             extracted = pages_ds.map_batches(
                 lambda t, _e=ext: _e(t), batch_format="pyarrow", batch_size=64
             ).materialize()
@@ -762,55 +912,20 @@ class RayCrawl:
         _t = self._tick("write_out", _t)
 
         # ---- R6: frontier update (outlink explode, per-row order keys) ---
-        def _explode(batch: pa.Table) -> pa.Table:
-            # vectorized explode: pc.list_flatten for the urls (zero-copy
-            # view of the child array) + pc.list_parent_indices / offsets
-            # for per-link positions — no per-row Python loop.  The okey
-            # hash itself stays a flat comprehension (it's a keyed blake2
-            # per link — the semantic, not an artifact).
-            links = batch["outlinks"]
-            if isinstance(links, pa.ChunkedArray):
-                links = links.combine_chunks()
-            flat = pc.list_flatten(links)
-            n = len(flat)
-            if n == 0:
-                return pa.table(
-                    {
-                        "url": pa.array([], pa.string()),
-                        "priority": pa.array([], pa.int64()),
-                        "order_key": pa.array([], pa.int64()),
-                    }
-                )
-            parent = pc.list_parent_indices(links).to_numpy(
-                zero_copy_only=False
-            )
-            counts = pc.list_value_length(links)
-            if counts.null_count:
-                counts = pc.fill_null(counts, 0)
-            counts = counts.to_numpy(zero_copy_only=False).astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            pos = np.arange(n, dtype=np.int64) - starts[parent]
-            pkeys = batch["order_key"].to_numpy(zero_copy_only=False)[parent]
-            okeys = [
-                outlink_order_key(int(k), int(p))
-                for k, p in zip(pkeys, pos)
-            ]
-            if not pa.types.is_string(flat.type):
-                flat = flat.cast(pa.string())
-            return pa.table(
-                {
-                    "url": flat,
-                    "priority": pa.array(
-                        np.zeros(n, dtype=np.int64), pa.int64()
-                    ),
-                    "order_key": pa.array(okeys, pa.int64()),
-                }
-            )
+        if fused:
+            # the explode + canonicalize + propose for round rnd+1 already
+            # ran INSIDE the extract launch (ExtractProposeBatch); nothing
+            # left to do but signal the loop that the propose barrier is
+            # behind us (the extract materialize was the barrier)
+            _t = self._tick("outlinks", _t)
+            self._checkpoint(rnd, None, proposed=bool(n_matched))
+            self._tick("checkpoint", _t)
+            return _PROPOSED if n_matched else None
 
         # LAZY: the explode fuses into the next round's canonicalize launch
         next_frontier = (
             extracted.select_columns(["order_key", "outlinks"]).map_batches(
-                _explode, batch_format="pyarrow"
+                explode_outlinks, batch_format="pyarrow"
             )
             if n_matched
             else None
@@ -822,7 +937,12 @@ class RayCrawl:
         return next_frontier
 
     # ------------------------------------------------------------------
-    def _checkpoint(self, rnd: int, next_frontier: Optional[rd.Dataset]) -> None:
+    def _checkpoint(
+        self,
+        rnd: int,
+        next_frontier: Optional[rd.Dataset],
+        proposed: bool = False,
+    ) -> None:
         if not self.ckpt_dir:
             return
         nf_path = None
@@ -839,6 +959,9 @@ class RayCrawl:
             "next_seq": self._seq,
             "next_frontier_path": nf_path,
             "next_frontier_rows": self._frontier_rows,
+            # fused-propose carryover: round rnd+1's proposals are already
+            # resident in the shard snapshots; resume starts it at admit
+            "next_proposed": bool(proposed),
             "policy": {
                 "max_per_host_per_round": self.policy.max_per_host_per_round,
                 "max_rounds": self.policy.max_rounds,

@@ -126,6 +126,11 @@ class SeenShard:
         # second full pass over the frontier
         self.prop_payload: dict = {}
         self.round_admitted: set = set()
+        # fused-propose stats (crawl.py ExtractProposeBatch): per-batch
+        # (n_total, n_ok) keyed by a deterministic batch token, so a Ray
+        # task retry that re-sends its stats overwrites instead of
+        # double-counting — the idempotency twin of min-okey propose
+        self.round_stats: dict = {}
         # politeness state (host-affine: shard = host_hash % K, so every URL
         # of a host lands here) — the per-host priority queue + virtual
         # clock live IN the actor, per the frontier design (backlog never
@@ -215,7 +220,12 @@ class SeenShard:
                 pay[k] = (u, h, pr)
         return len(p)
 
-    def admit_enqueue_round(self) -> int:
+    def propose_stats(self, token, n_total: int, n_ok: int) -> None:
+        """Record one fused-propose batch's (n_total, n_ok) counter
+        contribution under its deterministic token (retry-idempotent)."""
+        self.round_stats[token] = (int(n_total), int(n_ok))
+
+    def admit_enqueue_round(self) -> tuple:
         """Resolve the round: admit every proposal winner not in the
         cross-round seen set and push its payload into the politeness
         backlog.  Runs ONCE per shard per round after the propose barrier
@@ -246,7 +256,9 @@ class SeenShard:
             backlog.setdefault(h, []).append((u, int(pr), int(o)))
         if admitted:
             self.bloom.add(np.asarray(admitted, dtype=np.uint64))
-        return len(self.round_admitted)
+        n_total = sum(s[0] for s in self.round_stats.values())
+        n_ok = sum(s[1] for s in self.round_stats.values())
+        return len(self.round_admitted), n_total, n_ok
 
     def admit(self, keys: List[int], okeys: List[int]) -> List[bool]:
         out: List[bool] = []
@@ -280,6 +292,7 @@ class SeenShard:
         self.proposals = {}
         self.prop_payload = {}
         self.round_admitted = set()
+        self.round_stats = {}
 
     # -- admit + enqueue into the politeness backlog -----------------------
     def enqueue_admitted(
@@ -416,6 +429,12 @@ class SeenShard:
             else None,
             "backlog": {h: list(v) for h, v in self.backlog.items() if v},
             "clocks": dict(self.clocks),
+            # fused-propose carryover: a checkpoint taken after round n's
+            # fused extract holds round n+1's pending proposals — resume
+            # restores them and starts straight at admit_enqueue_round
+            "proposals": dict(self.proposals),
+            "prop_payload": dict(self.prop_payload),
+            "round_stats": dict(self.round_stats),
         }
 
     def restore(self, state: dict) -> None:
@@ -431,6 +450,12 @@ class SeenShard:
             h: [tuple(c) for c in v] for h, v in state.get("backlog", {}).items()
         }
         self.clocks = dict(state.get("clocks", {}))
+        self.proposals = dict(state.get("proposals", {}))
+        self.prop_payload = {
+            k: tuple(v) for k, v in state.get("prop_payload", {}).items()
+        }
+        self.round_stats = dict(state.get("round_stats", {}))
+        self.round_admitted = set()
 
 
 def _shard_route(batch: pa.Table, num_shards: int):

@@ -93,6 +93,60 @@ def test_crawl_resume_identical(ray_session, small_cfg, small_world, tmp_path_fa
     assert res2["counters"] == full_res["counters"]
 
 
+def test_crawl_fused_vs_unfused_parity(ray_session, small_cfg, small_world,
+                                       oracle_result):
+    """fuse_propose=True (round n's extract launch also explodes +
+    canonicalizes + proposes round n+1 — ONE Dataset launch per round)
+    must be bit-identical to the unfused two-launch path AND to the
+    oracle: trace, counters, seen set."""
+    pages, seeds, robots = small_world
+    policy = CrawlPolicy(max_rounds=3)
+    fused = _make_crawl(small_cfg, pages, robots, policy).run(seeds)
+    unfused = _make_crawl(
+        small_cfg, pages, robots, policy, fuse_propose=False
+    ).run(seeds)
+    assert fused["trace_fetched"] == unfused["trace_fetched"]
+    assert fused["counters"] == unfused["counters"]
+    assert fused["seen_size"] == unfused["seen_size"]
+    otrace, _ = oracle_result
+    ofetched = [(r["seq"], r["url"]) for r in otrace if r["status"] == "fetched"]
+    assert [(r["seq"], r["url"]) for r in fused["trace_fetched"]] == ofetched
+
+
+def test_crawl_resume_from_fused_checkpoint(ray_session, small_cfg, small_world,
+                                            tmp_path_factory):
+    """A checkpoint taken after a FUSED round carries round n+1's pending
+    proposals inside the shard snapshots (manifest next_proposed=True);
+    resume must start that round at the admit barrier and reproduce the
+    uninterrupted run exactly."""
+    import os
+    import shutil
+
+    pages, seeds, robots = small_world
+    full = _make_crawl(small_cfg, pages, robots, CrawlPolicy(max_rounds=3)).run(
+        seeds
+    )
+
+    ck = str(tmp_path_factory.mktemp("crawl_ckpt_fused"))
+    # max_rounds=2 so round 0 FUSES (1 < 2); then discard round 1's
+    # checkpoint to simulate a kill right after the fused round 0
+    _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=2), ckpt_dir=ck
+    ).run(seeds)
+    shutil.rmtree(os.path.join(ck, "round=0001"))
+    import json
+
+    with open(os.path.join(ck, "round=0000", "manifest.json")) as f:
+        assert json.load(f)["next_proposed"] is True
+
+    resumed = _make_crawl(
+        small_cfg, pages, robots, CrawlPolicy(max_rounds=3), ckpt_dir=ck
+    ).run(seeds, resume=True)
+    assert resumed["trace_fetched"] == full["trace_fetched"]
+    assert resumed["counters"] == full["counters"]
+    assert resumed["seen_size"] == full["seen_size"]
+
+
 def test_crawl_matches_oracle_deferred_heavy(ray_session, small_cfg, small_world):
     """Tight politeness budget (2/host/round, 5 rounds): the deferred
     backlog dominates — exercises the actor-resident queue ordering across
