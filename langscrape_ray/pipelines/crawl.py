@@ -97,40 +97,42 @@ def explode_outlinks(batch: pa.Table) -> pa.Table:
     )
 
 
-class ExtractProposeBatch:
-    """FUSED R5+R6+next-round-R1/R2a: extract a fetched batch, then
-    explode its outlinks and canonicalize + robots-filter + propose them
-    for the NEXT round — all inside ONE Dataset launch (the round-4
-    scaling verdict's coordination floor was ~0.5 s of fixed per-round
-    launch overhead; this removes one of the two launches per round and
-    one full pass over the extracted blocks).
+class ProposeOutlinksPassthrough:
+    """FUSED R6+next-round-R1/R2a: a passthrough stage chained AFTER the
+    extract operator in the SAME Dataset launch — it explodes the
+    extracted batch's outlinks and canonicalizes + robots-filters +
+    proposes them for the NEXT round, then returns the batch unchanged
+    (zero-copy).  The round-4 scaling verdict's coordination floor was
+    ~0.5 s of fixed per-round launch overhead; this removes one of the
+    two launches per round.
 
-    The extract materialize IS the propose barrier: when it returns,
-    every outlink proposal is resident on its host-affine shard, so the
-    next round starts directly at the one-per-shard admit_enqueue_round
-    RPC.  Counter stats (n_total, n_ok) ride to a shard keyed by a
-    deterministic batch token (first/last order_key + row count), so a
-    retried task overwrites its own contribution instead of
-    double-counting; admit_enqueue_round folds and returns them.
+    Runs at BLOCK granularity (batch_size=None), NOT the extract stage's
+    64-row batches: one canonicalize+propose RPC fan-out per block.  A
+    first cut that proposed inside the extract UDF itself issued ~9
+    blocking shard RPCs per 64-row batch and collapsed throughput 6x —
+    the shard actor pool serialized the whole extract stage.
+
+    The extract launch's materialize IS the propose barrier: when it
+    returns, every outlink proposal is resident on its host-affine
+    shard, so the next round starts directly at the one-per-shard
+    admit_enqueue_round RPC.  Counter stats (n_total, n_ok) ride to a
+    shard keyed by a deterministic batch token (first/last parent
+    order_key + row count), so a retried task overwrites its own
+    contribution instead of double-counting; admit_enqueue_round folds
+    and returns them.
 
     Ordering parity: proposals are min-order_key idempotent and the
     admit decision is deferred to the barrier exactly as in the unfused
-    path, so the crawl order and all counters are bit-identical (the
-    three-path parity is pinned by scripts/verify_crawl.py and the
-    fused-vs-unfused test)."""
+    path, so the crawl order and all counters are bit-identical (pinned
+    by scripts/verify_crawl.py and the fused-vs-unfused test)."""
 
-    def __init__(self, default_rules, rules_by_host, robots_rules,
-                 shards, post_udfs=None):
-        self.ext = ExtractPages(
-            default_rules, rules_by_host, post_udfs=post_udfs
-        )
+    def __init__(self, robots_rules, shards):
         self.canonprop = CanonProposePayloadBatch(robots_rules, shards)
         self.shards = shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.ext(batch)
         links = explode_outlinks(
-            out.select(["order_key", "outlinks"])
+            batch.select(["order_key", "outlinks"])
         )
         if links.num_rows:
             stats = self.canonprop(links)
@@ -146,7 +148,7 @@ class ExtractProposeBatch:
             ray.get(
                 self.shards[sid].propose_stats.remote(token, n_total, n_ok)
             )
-        return out
+        return batch
 
 
 class PagesStore:
@@ -863,45 +865,38 @@ class RayCrawl:
         # cheap to ship, and tasks reuse warm workers across rounds instead
         # of paying actor-pool ramp-up per round.  extract_concurrency opts
         # into a bounded actor pool (the right mode once the stage holds
-        # heavy state, e.g. a model).  When fusing, the extract batch UDF
-        # is ExtractProposeBatch: it also explodes the batch's outlinks and
-        # canonicalizes + proposes them for round rnd+1 inside THIS launch
-        # (no fusion into the final round — there is no rnd+1 to propose).
+        # heavy state, e.g. a model).  When fusing, a block-granularity
+        # ProposeOutlinksPassthrough stage is CHAINED after the extract in
+        # the same launch: it explodes + canonicalizes + proposes round
+        # rnd+1's outlinks and passes the extract output through (no
+        # fusion into the final round — there is no rnd+1 to propose).
         fused = self.fuse_propose and (rnd + 1 < self.policy.max_rounds)
         if self.extract_concurrency:
-            cls = ExtractProposeBatch if fused else ExtractPages
-            ctor = (
-                (self.default_rules, self.rules_by_host,
-                 self.robots_rules, self.shards)
-                if fused
-                else (self.default_rules, self.rules_by_host)
-            )
-            extracted = pages_ds.map_batches(
-                cls,
-                fn_constructor_args=ctor,
+            ext_ds = pages_ds.map_batches(
+                ExtractPages,
+                fn_constructor_args=(self.default_rules, self.rules_by_host),
                 fn_constructor_kwargs={"post_udfs": self.extract_udfs},
                 batch_format="pyarrow",
                 batch_size=64,
                 concurrency=self.extract_concurrency,
-            ).materialize()
+            )
         else:
-            if fused:
-                ext = ExtractProposeBatch(
-                    self.default_rules,
-                    self.rules_by_host,
-                    self.robots_rules,
-                    self.shards,
-                    post_udfs=self.extract_udfs,
-                )
-            else:
-                ext = ExtractPages(
-                    self.default_rules,
-                    self.rules_by_host,
-                    post_udfs=self.extract_udfs,
-                )
-            extracted = pages_ds.map_batches(
+            ext = ExtractPages(
+                self.default_rules,
+                self.rules_by_host,
+                post_udfs=self.extract_udfs,
+            )
+            ext_ds = pages_ds.map_batches(
                 lambda t, _e=ext: _e(t), batch_format="pyarrow", batch_size=64
-            ).materialize()
+            )
+        if fused:
+            prop = ProposeOutlinksPassthrough(self.robots_rules, self.shards)
+            ext_ds = ext_ds.map_batches(
+                lambda t, _p=prop: _p(t),
+                batch_format="pyarrow",
+                batch_size=None,  # block granularity: one RPC fan-out/block
+            )
+        extracted = ext_ds.materialize()
         _t = self._tick("fetch_extract", _t)
         n_matched = extracted.count()
         self._bump("fetch_miss", n_fetch - n_matched)
