@@ -283,197 +283,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
-    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 75
+    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 83
     # SQL-oracled queries exist — more than the window holds — so the
-    # window ROTATES per round to give every oracled query a recent
-    # driver-green row (the round-3 verdict's item 2).  Round-4 window =
-    # the 17 entries displaced in round 3 (driver-proven hash-exact in
-    # CORRECTNESS_r02, rotated back in first) + the round-4 NEW oracled
-    # ops (fuzzy_dedup, dsir_select, semdedup_select, warc_roundtrip —
-    # new code must earn a driver row) + round-3 sentinels chosen to
-    # cover every operator family and everything whose code changed this
-    # round (notably dedup_jaccard after the prefix-filter rewrite).  The 17 rotated OUT are hash-exact in CORRECTNESS_r03
-    # with code untouched since; every oracled query stays continuously
-    # exact via tests/test_queries.py's oracle gate and
-    # scripts/check_contract.py.  Rows-only approximations (error-bound /
-    # recall / parity pytest coverage instead of SQL) come after the
+    # window ROTATES per round so (last round's CORRECTNESS ∪ this
+    # window) covers every oracled query.  Round-5 window = the 32
+    # oracled queries hash-exact in CORRECTNESS_r03 but past the window
+    # in round 4 (rotated back in first) + everything whose code changed
+    # this round (jpeg_roundtrip NEW, weighted_sample / gopher_quality /
+    # avi_frames advice fixes, dedup_cc / fuzzy_dedup on the new
+    # distributed-CC tier, q_group_median beside its new sketch tier) +
+    # r4 sentinels covering every operator family.  The 32 rotated OUT
+    # are hash-exact in CORRECTNESS_r04 with code untouched since; every
+    # oracled query stays continuously exact via tests/test_queries.py's
+    # oracle gate and scripts/check_contract.py.  Of the rows-only
+    # entries, knn_pq / knn_ivf / knn_lsh / dedup_embedding_lsh were
+    # code-touched in round 4 (codes storage + list_col_matrix) and are
+    # re-certified by the pytest recall gates + the local contract
+    # sweep, not by a driver row.  Rows-only approximations (error-bound
+    # / recall / parity pytest coverage instead of SQL) come after the
     # oracled block, crawl_* (no SQL analog at all) last.
     return {
-        # ---- rotated back in: displaced in round 3, r2 hash-exact ----
-        "q_region_customers": analytics.q_region_customers,
-        "q_events_hourly": analytics.q_events_hourly,
-        "q_sessionize": analytics.q_sessionize,
-        "q_event_dedup_window": analytics.q_event_dedup_window,
-        "tfidf_topk": textstats.tfidf_topk,
-        "embed_docs": textstats.embed_docs,
-        "doc_term_df": textstats.doc_term_df,
-        # PII detect + redact over deterministically augmented text
-        # (SQL-oracled incl. md5 of the redacted bytes)
-        "pii_scan": textstats.pii_scan,
-        "fingerprint": textstats.fingerprint,
-        "quality_score": textstats.quality_score,
-        "token_count": textstats.token_count,
-        "token_count_bpe": textstats.token_count_bpe,
-        "split_assign": textstats.split_assign,
-        # leakage-safe GROUP-level split (NEW round 4): the hash keys on
-        # source, so same-site near-dups can never straddle train/test
-        "split_by_group": textstats.split_by_group,
-        # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
-        # json_extract)
-        "json_etl_flatten": etl.json_etl_flatten,
-        # language id (stopword-overlap heuristic — SQL-oracled)
-        "lang_id": textstats.lang_id,
-        "media_frames": media.media_frames,
-        "media_audio": media.media_audio,
-        # ---- round-3 sentinels (kept in-window for regression) ----
-        "q1_pricing_summary": analytics.q1_pricing_summary,
-        "q3_top_orders": analytics.q3_top_orders,
-        # fuzzy-dedup keep-best composite (NEW round 4): exact-Jaccard
-        # edges -> union-find CC -> per-cluster quality argmax keeper;
-        # SQL-oracled end to end (recursive closure + row_number argmax;
-        # q_order_priority rotated out to make room, r3 hash-exact,
-        # untouched)
-        "fuzzy_dedup": dedup.fuzzy_dedup_keep_best,
-        # DSIR hashed-bigram importance selection (NEW round 4, Xie et al.
-        # 2023): fit target/raw bucket models -> broadcast K-sized lr
-        # table -> score -> exact top-k; e6 fixed-point ln so the DuckDB
-        # oracle hash-matches (q_lineitem_stats rotated out to make room,
-        # r3 hash-exact, untouched)
-        "dsir_select": curation.dsir_select,
-        # SemDeDup (NEW round 4, Abbas et al. 2023): e6-integer k-means
-        # (min-k init, ONE Lloyd update via per-block partials merged on
-        # the driver) -> within-cluster cosine prune against the first
-        # cluster_cap earliest-id referees; exact end to end (HUGEINT
-        # cross-multiplied cosine test), SQL-oracled with the unrolled
-        # Lloyd iteration
-        "semdedup_select": curation.semdedup_select,
-        # adaptive recrawl scheduling (NEW round 4, Cho & Garcia-Molina
-        # 2003): per-page Poisson change-rate from fetch-observation
-        # history (pre-reduced 4-int64 groupby, never the event payload),
-        # e6 fixed-point ln (dsir parity contract), int64 staleness score
-        "recrawl_priority": curation.recrawl_priority,
-        # product-quantization encoding (NEW round 4, Jegou et al. 2011):
-        # n_sub per-subspace codebooks trained by the semdedup fixed-point
-        # k-means in the SAME two streaming passes (no exchange at all);
-        # SQL-oracled with the unrolled Lloyd iteration per subspace
-        "pq_encode": curation.pq_encode,
-        # hot-key top-k via composite-key (salted) two-stage agg — the
-        # explicit skew-handling shape (SQL-oracled: row_number window)
-        "q_top_users_by_type": analytics.q_top_users_by_type,
-        # as-of join (custom operator — Ray Data lacks one; bucketed
-        # merge_asof composition, DuckDB ASOF JOIN oracle)
-        "q_asof_join": analytics.q_asof_join,
-        # range (interval-containment) join: broadcast small window table,
-        # vectorized containment mask, partial-sum fold (SQL-oracled)
-        "q_range_join": analytics.q_range_join,
-        # full OUTER join (NEW round 4) via the q_anti_join side-flag
-        # groupby fold — no join operator, no broadcast, zero-filled
-        # absent sides (in-window: new code earns a driver row)
-        "q_full_outer": analytics.q_full_outer,
-        # ordered conversion funnel with strict min-ts chaining (SQL-oracled:
-        # CTE chain of conditional mins)
-        "q_funnel": analytics.q_funnel,
-        # dedup family (SQL-oracled members; the LSH approximations are in
-        # the rows-only block below)
-        "dedup_exact": dedup.exact_dedup,
-        # exact shingle-Jaccard similarity join — REWRITTEN round 4 to the
-        # DF-ordered positional-prefix-filter candidate pipeline (PPJoin)
-        # with exact verify, so it MUST hold a driver slot this round
-        "dedup_jaccard": dedup.jaccard_similarity_join,
-        "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
-        # connected-components cluster labeling over near-dup pairs
-        # (iterative join + groupby-min; SQL oracle = recursive closure);
-        # exact edge source — the LSH-edged scale path is dedup_cc_lsh below
-        "dedup_cc": dedup.embedding_cc_clusters_exact,
-        # incremental ingestion dedup: incoming batch vs kept corpus via
-        # broadcast bloom + hash-partitioned anti-join of bloom-hit
-        # survivors (SQL-oracled: md5 anti-join)
-        "dedup_incremental": dedup.dedup_incremental,
-        # similarity search (exact baseline; approximate variants below)
-        "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
-        # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
-        # tp/fp/fn and the exact _prf float formula)
-        "rule_eval_scores": rule_eval.rule_eval_scores,
-        # multimodal ingest: real binary payload -> resize -> decode actor
-        # pipeline; SQL oracle = closed form of the deterministic payload
-        # rule (same oracle pattern as table_stats)
-        "media_meta": media.media_meta,
-        # REAL codec path: genuine RIFF/WAV bytes decoded by the stdlib
-        # ``wave`` module (fake=False branch live, no external dep);
-        # SQL-oracled: header fields in closed form, rms exactness in pytest
-        "media_wav": media.media_wav,
-        # S5 real PDF round-trip: deterministic FlateDecode PDFs built and
-        # parsed by the real text-object extractor (SQL-oracled: the
-        # expected normalized text reconstructed in closed form)
-        "pdf_extract": media.pdf_extract,
-        # S11 with the REAL binary spreadsheet format: every flat batch
-        # round-trips through genuine xlsx bytes (stdlib zip+OOXML codec,
-        # sources/xlsx.py); same oracle as json_etl_flatten, so the hash
-        # proves the encode/decode lossless
-        "xlsx_roundtrip": etl.xlsx_roundtrip,
-        # NEW round 4: pages through REAL Common-Crawl-layout WARC bytes
-        # (one gzip member per response record, stdlib codec in
-        # sources/warc.py) and parsed straight back — the hash proves the
-        # archive-format encode/decode lossless (SQL-oracled closed form
-        # over documents, same pattern as xlsx_roundtrip)
-        "warc_roundtrip": etl.warc_roundtrip,
-        # NEW round 4: documents through the REAL stdlib-zlib PNG codec
-        # (sources/png.py — all five scanline filters cycled on encode so
-        # decode proves every unfilter), resize actor pool on the real
-        # path; closed-form oracle over the doc_id pixel rule hash-proves
-        # the full encode->inflate->unfilter->decode chain
-        "png_roundtrip": media.png_roundtrip,
-        # NEW round 5: documents through the REAL stdlib baseline JPEG
-        # codec (sources/jpeg.py — FDCT/quantize/zigzag/Huffman and the
-        # full decode chain, no PIL).  The fixture family (constant
-        # 8x8 blocks, R=G=B, DC quant step 8) survives the lossy pipe
-        # bit-exact by construction, so the closed-form oracle
-        # hash-proves encode->Huffman->IDCT->upsample->color end to end
-        "jpeg_roundtrip": media.jpeg_roundtrip,
-        # NEW round 4: documents through the REAL video container chain —
-        # deterministic frames -> genuine uncompressed RIFF/AVI bytes
-        # (sources/avi.py) -> the real SampleVideoFrames stdlib demux,
-        # sampled frames re-encoded as REAL PNGs and pixel-summed;
-        # closed-form oracle hash-proves both codecs per frame
-        "avi_frames": media.avi_frames,
-        # NEW round 4: every document rendered to html BYTES in six
-        # encodings (meta declarations, BOMs, an undeclared-latin-1 lying
-        # page) and decoded by the REAL sniff_charset+decode_html_bytes
-        # kernel — the hash proves the html:binary ingestion contract's
-        # charset handling distributed (closed-form oracle, the
-        # warc_roundtrip pattern)
-        "charset_roundtrip": etl.charset_roundtrip,
-        # EXACT per-group percentile_cont 25/50/75 via a (group, value)
-        # histogram groupby — no global sort; the per-group twin of
-        # quantile_gate (NEW round 4, in-window: new code earns a row)
-        "q_group_median": analytics.q_group_median,
-        # Efraimidis-Spirakis weighted sampling without replacement:
-        # md5-uniform reservoir keys ln(u)/w, per-block top-k partials,
-        # ONE streaming pass (NEW round 4, SQL-oracled bit-exact)
-        "weighted_sample": curation.weighted_sample,
-        # Gopher document-quality rules (Rae et al. 2021, NEW round 4):
-        # the published pre-training gate in exact integer form (mean
-        # word length / bullet / ellipsis / symbol / stop-word rules via
-        # int64 cross-multiplication); SQL-oracled hash-exact
-        "gopher_quality": textstats.gopher_quality,
-        # INTERSECT set operation (NEW round 4): per-batch-distinct
-        # side-bit rows, ONE groupby Max-fold per bit, both-bits
-        # survivors — the set family's last member (union/anti exist);
-        # SQL-oracled (INTERSECT)
-        "q_intersect": analytics.q_intersect,
-        # composite training-data prep flagship: fused lang-ID + quality
-        # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
-        # rollup, ONE streaming flow (SQL-oracled end to end)
-        "prep_corpus": prep.prep_corpus,
-        # ---- past the driver's 50-entry window from here ----
-        # SQL-oracled, rotated OUT this round (all hash-exact in
-        # CORRECTNESS_r03, code untouched since; locally exact via
-        # scripts/check_contract.py and tests/test_queries.py).
-        # quantile_gate / source_overlap / lm_familiarity / shuffle_shards
-        # / substring_dedup / mix_sample / link_pagerank / pack_sequences
-        # / boilerplate_prune / source_mix_weights / xpath_extract /
-        # table_stats / q5_nation_revenue rotated out to admit the 10 NEW
-        # round-4 oracled ops above — all r3 hash-exact, code untouched.
+        # ---- r5 window: the 32 oracled queries certified in r3 but
+        # displaced past the window in r4 rotate BACK IN first ----
         # RefinedWeb-style exact substring dedup, first-occurrence-wins
         # (packed occurrence keys -> per-gram min -> co-partitioned join
         # rebuild; SQL-oracled: groupby-min + anti-join string_agg)
@@ -549,6 +380,181 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom runtime-filter semi-join, exact via survivor verification
         "q_bloom_semijoin": analytics.q_bloom_semijoin,
         "token_histogram": textstats.token_histogram,  # SQL-oracled
+        # ---- r5 window: everything whose code changed this round
+        # (jpeg_roundtrip NEW; weighted_sample/gopher_quality advice
+        # fixes; avi_frames 00dc guard; dedup_cc/fuzzy_dedup on the new
+        # distributed-CC tier; q_group_median sketch-tier sibling) plus
+        # r4 sentinels covering every operator family ----
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_top_orders": analytics.q3_top_orders,
+        # fuzzy-dedup keep-best composite (NEW round 4): exact-Jaccard
+        # edges -> union-find CC -> per-cluster quality argmax keeper;
+        # SQL-oracled end to end (recursive closure + row_number argmax;
+        # q_order_priority rotated out to make room, r3 hash-exact,
+        # untouched)
+        "fuzzy_dedup": dedup.fuzzy_dedup_keep_best,
+        # DSIR hashed-bigram importance selection (NEW round 4, Xie et al.
+        # 2023): fit target/raw bucket models -> broadcast K-sized lr
+        # table -> score -> exact top-k; e6 fixed-point ln so the DuckDB
+        # oracle hash-matches (q_lineitem_stats rotated out to make room,
+        # r3 hash-exact, untouched)
+        "dsir_select": curation.dsir_select,
+        # SemDeDup (NEW round 4, Abbas et al. 2023): e6-integer k-means
+        # (min-k init, ONE Lloyd update via per-block partials merged on
+        # the driver) -> within-cluster cosine prune against the first
+        # cluster_cap earliest-id referees; exact end to end (HUGEINT
+        # cross-multiplied cosine test), SQL-oracled with the unrolled
+        # Lloyd iteration
+        "semdedup_select": curation.semdedup_select,
+        # ordered conversion funnel with strict min-ts chaining (SQL-oracled:
+        # CTE chain of conditional mins)
+        "q_funnel": analytics.q_funnel,
+        # dedup family (SQL-oracled members; the LSH approximations are in
+        # the rows-only block below)
+        "dedup_exact": dedup.exact_dedup,
+        # exact shingle-Jaccard similarity join — REWRITTEN round 4 to the
+        # DF-ordered positional-prefix-filter candidate pipeline (PPJoin)
+        # with exact verify, so it MUST hold a driver slot this round
+        "dedup_jaccard": dedup.jaccard_similarity_join,
+        # connected-components cluster labeling over near-dup pairs
+        # (iterative join + groupby-min; SQL oracle = recursive closure);
+        # exact edge source — the LSH-edged scale path is dedup_cc_lsh below
+        "dedup_cc": dedup.embedding_cc_clusters_exact,
+        # similarity search (exact baseline; approximate variants below)
+        "knn_cosine": similarity.knn_cosine_topk,  # SQL-oracled
+        # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
+        # tp/fp/fn and the exact _prf float formula)
+        "rule_eval_scores": rule_eval.rule_eval_scores,
+        # S5 real PDF round-trip: deterministic FlateDecode PDFs built and
+        # parsed by the real text-object extractor (SQL-oracled: the
+        # expected normalized text reconstructed in closed form)
+        "pdf_extract": media.pdf_extract,
+        # NEW round 4: documents through the REAL stdlib-zlib PNG codec
+        # (sources/png.py — all five scanline filters cycled on encode so
+        # decode proves every unfilter), resize actor pool on the real
+        # path; closed-form oracle over the doc_id pixel rule hash-proves
+        # the full encode->inflate->unfilter->decode chain
+        "png_roundtrip": media.png_roundtrip,
+        # NEW round 5: documents through the REAL stdlib baseline JPEG
+        # codec (sources/jpeg.py — FDCT/quantize/zigzag/Huffman and the
+        # full decode chain, no PIL).  The fixture family (constant
+        # 8x8 blocks, R=G=B, DC quant step 8) survives the lossy pipe
+        # bit-exact by construction, so the closed-form oracle
+        # hash-proves encode->Huffman->IDCT->upsample->color end to end
+        "jpeg_roundtrip": media.jpeg_roundtrip,
+        # NEW round 4: documents through the REAL video container chain —
+        # deterministic frames -> genuine uncompressed RIFF/AVI bytes
+        # (sources/avi.py) -> the real SampleVideoFrames stdlib demux,
+        # sampled frames re-encoded as REAL PNGs and pixel-summed;
+        # closed-form oracle hash-proves both codecs per frame
+        "avi_frames": media.avi_frames,
+        # EXACT per-group percentile_cont 25/50/75 via a (group, value)
+        # histogram groupby — no global sort; the per-group twin of
+        # quantile_gate (NEW round 4, in-window: new code earns a row)
+        "q_group_median": analytics.q_group_median,
+        # Efraimidis-Spirakis weighted sampling without replacement:
+        # md5-uniform reservoir keys ln(u)/w, per-block top-k partials,
+        # ONE streaming pass (NEW round 4, SQL-oracled bit-exact)
+        "weighted_sample": curation.weighted_sample,
+        # Gopher document-quality rules (Rae et al. 2021, NEW round 4):
+        # the published pre-training gate in exact integer form (mean
+        # word length / bullet / ellipsis / symbol / stop-word rules via
+        # int64 cross-multiplication); SQL-oracled hash-exact
+        "gopher_quality": textstats.gopher_quality,
+        # ---- past the driver's 50-entry window from here ----
+        # SQL-oracled, rotated OUT this round: every entry below down
+        # to the rows-only marker is hash-exact in CORRECTNESS_r04 with
+        # code untouched since (the r4-certified sentinels), so the
+        # (r4 union r5-window) invariant covers all 83 oracled queries.
+        # Locally re-verified via scripts/check_contract.py full sweep.
+        "q_region_customers": analytics.q_region_customers,
+        "q_events_hourly": analytics.q_events_hourly,
+        "q_sessionize": analytics.q_sessionize,
+        "q_event_dedup_window": analytics.q_event_dedup_window,
+        "tfidf_topk": textstats.tfidf_topk,
+        "embed_docs": textstats.embed_docs,
+        "doc_term_df": textstats.doc_term_df,
+        # PII detect + redact over deterministically augmented text
+        # (SQL-oracled incl. md5 of the redacted bytes)
+        "pii_scan": textstats.pii_scan,
+        "fingerprint": textstats.fingerprint,
+        "quality_score": textstats.quality_score,
+        "token_count": textstats.token_count,
+        "token_count_bpe": textstats.token_count_bpe,
+        "split_assign": textstats.split_assign,
+        # leakage-safe GROUP-level split (NEW round 4): the hash keys on
+        # source, so same-site near-dups can never straddle train/test
+        "split_by_group": textstats.split_by_group,
+        # S11 nested-JSON -> flat-column ETL (SQL-oracled via DuckDB
+        # json_extract)
+        "json_etl_flatten": etl.json_etl_flatten,
+        # language id (stopword-overlap heuristic — SQL-oracled)
+        "lang_id": textstats.lang_id,
+        "media_frames": media.media_frames,
+        "media_audio": media.media_audio,
+        # adaptive recrawl scheduling (NEW round 4, Cho & Garcia-Molina
+        # 2003): per-page Poisson change-rate from fetch-observation
+        # history (pre-reduced 4-int64 groupby, never the event payload),
+        # e6 fixed-point ln (dsir parity contract), int64 staleness score
+        "recrawl_priority": curation.recrawl_priority,
+        # product-quantization encoding (NEW round 4, Jegou et al. 2011):
+        # n_sub per-subspace codebooks trained by the semdedup fixed-point
+        # k-means in the SAME two streaming passes (no exchange at all);
+        # SQL-oracled with the unrolled Lloyd iteration per subspace
+        "pq_encode": curation.pq_encode,
+        # hot-key top-k via composite-key (salted) two-stage agg — the
+        # explicit skew-handling shape (SQL-oracled: row_number window)
+        "q_top_users_by_type": analytics.q_top_users_by_type,
+        # as-of join (custom operator — Ray Data lacks one; bucketed
+        # merge_asof composition, DuckDB ASOF JOIN oracle)
+        "q_asof_join": analytics.q_asof_join,
+        # range (interval-containment) join: broadcast small window table,
+        # vectorized containment mask, partial-sum fold (SQL-oracled)
+        "q_range_join": analytics.q_range_join,
+        # full OUTER join (NEW round 4) via the q_anti_join side-flag
+        # groupby fold — no join operator, no broadcast, zero-filled
+        # absent sides (in-window: new code earns a driver row)
+        "q_full_outer": analytics.q_full_outer,
+        "dedup_embedding": dedup.embedding_neardup_pairs,  # SQL-oracled
+        # incremental ingestion dedup: incoming batch vs kept corpus via
+        # broadcast bloom + hash-partitioned anti-join of bloom-hit
+        # survivors (SQL-oracled: md5 anti-join)
+        "dedup_incremental": dedup.dedup_incremental,
+        # multimodal ingest: real binary payload -> resize -> decode actor
+        # pipeline; SQL oracle = closed form of the deterministic payload
+        # rule (same oracle pattern as table_stats)
+        "media_meta": media.media_meta,
+        # REAL codec path: genuine RIFF/WAV bytes decoded by the stdlib
+        # ``wave`` module (fake=False branch live, no external dep);
+        # SQL-oracled: header fields in closed form, rms exactness in pytest
+        "media_wav": media.media_wav,
+        # S11 with the REAL binary spreadsheet format: every flat batch
+        # round-trips through genuine xlsx bytes (stdlib zip+OOXML codec,
+        # sources/xlsx.py); same oracle as json_etl_flatten, so the hash
+        # proves the encode/decode lossless
+        "xlsx_roundtrip": etl.xlsx_roundtrip,
+        # NEW round 4: pages through REAL Common-Crawl-layout WARC bytes
+        # (one gzip member per response record, stdlib codec in
+        # sources/warc.py) and parsed straight back — the hash proves the
+        # archive-format encode/decode lossless (SQL-oracled closed form
+        # over documents, same pattern as xlsx_roundtrip)
+        "warc_roundtrip": etl.warc_roundtrip,
+        # NEW round 4: every document rendered to html BYTES in six
+        # encodings (meta declarations, BOMs, an undeclared-latin-1 lying
+        # page) and decoded by the REAL sniff_charset+decode_html_bytes
+        # kernel — the hash proves the html:binary ingestion contract's
+        # charset handling distributed (closed-form oracle, the
+        # warc_roundtrip pattern)
+        "charset_roundtrip": etl.charset_roundtrip,
+        # INTERSECT set operation (NEW round 4): per-batch-distinct
+        # side-bit rows, ONE groupby Max-fold per bit, both-bits
+        # survivors — the set family's last member (union/anti exist);
+        # SQL-oracled (INTERSECT)
+        "q_intersect": analytics.q_intersect,
+        # composite training-data prep flagship: fused lang-ID + quality
+        # gate -> canopy dedup (argmin-via-packing keeper) -> per-language
+        # rollup, ONE streaming flow (SQL-oracled end to end)
+        "prep_corpus": prep.prep_corpus,
         # ---- rows-only from here (approximations / no SQL analog);
         # everything below sits past the driver's 50-entry window and is
         # pytest-covered ----
