@@ -226,6 +226,11 @@ class PagesStore:
             shard_dir,
             columns=["url", "html", "warc_ts"],
             filters=pc.field("url").isin(urls),
+            # single-threaded: this runs INSIDE a num_cpus=1 Ray task —
+            # the default thread pool (os.cpu_count() threads) multiplied
+            # by 64 concurrent lookup tasks thrashes the node, and the
+            # selective compacted-shard read is not faster threaded
+            use_threads=False,
         )
         t = t.set_column(
             t.schema.get_field_index("html"),
@@ -768,19 +773,7 @@ class RayCrawl:
         n_ok = 0
         n_total = 0
         had_frontier = frontier is not None
-        if frontier is _PROPOSED:
-            # proposals are resident on the host-affine shards; the admit
-            # RPC returns the (n_total, n_ok) stats the fused extract
-            # batches deposited (token-keyed, retry-idempotent)
-            _t = self._tick("canonicalize", _t)
-            res = ray.get(
-                [s.admit_enqueue_round.remote() for s in self.shards]
-            )
-            n_total = sum(r[1] for r in res)
-            n_ok = sum(r[2] for r in res)
-            self._bump("rejected", n_total - n_ok)
-            _t = self._tick("enqueue", _t)
-        elif frontier is not None:
+        if frontier is not None and frontier is not _PROPOSED:
             # ONE pass: canonicalize + robots + payload-carrying propose;
             # the stats output materializing IS the propose barrier, and
             # its sums replace the two full-frontier count() launches
@@ -798,24 +791,26 @@ class RayCrawl:
                 if blk.num_rows:
                     n_total += int(pc.sum(blk["n_total"]).as_py() or 0)
                     n_ok += int(pc.sum(blk["n_ok"]).as_py() or 0)
-            _t = self._tick("canonicalize", _t)
-            # ---- R2b: admit winners + enqueue, one RPC per shard ---------
-            ray.get([s.admit_enqueue_round.remote() for s in self.shards])
-            self._bump("rejected", n_total - n_ok)
-            _t = self._tick("enqueue", _t)
+        _t = self._tick("canonicalize", _t)
 
-        # ---- R3: politeness scheduling inside the host-affine shards -----
-        # fetch tables stay STASHED on the shard actors: the driver gets
-        # counts only, and either pulls the (budget-bounded) tables for the
-        # fast driver-side ordering, or hands the actors' ObjectRefs to the
-        # distributed ordering pipeline without ever touching the rows.
-        counts = ray.get(
-            [s.schedule_round_counts.remote() for s in self.shards]
-        )
-        ray.get([s.end_round.remote() for s in self.shards])
-        n_fetch = sum(c[0] for c in counts)
-        n_deferred = sum(c[1] for c in counts)
-        n_admitted = sum(c[2] for c in counts)
+        # ---- R2b+R3: ONE barrier RPC per shard: admit proposal winners,
+        # run the politeness scheduler (fetch tables stay STASHED on the
+        # host-affine actors — the driver gets counts only, and either
+        # pulls the budget-bounded tables for the fast driver-side
+        # ordering or hands the actors' ObjectRefs to the distributed
+        # ordering pipeline), and clear round state.  On the _PROPOSED
+        # path the same RPC also returns the (n_total, n_ok) stats the
+        # fused extract batches deposited (token-keyed, retry-idempotent).
+        res = ray.get([s.resolve_round.remote() for s in self.shards])
+        n_fetch = sum(r[0] for r in res)
+        n_deferred = sum(r[1] for r in res)
+        n_admitted = sum(r[2] for r in res)
+        if frontier is _PROPOSED:
+            n_total = sum(r[3] for r in res)
+            n_ok = sum(r[4] for r in res)
+        if had_frontier:
+            self._bump("rejected", n_total - n_ok)
+        _t = self._tick("enqueue", _t)
         self._bump("deferred", n_deferred)
         if had_frontier:
             self._bump("deduped", n_ok - n_admitted)
@@ -897,6 +892,13 @@ class RayCrawl:
                 batch_size=None,  # block granularity: one RPC fan-out/block
             )
         extracted = ext_ds.materialize()
+        if os.environ.get("LSR_CRAWL_STATS"):
+            import sys as _sys
+
+            print(
+                f"==== round {rnd} extract stats ====\n{extracted.stats()}",
+                file=_sys.stderr,
+            )
         _t = self._tick("fetch_extract", _t)
         n_matched = extracted.count()
         self._bump("fetch_miss", n_fetch - n_matched)

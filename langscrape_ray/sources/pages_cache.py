@@ -39,9 +39,45 @@ PAGES_SHARDS = 64
 def cache_path(cfg: FixtureConfig, base: str = "/tmp/langscrape_ray_cache") -> str:
     tag = (
         f"pages_s{cfg.seed}_p{cfg.n_pages}_h{cfg.n_hosts}_b{cfg.body_scale}"
-        f"_k{PAGES_SHARDS}"
+        f"_k{PAGES_SHARDS}v2"  # v2 = compacted url-sorted shard layout
     )
     return os.path.join(base, tag)
+
+
+def _compact_shards(path: str, row_group_rows: int = 128) -> None:
+    """Layout v2: rewrite each shard dir as ONE url-sorted parquet file.
+
+    The distributed partitioned write leaves ~n_chunks small files per
+    shard (measured 67 files/shard at sf0.1) — a non-resident lookup then
+    parses every footer and decompresses most row groups per probe.  One
+    sorted file per shard means one footer, and url-clustered row groups
+    whose min/max stats make the ``url isin`` pushdown selective: at
+    store >> probe-list scale (the 100 TB configuration) a lookup reads
+    only the row groups its probe urls actually land in.  At real scale
+    this per-shard compaction is itself a distributed sort per shard —
+    here each shard fits one task.  Crash-safe: _DONE is written only
+    after compaction, and a partial build is wiped before regeneration."""
+    import ray
+    import pyarrow.parquet as pq
+
+    @ray.remote
+    def compact(sdir: str) -> int:
+        t = pq.read_table(sdir)
+        t = t.sort_by("url")
+        olds = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        tmp = os.path.join(sdir, "compact.parquet.tmp")
+        pq.write_table(t, tmp, row_group_size=row_group_rows)
+        os.replace(tmp, os.path.join(sdir, "compact.parquet"))
+        for f in olds:
+            os.unlink(os.path.join(sdir, f))
+        return t.num_rows
+
+    dirs = [
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("shard=")
+    ]
+    ray.get([compact.remote(d) for d in dirs])
 
 
 def build_pages_parquet(cfg: FixtureConfig, path: str | None = None,
@@ -83,5 +119,6 @@ def build_pages_parquet(cfg: FixtureConfig, path: str | None = None,
         .map_batches(gen, batch_format="pyarrow", batch_size=1)
         .write_parquet(path, partition_cols=["shard"])
     )
+    _compact_shards(path)
     open(done, "w").close()
     return path

@@ -397,6 +397,22 @@ class SeenShard:
         self._last_fetch = tbl
         return tbl.num_rows, n_deferred, n_admitted
 
+    def resolve_round(self) -> tuple:
+        """ONE per-round barrier RPC: admit this round's proposal winners
+        into the politeness backlog, run the per-host scheduler (stashing
+        the fetch table on the actor), and clear round state — replacing
+        three sequential RPC waves (admit_enqueue_round,
+        schedule_round_counts, end_round).  The fixed per-round
+        coordination cost is the crawl's Amdahl term at high CPU counts,
+        so every removed driver-barrier wave feeds straight into scaling
+        efficiency.  Returns (n_fetch, n_deferred, n_admitted, n_total,
+        n_ok) — the last two fold the fused-propose batch stats (zeros
+        when the driver computed stats itself on the unfused path)."""
+        _, n_total, n_ok = self.admit_enqueue_round()
+        n_fetch, n_deferred, n_admitted = self.schedule_round_counts()
+        self.end_round()
+        return n_fetch, n_deferred, n_admitted, n_total, n_ok
+
     def last_fetch_table(self) -> pa.Table:
         """The fetch table stashed by the most recent
         schedule_round_counts call (empty-schema table if none)."""
