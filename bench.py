@@ -183,9 +183,12 @@ DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard"]
 # reason: wall-time trend on record without moving the headline total
 CURATION_FAMILY = ["semdedup_select", "pq_encode", "knn_pq"]
 
-# round-4 REAL-codec tier (stdlib PNG / AVI / charset chains), timed as
-# its own block so the media-format surface has a wall-time trend too
-CODEC_FAMILY = ["png_roundtrip", "avi_frames", "charset_roundtrip"]
+# round-4 REAL-codec tier (stdlib PNG / AVI / charset chains; round 5
+# adds the baseline JPEG codec), timed as its own block so the
+# media-format surface has a wall-time trend too
+CODEC_FAMILY = [
+    "png_roundtrip", "avi_frames", "charset_roundtrip", "jpeg_roundtrip",
+]
 
 
 def main() -> None:

@@ -238,15 +238,40 @@ class ResizeImageStub:
                 return png_bytes(
                     resize_nearest(arr, self.max_w, self.max_h)
                 )
+            # REAL tier 1b: stdlib baseline JPEG decode -> nearest
+            # downscale -> JPEG re-encode (sources/jpeg.py), no PIL.
+            if payload is not None and bytes(payload[:2]) == b"\xff\xd8":
+                from langscrape_ray.sources.jpeg import (
+                    BadJpeg,
+                    UnsupportedJpeg,
+                    jpeg_bytes,
+                    jpeg_meta,
+                    read_jpeg,
+                )
+                from langscrape_ray.sources.png import resize_nearest
+
+                try:
+                    # header-only sniff first: the fits-already no-op
+                    # path must cost O(SOF0), not a full Huffman decode
+                    w, h, _nc = jpeg_meta(bytes(payload))
+                    if w <= self.max_w and h <= self.max_h:
+                        return payload
+                    arr = read_jpeg(bytes(payload))
+                except (BadJpeg, UnsupportedJpeg):
+                    return payload
+                return jpeg_bytes(
+                    resize_nearest(arr, self.max_w, self.max_h)
+                )
             try:
                 from io import BytesIO
 
                 from PIL import Image  # optional dep, absent in container
             except ImportError:
                 raise NotImplementedError(
-                    "real non-PNG image resize requires PIL — not available "
-                    "here; PNG resizes natively (sources/png.py), or run "
-                    "with fake=True for fixture payloads"
+                    "real image resize beyond PNG/baseline-JPEG requires "
+                    "PIL — not available here; PNG and baseline JPEG "
+                    "resize natively (sources/png.py, sources/jpeg.py), "
+                    "or run with fake=True for fixture payloads"
                 ) from None
             try:
                 with Image.open(BytesIO(payload)) as im:

@@ -327,11 +327,13 @@ def test_audio_real_wav_decode(ray_session):
 
 
 def test_image_real_codec_gate():
-    """fake=False image stages: PNG payloads take the REAL stdlib codec
-    path (sources/png.py) with no PIL — truncated PNG degrades to
-    decode_ok=False / pass-through; NON-PNG payloads hit the PIL tier,
-    which raises NotImplementedError when PIL is absent (this container)
-    or decodes when present.  Every branch exercised, none skipped."""
+    """fake=False image stages: PNG and baseline-JPEG payloads take the
+    REAL stdlib codec paths (sources/png.py, sources/jpeg.py) with no
+    PIL — truncated/garbage payloads degrade to decode_ok=False /
+    pass-through; formats BEYOND the native codecs (gif/webp/...) hit
+    the PIL tier, which raises NotImplementedError when PIL is absent
+    (this container) or decodes when present.  Every branch exercised,
+    none skipped."""
     import pytest as _pytest
 
     from langscrape_ray.stages.multimodal import DecodeImageMeta, ResizeImageStub
@@ -347,10 +349,45 @@ def test_image_real_codec_gate():
     rz = ResizeImageStub(fake=False)(trunc_png)
     assert rz["image"].to_pylist() == trunc_png["image"].to_pylist()
 
-    non_png = pa.table(
+    # garbage JPEG: rejected by the NATIVE baseline codec (BadJpeg ->
+    # decode_ok=False), no PIL gate involved since round 5's sources/jpeg.py
+    bad_jpeg = pa.table(
         {
             "img_id": pa.array([0], pa.int64()),
             "image": pa.array([b"\xff\xd8\xff\xe0 jpeg-ish"], pa.binary()),
+        }
+    )
+    out = DecodeImageMeta(fake=False)(bad_jpeg)
+    assert list(out["decode_ok"].to_pylist()) == [False]
+
+    # real JPEG resize: native decode -> nearest downscale -> re-encode
+    # (no PIL); a fits-already payload passes through byte-identical via
+    # the O(SOF0) header sniff
+    import numpy as np
+
+    from langscrape_ray.sources.jpeg import jpeg_bytes, jpeg_meta
+
+    big = jpeg_bytes(
+        np.arange(640 * 480 * 3, dtype=np.int64).reshape(480, 640, 3)
+        .astype(np.uint8)
+    )
+    small = jpeg_bytes(np.full((16, 16, 3), 128, dtype=np.uint8))
+    jt = pa.table(
+        {
+            "img_id": pa.array([0, 1], pa.int64()),
+            "image": pa.array([big, small], pa.binary()),
+        }
+    )
+    rz = ResizeImageStub(max_w=256, max_h=256, fake=False)(jt)
+    out_big, out_small = rz["image"].to_pylist()
+    w, h, nc = jpeg_meta(out_big)
+    assert (w, h, nc) == (256, 192, 3)
+    assert out_small == small  # no-op path is byte-identical
+
+    non_native = pa.table(
+        {
+            "img_id": pa.array([0], pa.int64()),
+            "image": pa.array([b"GIF89a not-really-a-gif"], pa.binary()),
         }
     )
     try:
@@ -360,13 +397,13 @@ def test_image_real_codec_gate():
     except ImportError:
         have_pil = False
     if have_pil:
-        out = DecodeImageMeta(fake=False)(non_png)
+        out = DecodeImageMeta(fake=False)(non_native)
         assert list(out["decode_ok"].to_pylist()) == [False]
     else:
         with _pytest.raises(NotImplementedError):
-            DecodeImageMeta(fake=False)(non_png)
+            DecodeImageMeta(fake=False)(non_native)
         with _pytest.raises(NotImplementedError):
-            ResizeImageStub(fake=False)(non_png)
+            ResizeImageStub(fake=False)(non_native)
 
 
 def test_video_frames_empty_batch_keeps_schema():
