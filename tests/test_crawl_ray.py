@@ -147,6 +147,53 @@ def test_crawl_resume_from_fused_checkpoint(ray_session, small_cfg, small_world,
     assert resumed["seen_size"] == full["seen_size"]
 
 
+def test_fused_propose_retry_idempotent(ray_session):
+    """A Ray task retry re-runs ProposeOutlinksPassthrough on the SAME
+    extracted batch: min-order-key propose and token-keyed stats must
+    make the duplicate invisible — resolve_round returns identical
+    (n_fetch, n_deferred, n_admitted, n_total, n_ok) as a single call."""
+    import pyarrow as pa
+
+    from langscrape_ray.pipelines.crawl import ProposeOutlinksPassthrough
+    from langscrape_ray.stages.frontier_stages import SeenShard
+
+    def run(calls: int) -> tuple:
+        shards = [
+            SeenShard.remote(i, 10_000, True, delays_by_host={},
+                             max_per_host_per_round=50, default_delay_ms=0)
+            for i in range(2)
+        ]
+        batch = pa.table(
+            {
+                "order_key": pa.array([11, 22], pa.int64()),
+                "outlinks": pa.array(
+                    [
+                        ["http://a.example/x", "http://b.example/y"],
+                        ["http://a.example/x", "http://c.example/z"],
+                    ],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+        prop = ProposeOutlinksPassthrough({}, shards)
+        for _ in range(calls):
+            out = prop(batch)
+            assert out is batch  # zero-copy passthrough
+        res = ray.get([s.resolve_round.remote() for s in shards])
+        agg = tuple(sum(r[i] for r in res) for i in range(5))
+        backlog = sum(ray.get([s.backlog_size.remote() for s in shards]))
+        return agg + (backlog,)
+
+    import ray
+
+    once = run(1)
+    thrice = run(3)
+    assert once == thrice
+    # 4 links proposed, 3 distinct after min-okey dedup
+    n_fetch, n_deferred, n_admitted, n_total, n_ok = once[:5]
+    assert (n_total, n_ok, n_admitted) == (4, 4, 3)
+
+
 def test_crawl_matches_oracle_deferred_heavy(ray_session, small_cfg, small_world):
     """Tight politeness budget (2/host/round, 5 rounds): the deferred
     backlog dominates — exercises the actor-resident queue ordering across
