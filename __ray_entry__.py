@@ -567,6 +567,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_bpe.py)
         "token_count_vendored": textstats.token_count_vendored,
         "dedup_minhash": dedup.minhash_dedup,           # rows-only (LSH)
+        # fully-distributed minhash tier (NEW round 5): pair-key dedup IN
+        # the Dataset + co-partitioned join verify — the edge set never
+        # lands on the driver (the 100-TB shape; rows-only, parity with
+        # dedup_minhash pinned in tests/test_dedup_scale.py)
+        "dedup_minhash_ds": dedup.minhash_dedup_ds,
         "dedup_simhash": dedup.simhash_neardup_pairs,   # rows-only
         "dedup_embedding_lsh": dedup.embedding_neardup_lsh,  # rows-only (LSH scale path)
         # CC clustering over the LSH edge source — the 10^9-vector shape

@@ -396,6 +396,25 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.5,
     )
 
 
+def minhash_dedup_ds(sf_dir: str, threshold: float = 0.5,
+                     n_parts: Optional[int] = None) -> "Optional[rd.Dataset]":
+    """Fully-distributed sibling of ``minhash_dedup``: the candidate set
+    is pair-deduped IN the Dataset (single-int64 pair-key aggregate) and
+    verified through the co-partitioned join tail, so the edge set NEVER
+    lands on the driver — at web-crawl dup rates (30-50 % near-dup) the
+    LSH pair volume is corpus-order and the driver collect in
+    ``minhash_dedup`` (its documented small-tier trade) stops being
+    bounded.  Feeds the distributed CC tier directly at 100 TB.  Same
+    threshold contract (filter on the 4-decimal-rounded Jaccard);
+    returns None when there are no candidates.  Parity with
+    minhash_dedup is pytest-pinned."""
+    cands = minhash_candidate_pairs_ds(sf_dir, dedup_pairs=True)
+    return _verify_pairs_join_ds(
+        cands, sf_dir, threshold,
+        _join_parts(n_parts or 16), round_first=True,
+    )
+
+
 # above this many candidate pairs the candidate-text slice stops being
 # broadcastable and the verify tail switches to co-partitioned hash joins
 JOIN_TAIL_PAIRS = 2_000_000

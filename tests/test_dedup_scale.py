@@ -260,3 +260,34 @@ def test_cc_distributed_chain_log_rounds(ray_session):
     # log-diameter convergence: ceil(log2(300)) == 9; allow fixpoint
     # detection + slack.  Plain propagation would need 299 rounds.
     assert len(iter_log) <= 14, iter_log
+
+
+def test_minhash_dedup_ds_parity(ray_session, tmp_path):
+    """minhash_dedup_ds (pairs never land on the driver: Dataset pair-key
+    dedup + co-partitioned join verify) must emit exactly the rows of the
+    small-tier minhash_dedup on the same corpus."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [
+        base,
+        base + " extra",
+        base + " extra words on the end of it",
+        "completely different text about quantum flux and tachyon streams",
+        base + " extra",
+        "another standalone document with its own words entirely here",
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    from langscrape_ray.pipelines.dedup import minhash_dedup, minhash_dedup_ds
+
+    small = minhash_dedup(sf, threshold=0.5)
+    ds = minhash_dedup_ds(sf, threshold=0.5)
+    dist = (
+        ds.to_pandas()
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]]
+        if ds is not None
+        else small.iloc[0:0]
+    )
+    assert len(small) > 0, "fixture produced no near-dup pairs"
+    pd.testing.assert_frame_equal(small, dist)
