@@ -177,7 +177,7 @@ def run_query_bench(sf_dir: str, names=None) -> dict:
 # no corpus broadcast); dedup_jaccard records the prefix-filter rewrite's
 # wall-time trend.  Reported OUTSIDE the headline total so "value" stays
 # comparable across rounds.
-DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard"]
+DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard", "dedup_minhash_ds"]
 
 # round-4 curation/ANN additions, timed as their own block for the same
 # reason: wall-time trend on record without moving the headline total
