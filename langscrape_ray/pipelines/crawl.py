@@ -57,6 +57,26 @@ _FRONTIER_SCHEMA = {"url": pa.string(), "priority": pa.int64(), "order_key": pa.
 # (the fused pipeline) — the loop then starts the next round at admit
 _PROPOSED = object()
 
+# below this many frontier rows, canonicalize+robots+propose skip the
+# Dataset launch: with propose fusion, a full map_batches launch only
+# ever canonicalizes the SEED round, and for a few thousand seed urls the
+# launch overhead is ~1.4 s of pure fixed cost (measured at 16 CPUs,
+# sf0.1) for milliseconds of work — the largest remaining term of the
+# per-round coordination floor.  Tiny frontiers run the identical
+# CanonProposePayloadBatch kernel in-process on the driver; mid-size ones
+# fan the same kernel out as raw Ray tasks over table slices (identical
+# canonicalize + robots decisions and the same idempotent per-shard
+# propose fold, ~ms of task overhead instead of the launch cost).
+# Billion-url seed lists stay on the distributed Dataset path.
+_DRIVER_CANON_MAX_ROWS = 65_536
+_CANON_TASK_CHUNK = 2_048
+
+
+@ray.remote(num_cpus=1)
+def _canon_propose_task(canonprop, tbl: pa.Table) -> pa.Table:
+    """Raw-task wrapper for the small-frontier canonicalize fan-out."""
+    return canonprop(tbl)
+
 
 def explode_outlinks(batch: pa.Table) -> pa.Table:
     """R6 outlink explode with per-row order keys — vectorized:
@@ -561,14 +581,20 @@ class RayCrawl:
         dict with counters, the ordered fetched trace, and rounds run."""
         start_round = 0
         self._frontier_rows = seeds.num_rows
-        frontier: Optional[rd.Dataset] = rd.from_arrow(
-            pa.table(
-                {
-                    "url": seeds["url"],
-                    "priority": pc.cast(seeds["priority"], pa.int64()),
-                    "order_key": pc.cast(seeds["seed_order"], pa.int64()),
-                }
-            )
+        # frontier is Dataset | pa.Table | _PROPOSED | None: a raw Arrow
+        # table takes the small-frontier driver canonicalize path in
+        # _run_round (same kernel, no Dataset launch)
+        seed_tbl = pa.table(
+            {
+                "url": seeds["url"],
+                "priority": pc.cast(seeds["priority"], pa.int64()),
+                "order_key": pc.cast(seeds["seed_order"], pa.int64()),
+            }
+        )
+        frontier = (
+            seed_tbl
+            if seed_tbl.num_rows <= _DRIVER_CANON_MAX_ROWS
+            else rd.from_arrow(seed_tbl)
         )
         if resume and self.ckpt_dir:
             last = last_complete_round(self.ckpt_dir)
@@ -594,8 +620,19 @@ class RayCrawl:
                     # snapshots carry the pending proposals + stats, so
                     # the round resumes directly at the admit barrier
                     frontier = _PROPOSED
+                elif nf_path:
+                    import pyarrow.dataset as pads
+
+                    # metadata-only row count decides the tier: small
+                    # checkpointed frontiers resume on the driver path
+                    n_rows = pads.dataset(nf_path).count_rows()
+                    frontier = (
+                        pads.dataset(nf_path).to_table()
+                        if n_rows <= _DRIVER_CANON_MAX_ROWS
+                        else rd.read_parquet(nf_path)
+                    )
                 else:
-                    frontier = rd.read_parquet(nf_path) if nf_path else None
+                    frontier = None
                 # drop any trace file an interrupted round left behind —
                 # the re-run rewrites it (deterministically identical), but
                 # a round that re-runs to zero fetches writes nothing and
@@ -757,7 +794,7 @@ class RayCrawl:
 
     # ------------------------------------------------------------------
     def _run_round(
-        self, rnd: int, frontier: Optional[rd.Dataset]
+        self, rnd: int, frontier  # Dataset | pa.Table | _PROPOSED | None
     ) -> Optional[rd.Dataset]:
         import time as _time
 
@@ -774,23 +811,55 @@ class RayCrawl:
         n_total = 0
         had_frontier = frontier is not None
         if frontier is not None and frontier is not _PROPOSED:
-            # ONE pass: canonicalize + robots + payload-carrying propose;
-            # the stats output materializing IS the propose barrier, and
-            # its sums replace the two full-frontier count() launches
-            stats = frontier.map_batches(
-                CanonProposePayloadBatch(self.robots_rules, self.shards),
-                batch_format="pyarrow",
-            ).materialize()
-            # fold the per-block (n_total, n_ok) rows on the driver from
-            # the already-materialized block refs: stats is k tiny rows
-            # (one per block), and a ds.sum() here would launch a whole
-            # aggregation plan per round — a constant ~0.3-0.5 s that
-            # never parallelizes (measured 0.39 scaling efficiency on the
-            # canonicalize phase before this fold)
-            for blk in ray.get(stats.to_arrow_refs()):
-                if blk.num_rows:
-                    n_total += int(pc.sum(blk["n_total"]).as_py() or 0)
-                    n_ok += int(pc.sum(blk["n_ok"]).as_py() or 0)
+            if isinstance(frontier, pa.Table):
+                # small-frontier driver fast path (seed round / resume):
+                # the SAME CanonProposePayloadBatch kernel runs once on
+                # the driver — identical canonicalize + robots decisions
+                # and identical per-shard propose_payload_tbl RPCs (the
+                # shards see one table each instead of one per block; the
+                # propose fold is batch-count-insensitive) — skipping the
+                # ~1.4 s fixed cost of a Dataset launch for a frontier
+                # that fits in one batch
+                canonprop = CanonProposePayloadBatch(
+                    self.robots_rules, self.shards
+                )
+                nrows = frontier.num_rows
+                if nrows <= _CANON_TASK_CHUNK:
+                    stats_tbls = [canonprop(frontier)]
+                else:
+                    cp_ref = ray.put(canonprop)
+                    stats_tbls = ray.get(
+                        [
+                            _canon_propose_task.remote(
+                                cp_ref,
+                                frontier.slice(i, _CANON_TASK_CHUNK),
+                            )
+                            for i in range(0, nrows, _CANON_TASK_CHUNK)
+                        ]
+                    )
+                for st in stats_tbls:
+                    n_total += int(pc.sum(st["n_total"]).as_py() or 0)
+                    n_ok += int(pc.sum(st["n_ok"]).as_py() or 0)
+            else:
+                # ONE pass: canonicalize + robots + payload-carrying
+                # propose; the stats output materializing IS the propose
+                # barrier, and its sums replace the two full-frontier
+                # count() launches
+                stats = frontier.map_batches(
+                    CanonProposePayloadBatch(self.robots_rules, self.shards),
+                    batch_format="pyarrow",
+                ).materialize()
+                # fold the per-block (n_total, n_ok) rows on the driver
+                # from the already-materialized block refs: stats is k
+                # tiny rows (one per block), and a ds.sum() here would
+                # launch a whole aggregation plan per round — a constant
+                # ~0.3-0.5 s that never parallelizes (measured 0.39
+                # scaling efficiency on the canonicalize phase before
+                # this fold)
+                for blk in ray.get(stats.to_arrow_refs()):
+                    if blk.num_rows:
+                        n_total += int(pc.sum(blk["n_total"]).as_py() or 0)
+                        n_ok += int(pc.sum(blk["n_ok"]).as_py() or 0)
         _t = self._tick("canonicalize", _t)
 
         # ---- R2b+R3: ONE barrier RPC per shard: admit proposal winners,
