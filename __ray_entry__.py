@@ -393,12 +393,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_order_priority rotated out to make room, r3 hash-exact,
         # untouched)
         "fuzzy_dedup": dedup.fuzzy_dedup_keep_best,
-        # DSIR hashed-bigram importance selection (NEW round 4, Xie et al.
-        # 2023): fit target/raw bucket models -> broadcast K-sized lr
-        # table -> score -> exact top-k; e6 fixed-point ln so the DuckDB
-        # oracle hash-matches (q_lineitem_stats rotated out to make room,
-        # r3 hash-exact, untouched)
-        "dsir_select": curation.dsir_select,
         # SemDeDup (NEW round 4, Abbas et al. 2023): e6-integer k-means
         # (min-k init, ONE Lloyd update via per-block partials merged on
         # the driver) -> within-cluster cosine prune against the first
@@ -406,9 +400,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-multiplied cosine test), SQL-oracled with the unrolled
         # Lloyd iteration
         "semdedup_select": curation.semdedup_select,
-        # ordered conversion funnel with strict min-ts chaining (SQL-oracled:
-        # CTE chain of conditional mins)
-        "q_funnel": analytics.q_funnel,
+        # NEW round 5: LAG/LEAD window member — per-user inter-event gap
+        # stats in exact integer microseconds (tie-safe: aggregates over
+        # the diff multiset of a sorted multiset are order-independent)
+        "q_lag_delta": analytics.q_lag_delta,
+        # NEW round 5: ordered per-group string aggregation (user-journey
+        # path, string_agg ORDER BY ts+event_id tie-broken deterministic)
+        "q_string_agg": analytics.q_string_agg,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -467,6 +465,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code untouched since (the r4-certified sentinels), so the
         # (r4 union r5-window) invariant covers all 83 oracled queries.
         # Locally re-verified via scripts/check_contract.py full sweep.
+        # Rotated out for the round-5 q_lag_delta/q_string_agg additions
+        # (both r4 hash-exact, code untouched since):
+        "q_funnel": analytics.q_funnel,
+        # DSIR hashed-bigram importance selection (Xie et al. 2023): fit
+        # target/raw bucket models -> broadcast K-sized lr table -> score
+        # -> exact top-k; e6 fixed-point ln so the DuckDB oracle
+        # hash-matches
+        "dsir_select": curation.dsir_select,
         "q_region_customers": analytics.q_region_customers,
         "q_events_hourly": analytics.q_events_hourly,
         "q_sessionize": analytics.q_sessionize,
@@ -693,6 +699,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, sess, count(*) AS n FROM numbered GROUP BY 1, 2)
             SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
             FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        "q_lag_delta": """
+            WITH d AS (
+              SELECT user_id,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                               ts) AS gap
+              FROM events)
+            SELECT user_id, count(gap) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+                   min(gap) AS min_gap_us, max(gap) AS max_gap_us
+            FROM d WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "q_string_agg": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "q_lineitem_stats": """
             SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -1615,3 +1615,92 @@ def q_intersect(sf_dir: str) -> pd.DataFrame:
     )
     folded["key"] = folded["key"].astype("int64")
     return folded.sort_values("key").reset_index(drop=True)
+
+
+def q_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap statistics — the LAG/LEAD member of the
+    window-function family (sessionize covers gap-threshold windows,
+    q_event_dedup_window covers dedup-within-window; this is the raw
+    consecutive-row delta shape: LAG(ts) OVER (PARTITION BY user ORDER
+    BY ts)).
+
+    Exactness: gaps are computed in integer MICROSECONDS (the column's
+    native unit) so every aggregate is an associative int64 sum — the
+    distributed re-sum matches the sequential oracle bit-for-bit.  Tie
+    safety: when two events share a timestamp the LAG order is
+    engine-dependent, but the multiset of diffs of a sorted multiset is
+    not — count/sum/min/max over the gaps are deterministic.
+
+    Ray shape: ONE ``groupby(user_id).map_groups`` exchange carrying only
+    (user_id, ts); per-group work is a vectorized sort+diff.  Memory is
+    bounded by the largest single user's event count (the standard
+    partition-by-key assumption; a hot user tiers to the sessionize-style
+    pre-sorted chunk fold).  Users with a single event have no gap and
+    are dropped on both sides (SQL: WHERE gap IS NOT NULL)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        if len(us) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64)}
+            ).reindex(
+                columns=["user_id", "n_gaps", "sum_gap_us",
+                         "min_gap_us", "max_gap_us"]
+            )
+        d = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_gaps": [int(d.size)],
+                "sum_gap_us": [int(d.sum())],
+                "min_gap_us": [int(d.min())],
+                "max_gap_us": [int(d.max())],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+        .sort("user_id")
+        .to_pandas()
+    )
+
+
+def q_string_agg(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-group string aggregation — the user-journey "path"
+    shape (string_agg(event_type, '>' ORDER BY ts, event_id)), the last
+    missing aggregate family member next to the numeric folds.  Webtext
+    analog: ordered anchor-text concatenation per target URL.
+
+    Determinism: the ORDER BY carries the unique event_id as tie-break,
+    so both engines produce the identical byte sequence even when
+    timestamps collide.
+
+    Ray shape: ONE ``groupby(user_id).map_groups`` exchange over the
+    three projected columns; the per-group fold is a vectorized lexsort
+    + join.  Output size is bounded by events-per-user; at corpus scale
+    a runaway group tiers to truncated/top-k paths — the full
+    concatenation is the oracle-checkable exact semantic."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy())
+        )
+        types = g["event_type"].to_numpy()[order]
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "path": [">".join(types.tolist())],
+                "n_events": [int(len(types))],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(path, batch_format="pandas")
+        .sort("user_id")
+        .to_pandas()
+    )

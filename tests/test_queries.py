@@ -112,6 +112,8 @@ def _to_df(x):
         "avi_frames",
         "gopher_quality",
         "q_intersect",
+        "q_lag_delta",
+        "q_string_agg",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
