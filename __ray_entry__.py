@@ -270,6 +270,7 @@ def _crawl_anchor_text(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
+        classifier,
         curation,
         dedup,
         etl,
@@ -572,6 +573,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M22 counter; rows-only — BPE has no SQL analog; replay-exact in
         # tests/test_bpe.py)
         "token_count_vendored": textstats.token_count_vendored,
+        # fastText-style quality gate trained DISTRIBUTED (NEW round 5):
+        # hashed-n-gram logistic regression, per-block gradient partials
+        # pre-reduced through a bounded fold (rows-only: iterative float
+        # training has no SQL analog; accuracy / gradient-parity /
+        # bit-determinism gated in tests/test_classifier.py)
+        "quality_classifier": classifier.quality_classifier,
         "dedup_minhash": dedup.minhash_dedup,           # rows-only (LSH)
         # fully-distributed minhash tier (NEW round 5): pair-key dedup IN
         # the Dataset + co-partitioned join verify — the edge set never
