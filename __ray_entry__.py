@@ -270,6 +270,7 @@ def _crawl_anchor_text(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     from langscrape_ray.pipelines import (
         analytics,
+        cdc,
         classifier,
         curation,
         dedup,
@@ -579,6 +580,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training has no SQL analog; accuracy / gradient-parity /
         # bit-determinism gated in tests/test_classifier.py)
         "quality_classifier": classifier.quality_classifier,
+        # content-defined-chunking dedup (NEW round 5): FastCDC-style
+        # gear/Rabin window-hash boundaries over two crawl snapshots per
+        # doc — the recrawl-storage dedup workload (rows-only: chunk
+        # boundaries have no SQL analog; size-bound / reconstruction /
+        # shift-resistance-vs-fixed gates in tests/test_cdc.py)
+        "cdc_dedup": cdc.cdc_dedup,
         "dedup_minhash": dedup.minhash_dedup,           # rows-only (LSH)
         # fully-distributed minhash tier (NEW round 5): pair-key dedup IN
         # the Dataset + co-partitioned join verify — the edge set never
