@@ -395,13 +395,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_order_priority rotated out to make room, r3 hash-exact,
         # untouched)
         "fuzzy_dedup": dedup.fuzzy_dedup_keep_best,
-        # SemDeDup (NEW round 4, Abbas et al. 2023): e6-integer k-means
-        # (min-k init, ONE Lloyd update via per-block partials merged on
-        # the driver) -> within-cluster cosine prune against the first
-        # cluster_cap earliest-id referees; exact end to end (HUGEINT
-        # cross-multiplied cosine test), SQL-oracled with the unrolled
-        # Lloyd iteration
-        "semdedup_select": curation.semdedup_select,
         # NEW round 5: LAG/LEAD window member — per-user inter-event gap
         # stats in exact integer microseconds (tie-safe: aggregates over
         # the diff multiset of a sorted multiset are order-independent)
@@ -409,6 +402,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW round 5: ordered per-group string aggregation (user-journey
         # path, string_agg ORDER BY ts+event_id tie-broken deterministic)
         "q_string_agg": analytics.q_string_agg,
+        # NEW round 5: Deequ-style column profiling — per-block-distinct
+        # value exchange, exact distinct cardinality, typed min/max
+        # rendered to strings (SQL-oracled per-column UNION ALL)
+        "profile_table": analytics.profile_table,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -475,6 +472,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -> exact top-k; e6 fixed-point ln so the DuckDB oracle
         # hash-matches
         "dsir_select": curation.dsir_select,
+        # SemDeDup (Abbas et al. 2023): e6-integer k-means (min-k init,
+        # ONE Lloyd update via per-block partials merged on the driver)
+        # -> within-cluster cosine prune against the first cluster_cap
+        # earliest-id referees; exact end to end, SQL-oracled with the
+        # unrolled Lloyd iteration
+        "semdedup_select": curation.semdedup_select,
         "q_region_customers": analytics.q_region_customers,
         "q_events_hourly": analytics.q_events_hourly,
         "q_sessionize": analytics.q_sessionize,
@@ -732,6 +735,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
                    count(*) AS n_events
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "profile_table": """
+            WITH p AS (
+              SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+                     count(*) - count(o_orderkey) AS n_nulls,
+                     count(DISTINCT o_orderkey) AS n_distinct,
+                     CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+                     CAST(max(o_orderkey) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                     count(DISTINCT o_custkey),
+                     CAST(min(o_custkey) AS VARCHAR),
+                     CAST(max(o_custkey) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     count(*) - count(o_orderstatus),
+                     count(DISTINCT o_orderstatus),
+                     min(o_orderstatus), max(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     count(*) - count(o_orderpriority),
+                     count(DISTINCT o_orderpriority),
+                     min(o_orderpriority), max(o_orderpriority)
+              FROM orders)
+            SELECT * FROM p ORDER BY col
         """,
         "q_lineitem_stats": """
             SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -1704,3 +1704,100 @@ def q_string_agg(sf_dir: str) -> pd.DataFrame:
         .sort("user_id")
         .to_pandas()
     )
+
+
+def profile_table(sf_dir: str) -> pd.DataFrame:
+    """(col, n_rows, n_nulls, n_distinct, min_str, max_str): column-level
+    data profiling over the orders table — the Deequ / Great-Expectations
+    data-quality shape (per-column null rate, EXACT distinct cardinality,
+    bounds) a pipeline runs before trusting an input at scale.
+
+    Ray shape: one stateless pass emits per-block-DISTINCT (col, value)
+    rows — int columns carry the typed value (min/max must compare
+    numerically, not lexicographically), string columns the bytes — so
+    the exchange is bounded by per-block distinct cardinality, never the
+    row count; ONE groupby(col, vi, vs) distinct fold, then a per-column
+    map_groups computes count/min/max and renders bounds as strings
+    (str(int) is injective, so distinct-over-renderings == distinct-over-
+    values).  Row/null totals ride a separate 2-aggregate pass over
+    per-block partials (cols x blocks rows).  Exact distinct is
+    inherently a distinct-values exchange; the approximate tier at
+    10^10 rows is the HLL sketch (hll_users).  SQL oracle: per-column
+    UNION ALL with CAST(min(..) AS VARCHAR)."""
+    cols_int = ["o_orderkey", "o_custkey"]
+    cols_str = ["o_orderstatus", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", columns=cols_int + cols_str)
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        names, vis, vss = [], [], []
+        for c in cols_int:
+            vals = pc.unique(t[c])
+            names += [c] * len(vals)
+            vis += vals.to_pylist()
+            vss += [""] * len(vals)
+        for c in cols_str:
+            vals = pc.unique(t[c])
+            names += [c] * len(vals)
+            vis += [0] * len(vals)
+            vss += vals.to_pylist()
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "vi": pa.array(vis, pa.int64()),
+                "vs": pa.array(vss, pa.string()),
+            }
+        )
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in cols_int + cols_str:
+            names.append(c)
+            ns.append(len(t))
+            nulls.append(t[c].null_count)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("n", alias_name="n_rows"),
+                   Sum("nulls", alias_name="n_nulls"))
+        .to_pandas()
+        .set_index("col")
+    )
+
+    def col_stats(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["col"].iloc[0]
+        if c in cols_int:
+            v = g["vi"].to_numpy()
+            mn, mx = str(int(v.min())), str(int(v.max()))
+        else:
+            v = g["vs"]
+            mn, mx = str(v.min()), str(v.max())
+        return pd.DataFrame(
+            {
+                "col": [c],
+                "n_distinct": [int(len(g))],
+                "min_str": [mn],
+                "max_str": [mx],
+            }
+        )
+
+    dist = (
+        ds.map_batches(explode_distinct, batch_format="pyarrow")
+        .groupby(["col", "vi", "vs"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("col")
+        .map_groups(col_stats, batch_format="pandas")
+        .to_pandas()
+        .set_index("col")
+    )
+    out = totals.join(dist).reset_index()
+    out = out[["col", "n_rows", "n_nulls", "n_distinct", "min_str",
+               "max_str"]]
+    return out.sort_values("col").reset_index(drop=True)

@@ -114,6 +114,7 @@ def _to_df(x):
         "q_intersect",
         "q_lag_delta",
         "q_string_agg",
+        "profile_table",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
