@@ -524,8 +524,14 @@ def _verify_pairs_join_ds(pairs_ds: "rd.Dataset", sf_dir: str,
     # compact so no empty block reaches the join (empty first blocks break
     # Ray's join schema broadcast — see compact_for_join)
     pairs = compact_for_join(pairs_ds)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return None
+    # the pair count is known (compact materialized) — re-bound the join
+    # partition count by it: every partition is an aggregator ACTOR, and
+    # spinning 16 of them per join for a few hundred pairs is pure
+    # startup overhead (the 100-TB pair volumes keep the requested width)
+    n_parts = _join_parts(n_parts, n_rows=n_pairs)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     agg_args = {"num_cpus": 0.25}
 
