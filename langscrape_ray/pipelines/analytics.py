@@ -1727,16 +1727,24 @@ def profile_table(sf_dir: str) -> pd.DataFrame:
     cols_int = ["o_orderkey", "o_custkey"]
     cols_str = ["o_orderstatus", "o_orderpriority"]
     ds = _read(sf_dir, "orders", columns=cols_int + cols_str)
+    return _profile_ds(ds, cols_int, cols_str)
+
+
+def _profile_ds(ds: rd.Dataset, cols_int: list, cols_str: list
+                ) -> pd.DataFrame:
+    """profile_table core over any Dataset (null-table unit tests hit
+    this directly).  Null contract matches SQL: count(DISTINCT) and
+    min/max EXCLUDE nulls, n_nulls counts them."""
 
     def explode_distinct(t: pa.Table) -> pa.Table:
         names, vis, vss = [], [], []
         for c in cols_int:
-            vals = pc.unique(t[c])
+            vals = pc.drop_null(pc.unique(t[c]))
             names += [c] * len(vals)
             vis += vals.to_pylist()
             vss += [""] * len(vals)
         for c in cols_str:
-            vals = pc.unique(t[c])
+            vals = pc.drop_null(pc.unique(t[c]))
             names += [c] * len(vals)
             vis += [0] * len(vals)
             vss += vals.to_pylist()
@@ -1798,6 +1806,12 @@ def profile_table(sf_dir: str) -> pd.DataFrame:
         .set_index("col")
     )
     out = totals.join(dist).reset_index()
+    # an all-null column has no distinct row at all: SQL gives distinct 0
+    # and NULL bounds
+    if out["n_distinct"].isna().any():
+        out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+        out["min_str"] = out["min_str"].where(out["min_str"].notna(), None)
+        out["max_str"] = out["max_str"].where(out["max_str"].notna(), None)
     out = out[["col", "n_rows", "n_nulls", "n_distinct", "min_str",
                "max_str"]]
     return out.sort_values("col").reset_index(drop=True)

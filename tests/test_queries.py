@@ -583,3 +583,30 @@ def test_boilerplate_prune_invariants(ray_session):
         assert all(tok in it for tok in kept)  # ordered subsequence
         removed_total += n_rm
     assert removed_total > 0
+
+
+def test_profile_ds_null_contract(ray_session):
+    """profile_table's null semantics match SQL: count(DISTINCT) and
+    min/max exclude nulls, n_nulls counts them, an all-null column
+    profiles as distinct 0 with NULL bounds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from langscrape_ray.pipelines.analytics import _profile_ds
+
+    t = pa.table(
+        {
+            "a": pa.array([1, None, 3, 3, None], pa.int64()),
+            "b": pa.array(["x", None, "x", "y", "z"], pa.string()),
+            "c": pa.array([None] * 5, pa.int64()),
+        }
+    )
+    df = _profile_ds(rd.from_arrow(t).repartition(2), ["a", "c"], ["b"])
+    df = df.set_index("col")
+    assert df.loc["a", "n_rows"] == 5 and df.loc["a", "n_nulls"] == 2
+    assert df.loc["a", "n_distinct"] == 2
+    assert df.loc["a", "min_str"] == "1" and df.loc["a", "max_str"] == "3"
+    assert df.loc["b", "n_nulls"] == 1 and df.loc["b", "n_distinct"] == 3
+    assert df.loc["b", "min_str"] == "x" and df.loc["b", "max_str"] == "z"
+    assert df.loc["c", "n_nulls"] == 5 and df.loc["c", "n_distinct"] == 0
+    assert df.loc["c", "min_str"] is None and df.loc["c", "max_str"] is None
