@@ -183,6 +183,10 @@ DEDUP_FAMILY = ["dedup_cc_lsh", "dedup_jaccard", "dedup_minhash_ds"]
 # reason: wall-time trend on record without moving the headline total
 CURATION_FAMILY = ["semdedup_select", "pq_encode", "knn_pq"]
 
+# round-5 training-ops additions: distributed classifier training and
+# content-defined-chunking dedup (same wall-time-trend rationale)
+TRAINING_FAMILY = ["quality_classifier", "cdc_dedup", "profile_table"]
+
 # round-4 REAL-codec tier (stdlib PNG / AVI / charset chains; round 5
 # adds the baseline JPEG codec), timed as its own block so the
 # media-format surface has a wall-time trend too
@@ -214,6 +218,7 @@ def main() -> None:
     queries = {}
     dedup_family = {}
     curation_family = {}
+    training_family = {}
     codec_family = {}
     crawl_nr = None
     if not headline_only:
@@ -221,6 +226,7 @@ def main() -> None:
         queries = run_query_bench(sf_dir)
         dedup_family = run_query_bench(sf_dir, names=DEDUP_FAMILY)
         curation_family = run_query_bench(sf_dir, names=CURATION_FAMILY)
+        training_family = run_query_bench(sf_dir, names=TRAINING_FAMILY)
         codec_family = run_query_bench(sf_dir, names=CODEC_FAMILY)
     store_env = os.environ.get("GRAFT_STORE", "")
     resident = "--store=nonresident" not in sys.argv and store_env != "nonresident"
@@ -246,6 +252,8 @@ def main() -> None:
         payload["dedup_family"] = dedup_family
     if curation_family:
         payload["curation_family"] = curation_family
+    if training_family:
+        payload["training_family"] = training_family
     if codec_family:
         payload["codec_family"] = codec_family
     if crawl_nr is not None:

@@ -136,60 +136,107 @@ def _augment(t: pa.Table) -> pa.Table:
     return out.append_column("label", pa.array(labels, pa.float64()))
 
 
+@ray.remote(num_cpus=1)
+class _GradShard:
+    """Persistent gradient shard for iterative training: parses its
+    feature slice ONCE in __init__ and answers one gradient RPC per
+    epoch — no Dataset launch, no shuffle, no re-featurize inside the
+    epoch loop (the data-parallel parameter-fold layout every
+    distributed trainer uses on a static dataset)."""
+
+    def __init__(self, shard_ds, label_col: str):
+        t = shard_ds.to_arrow_refs()
+        tables = [pa.concat_tables([ray.get(r) for r in t])] if t else []
+        tbl = tables[0] if tables else None
+        self.feats = []
+        self.y = np.empty(0, dtype=np.float64)
+        if tbl is not None and len(tbl):
+            # fixed doc_id order: the per-shard float64 sum is then
+            # bit-deterministic across runs
+            order = np.argsort(
+                np.asarray(tbl["doc_id"].to_pylist(), dtype=np.int64),
+                kind="stable",
+            )
+            idx = tbl["idx"].to_pylist()
+            val = tbl["val"].to_pylist()
+            self.feats = [
+                (np.frombuffer(idx[i], np.int64),
+                 np.frombuffer(val[i], np.float64))
+                for i in order
+            ]
+            self.y = np.asarray(
+                tbl[label_col].to_pylist(), dtype=np.float64
+            )[order]
+
+    def grad(self, w_bytes: bytes) -> bytes:
+        w = np.frombuffer(w_bytes, dtype=np.float64)
+        return _grad_partial(self.feats, self.y, w).tobytes()
+
+
 def train_lr(ds: rd.Dataset, dim: int = DIM, epochs: int = 8,
              lr: float = 4.0, l2: float = 1e-6,
              n_folds: int = N_FOLDS, label_col: str = "label") -> np.ndarray:
     """Distributed full-batch logistic regression over (doc_id, text,
     ``label_col``) rows; returns float64[dim + 1] weights (last = bias).
-    See module docstring for the exchange/determinism contract."""
+
+    Shape: featurize ONCE (the md5 gram hashing is ~10x the per-epoch
+    gradient cost) into a materialized features dataset, split it across
+    ``n_folds``-capped persistent shard actors, then each epoch is ONE
+    broadcast + one gradient RPC per shard — no Dataset launch or
+    shuffle inside the epoch loop.  Driver merge per epoch is
+    n_shards x (dim+2) x 8 B, summed in shard order (bit-deterministic;
+    see module docstring).  At memory scales where shards cannot hold
+    their feature slice, the same epoch runs as a map_batches pass over
+    the features dataset — the layout here is the in-memory
+    data-parallel tier."""
     w = np.zeros(dim + 1, dtype=np.float64)
-    memo_holder: dict = {}
 
-    for _ in range(epochs):
-        w_ref = ray.put(w)
-
-        def partial(t: pa.Table, _ref=w_ref) -> pa.Table:
-            wt = ray.get(_ref)
-            feats = _featurize(t["text"].to_pylist(), dim, memo_holder)
-            y = np.asarray(t[label_col].to_pylist(), dtype=np.float64)
-            g = _grad_partial(feats, y, wt)
-            key = int(pa.compute.min(t["doc_id"]).as_py())
-            return pa.table(
-                {
-                    "fold": pa.array([key % n_folds], pa.int64()),
-                    "key": pa.array([key], pa.int64()),
-                    "blob": pa.array([g.tobytes()], pa.binary()),
-                }
-            )
-
-        def fold_sum(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("key")
-            acc = np.zeros(dim + 2, dtype=np.float64)
-            for blob in g["blob"]:
-                acc += np.frombuffer(blob, dtype=np.float64)
-            return pd.DataFrame(
-                {
-                    "fold": [int(g["fold"].iloc[0])],
-                    "blob": [acc.tobytes()],
-                }
-            )
-
-        parts = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("fold")
-            .map_groups(fold_sum, batch_format="pandas")
-            .to_pandas()
-            .sort_values("fold")
+    def featurize_batch(t: pa.Table) -> pa.Table:
+        feats = _featurize(t["text"].to_pylist(), dim, {})
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "idx": pa.array(
+                    [f[0].tobytes() for f in feats], pa.binary()
+                ),
+                "val": pa.array(
+                    [f[1].tobytes() for f in feats], pa.binary()
+                ),
+                label_col: t[label_col],
+            }
         )
-        acc = np.zeros(dim + 2, dtype=np.float64)
-        for blob in parts["blob"]:
-            acc += np.frombuffer(blob, dtype=np.float64)
-        n = acc[dim + 1]
-        if n == 0:
-            break
-        grad = acc[: dim + 1] / n
-        grad[:dim] += l2 * w[:dim]
-        w = w - lr * grad
+
+    feat_ds = ds.map_batches(
+        featurize_batch, batch_format="pyarrow"
+    ).materialize()
+    n_rows = feat_ds.count()
+    if n_rows == 0:
+        return w
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_shards = max(1, min(n_folds, cpus, n_rows))
+    shards = feat_ds.split(n_shards)
+    actors = [
+        _GradShard.remote(s, label_col) for s in shards
+    ]
+    try:
+        for _ in range(epochs):
+            w_bytes = w.tobytes()
+            blobs = _ray.get([a.grad.remote(w_bytes) for a in actors])
+            acc = np.zeros(dim + 2, dtype=np.float64)
+            for blob in blobs:  # fixed shard order: deterministic sum
+                acc += np.frombuffer(blob, dtype=np.float64)
+            n = acc[dim + 1]
+            if n == 0:
+                break
+            grad = acc[: dim + 1] / n
+            grad[:dim] += l2 * w[:dim]
+            w = w - lr * grad
+    finally:
+        for a in actors:
+            _ray.kill(a)
     return w
 
 
