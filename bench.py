@@ -2,8 +2,8 @@
 
   python bench.py                 # headline crawl + query timings at $GRAFT_SF_DIR
   python bench.py --headline-only # crawl benchmark only (used by --scaling)
-  python bench.py --scaling       # same job at num_cpus=8 and 32 in fresh
-                                  # processes; reports throughputs + efficiency
+  python bench.py --scaling       # same job at N vs 4N CPUs (4 and 16) in
+                                  # fresh processes; throughputs + efficiency
 
 Headline metric (BASELINE.json): frontier throughput — URLs/sec
 fetched+deduped through the full multi-round pipeline (canonicalize, dedup,
