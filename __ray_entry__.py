@@ -406,6 +406,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value exchange, exact distinct cardinality, typed min/max
         # rendered to strings (SQL-oracled per-column UNION ALL)
         "profile_table": analytics.profile_table,
+        # NEW round 5: the §2.10 streaming-window operator — watermark
+        # replay of the hourly aggregate in bounded-disorder arrival
+        # waves through a window-state actor; windows finalize as the
+        # watermark passes, zero late drops by the lateness bound, and
+        # the final table is hash-exact vs the BATCH oracle (same SQL)
+        "q_events_hourly_stream": analytics.q_events_hourly_stream,
         # dedup family (SQL-oracled members; the LSH approximations are in
         # the rows-only block below)
         "dedup_exact": dedup.exact_dedup,
@@ -422,10 +428,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A2/A3 rule evaluation over planted pages (SQL-oracled: closed-form
         # tp/fp/fn and the exact _prf float formula)
         "rule_eval_scores": rule_eval.rule_eval_scores,
-        # S5 real PDF round-trip: deterministic FlateDecode PDFs built and
-        # parsed by the real text-object extractor (SQL-oracled: the
-        # expected normalized text reconstructed in closed form)
-        "pdf_extract": media.pdf_extract,
         # NEW round 4: documents through the REAL stdlib-zlib PNG codec
         # (sources/png.py — all five scanline filters cycled on encode so
         # decode proves every unfilter), resize actor pool on the real
@@ -478,6 +480,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # earliest-id referees; exact end to end, SQL-oracled with the
         # unrolled Lloyd iteration
         "semdedup_select": curation.semdedup_select,
+        # S5 real PDF round-trip: deterministic FlateDecode PDFs built and
+        # parsed by the real text-object extractor (SQL-oracled closed
+        # form)
+        "pdf_extract": media.pdf_extract,
         "q_region_customers": analytics.q_region_customers,
         "q_events_hourly": analytics.q_events_hourly,
         "q_sessionize": analytics.q_sessionize,
@@ -687,6 +693,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q_events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_events_hourly_stream": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,
                    sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0

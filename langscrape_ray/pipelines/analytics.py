@@ -1815,3 +1815,196 @@ def _profile_ds(ds: rd.Dataset, cols_int: list, cols_str: list
     out = out[["col", "n_rows", "n_nulls", "n_distinct", "min_str",
                "max_str"]]
     return out.sort_values("col").reset_index(drop=True)
+
+
+class _WindowState:
+    """Streaming window state for q_events_hourly_stream: per-(type,
+    window) running (count, e6-sum, max) partials plus the event-time
+    watermark.  The actor only ever holds WINDOW-cardinality state —
+    each arrival wave is pre-aggregated to its distinct (type, window)
+    partials by a Dataset pass before it reaches the actor (the corpus
+    never enters actor memory), exactly how a Flink/Beam keyed window
+    operator holds per-window accumulators, not events."""
+
+    def __init__(self, lateness_us: int):
+        self.lateness_us = int(lateness_us)
+        self.state: dict = {}      # (type, window_us) -> [n, sum_e6, max]
+        self.watermark = None      # max event ts seen - lateness
+        self.emitted: dict = {}    # (type, window_us) -> wave finalized
+        self.n_late = 0
+
+    def merge_wave(self, wave_id: int, partials: "pd.DataFrame",
+                   wave_max_ts_us: int) -> dict:
+        import pandas as _pd
+
+        for row in partials.itertuples(index=False):
+            key = (row.event_type, int(row.window_us))
+            if key in self.emitted:
+                self.n_late += 1  # would re-open a finalized window
+                continue
+            s = self.state.get(key)
+            if s is None:
+                self.state[key] = [int(row.n), int(row.sum_e6),
+                                   float(row.max_value)]
+            else:
+                s[0] += int(row.n)
+                s[1] += int(row.sum_e6)
+                s[2] = max(s[2], float(row.max_value))
+        wm = int(wave_max_ts_us) - self.lateness_us
+        self.watermark = wm if self.watermark is None else max(
+            self.watermark, wm
+        )
+        hour_us = 3_600_000_000
+        newly = [
+            k for k in self.state
+            if k not in self.emitted and k[1] + hour_us <= self.watermark
+        ]
+        for k in newly:
+            self.emitted[k] = wave_id
+        return {
+            "wave": wave_id,
+            "finalized": len(newly),
+            "open": len(self.state) - len(self.emitted),
+            "late_dropped": self.n_late,
+        }
+
+    def finalize(self):
+        import pandas as _pd
+
+        rows = [
+            (t, w, s[0], s[1], s[2], self.emitted.get((t, w), -1))
+            for (t, w), s in self.state.items()
+        ]
+        return _pd.DataFrame(
+            rows,
+            columns=["event_type", "window_us", "n_events", "sum_e6",
+                     "max_value", "emit_wave"],
+        ), self.n_late
+
+
+def q_events_hourly_stream(sf_dir: str, n_waves: int = 5,
+                           return_log: bool = False):
+    """Streaming replay of q_events_hourly with WATERMARK semantics —
+    the §2.10 streaming-window custom operator: events arrive in
+    ``n_waves`` bounded-disorder waves (time-quintile placement ±1 wave
+    of md5 jitter — the realistic "mostly in order, bounded lateness"
+    arrival model), a keyed window-state actor accumulates per-window
+    partials, and every window FINALIZES at the first wave whose
+    watermark (max event time seen − allowed lateness) passes its end.
+    Allowed lateness = one wave span + 1h, so the bounded disorder never
+    drops an event and the final table is hash-exact against the BATCH
+    oracle (same SQL as q_events_hourly) — while the emission log proves
+    windows really did close incrementally (pytest-gated:
+    zero late drops, monotone emission, most windows final before the
+    last wave).
+
+    Ray shape: each wave is ONE Dataset pass pre-aggregating to distinct
+    (type, window) partials (map-side combine, same kernel as the batch
+    query); the actor holds window-cardinality state only.  At 100 TB
+    the single state actor shards by hash(type, window) — the state is
+    already keyed — and waves become real arrival batches."""
+    import hashlib as _hl
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                          "value"])
+    # wave bounds from the global ts range (one cheap aggregate)
+    rng = ev.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    lo = pd.Timestamp(rng["lo"]).value // 1000  # ns -> us
+    hi = pd.Timestamp(rng["hi"]).value // 1000
+    span = max(1, hi - lo)
+    wave_span_us = span // n_waves + 1
+    # disorder bound: wave a holds time-quantiles a-1..a+1, so the max ts
+    # seen by wave a can lead an event still to arrive (quantile a, landing
+    # in wave a+1) by up to 3 wave spans; +1h covers the window-end
+    # overhang.  Anything tighter late-drops real events and the final
+    # table stops matching the batch oracle.
+    lateness_us = 3 * wave_span_us + 3_600_000_000
+
+    def wave_partials(t: pa.Table, wave: int) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        q = pc.cast(
+            pc.divide(pc.subtract(ts_us, pa.scalar(lo, pa.int64())),
+                      pa.scalar(wave_span_us, pa.int64())),
+            pa.int64(),
+        )
+        jit = pa.array(
+            [
+                int(_hl.md5(f"arr:{e}".encode()).hexdigest()[:8], 16) % 3 - 1
+                for e in t["event_id"].to_pylist()
+            ],
+            pa.int64(),
+        )
+        w = pc.max_element_wise(
+            pc.min_element_wise(pc.add(q, jit),
+                                pa.scalar(n_waves - 1, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        keep = pc.equal(w, pa.scalar(wave, pa.int64()))
+        tt = t.filter(keep)
+        if len(tt) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_us": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_e6": pa.array([], pa.int64()),
+                    "max_value": pa.array([], pa.float64()),
+                    "wave_max_ts": pa.array([], pa.int64()),
+                }
+            )
+        ts2 = pc.cast(tt["ts"], pa.int64())
+        hour_us = 3_600_000_000
+        g = pa.table(
+            {
+                "event_type": tt["event_type"],
+                "window_us": pc.multiply(
+                    pc.divide(ts2, pa.scalar(hour_us, pa.int64())),
+                    pa.scalar(hour_us, pa.int64()),
+                ),
+                "sum_e6": pc.cast(
+                    pc.round(pc.multiply(tt["value"], pa.scalar(1e6))),
+                    pa.int64(),
+                ),
+                "max_value": tt["value"],
+            }
+        ).group_by(["event_type", "window_us"]).aggregate(
+            [("sum_e6", "count"), ("sum_e6", "sum"), ("max_value", "max")]
+        ).rename_columns(
+            ["event_type", "window_us", "n", "sum_e6", "max_value"]
+        )
+        wmax = int(pc.max(ts2).as_py())
+        return g.append_column(
+            "wave_max_ts", pa.array([wmax] * len(g), pa.int64())
+        )
+
+    state = ray.remote(_WindowState).options(num_cpus=0).remote(lateness_us)
+    log = []
+    for wave in range(n_waves):
+        parts = ev.map_batches(
+            lambda t, _w=wave: wave_partials(t, _w), batch_format="pyarrow"
+        ).to_pandas()
+        if parts.empty:
+            continue
+        wave_max = int(parts["wave_max_ts"].max())
+        # fold cross-block partials before the RPC (window-cardinality)
+        folded = (
+            parts.groupby(["event_type", "window_us"], as_index=False)
+            .agg(n=("n", "sum"), sum_e6=("sum_e6", "sum"),
+                 max_value=("max_value", "max"))
+        )
+        log.append(ray.get(state.merge_wave.remote(wave, folded, wave_max)))
+    final, n_late = ray.get(state.finalize.remote())
+    ray.kill(state)
+
+    final["window_start"] = pd.to_datetime(
+        final["window_us"], unit="us"
+    ).astype("datetime64[us]")
+    final["sum_value"] = final["sum_e6"] / 1e6
+    final["n_events"] = final["n_events"].astype("int64")
+    out = final[["event_type", "window_start", "n_events", "sum_value",
+                 "max_value"]].sort_values(
+        ["event_type", "window_start"]
+    ).reset_index(drop=True)
+    if return_log:
+        return out, log, final["emit_wave"], n_late
+    return out

@@ -115,6 +115,7 @@ def _to_df(x):
         "q_lag_delta",
         "q_string_agg",
         "profile_table",
+        "q_events_hourly_stream",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -610,3 +611,31 @@ def test_profile_ds_null_contract(ray_session):
     assert df.loc["b", "min_str"] == "x" and df.loc["b", "max_str"] == "z"
     assert df.loc["c", "n_nulls"] == 5 and df.loc["c", "n_distinct"] == 0
     assert df.loc["c", "min_str"] is None and df.loc["c", "max_str"] is None
+
+
+def test_events_hourly_stream_semantics(ray_session):
+    """X78 watermark gates: the streaming replay must (a) drop ZERO
+    events under the documented lateness bound, (b) finalize a
+    substantial share of windows BEFORE the stream ends (i.e. the
+    watermark machinery is real, not a batch job in disguise), with
+    emission waves strictly inside the stream, and (c) reproduce the
+    batch aggregate exactly (also oracle-gated via
+    test_query_matches_oracle)."""
+    from langscrape_ray.pipelines.analytics import (
+        q_events_hourly,
+        q_events_hourly_stream,
+    )
+
+    out, log, emit_wave, n_late = q_events_hourly_stream(
+        SF, return_log=True
+    )
+    assert n_late == 0
+    assert all(entry["late_dropped"] == 0 for entry in log)
+    finalized_early = sum(entry["finalized"] for entry in log[:-1])
+    assert finalized_early > 0.2 * len(out), (finalized_early, len(out))
+    waves = [w for w in emit_wave.tolist() if w >= 0]
+    assert waves and min(waves) >= 1 and max(waves) <= log[-1]["wave"]
+    batch = q_events_hourly(SF)
+    pd.testing.assert_frame_equal(
+        out, batch, check_dtype=False, check_exact=True
+    )
