@@ -639,3 +639,56 @@ def test_events_hourly_stream_semantics(ray_session):
     pd.testing.assert_frame_equal(
         out, batch, check_dtype=False, check_exact=True
     )
+
+
+def test_window_queries_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Adversarial-random oracle fuzz for the round-5 window queries:
+    events with PLANTED duplicate (user_id, ts) pairs — the tie cases
+    the fixture data may not exercise — must still hash-match DuckDB
+    (q_string_agg's event_id tie-break; q_lag_delta's tie-safe diff
+    multiset).  Three seeds, in-memory tables written as a tmp sf_dir."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n = 400
+        user = rng.randint(0, 12, n)
+        base = rng.randint(0, 5000, n).astype("int64") * 1_000_000
+        # plant ties: a third of the rows reuse another row's (user, ts)
+        dup_idx = rng.choice(n, n // 3, replace=False)
+        src_idx = rng.choice(n, n // 3, replace=True)
+        user[dup_idx] = user[src_idx]
+        base[dup_idx] = base[src_idx]
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(base, pa.timestamp("us")),
+                "user_id": pa.array(user.astype("int64"), pa.int64()),
+                "event_type": pa.array(
+                    [["view", "click", "buy"][i % 3] for i in range(n)],
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    rng.randint(0, 1000, n) / 100.0, pa.float64()
+                ),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        d = tmp_path / f"fuzz{seed}"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        con2 = duckdb.connect()
+        con2.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        for name in ("q_string_agg", "q_lag_delta"):
+            rdf = _norm(_to_df(entrymod.queries()[name](str(d))))
+            odf = _norm(con2.execute(entrymod.oracle_sql()[name]).df())
+            pd.testing.assert_frame_equal(
+                rdf, odf, check_dtype=False, check_exact=True
+            )
