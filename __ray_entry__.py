@@ -285,19 +285,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
-    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 83
+    # ORDER MATTERS: the driver checks only the FIRST 50 entries and 87
     # SQL-oracled queries exist — more than the window holds — so the
     # window ROTATES per round so (last round's CORRECTNESS ∪ this
     # window) covers every oracled query.  Round-5 window = the 32
     # oracled queries hash-exact in CORRECTNESS_r03 but past the window
-    # in round 4 (rotated back in first) + everything whose code changed
-    # this round (jpeg_roundtrip NEW, weighted_sample / gopher_quality /
-    # avi_frames advice fixes, dedup_cc / fuzzy_dedup on the new
-    # distributed-CC tier, q_group_median beside its new sketch tier) +
-    # r4 sentinels covering every operator family.  The 32 rotated OUT
-    # are hash-exact in CORRECTNESS_r04 with code untouched since; every
-    # oracled query stays continuously exact via tests/test_queries.py's
-    # oracle gate and scripts/check_contract.py.  Of the rows-only
+    # in round 4 (rotated back in first) + everything whose code is NEW
+    # or changed this round (jpeg_roundtrip, q_lag_delta, q_string_agg,
+    # profile_table, q_events_hourly_stream NEW; weighted_sample /
+    # gopher_quality / avi_frames advice fixes; dedup_cc / fuzzy_dedup /
+    # dedup_jaccard on the distributed-CC tier + join-width fix;
+    # q_group_median beside its new sketch tier) + r4 sentinels covering
+    # every operator family.  Rotated OUT to make room for the five new
+    # oracled queries: q_funnel, dsir_select, semdedup_select,
+    # pdf_extract and 32 r3-era sentinels — ALL hash-exact in
+    # CORRECTNESS_r04 with code untouched since, so the union invariant
+    # holds (machine-checked: tests/test_queries.py oracle gate covers
+    # every oracled query at sf0.001, scripts/check_contract.py full
+    # sweep re-verified 87/87 hash-exact this round).  Of the rows-only
     # entries, knn_pq / knn_ivf / knn_lsh / dedup_embedding_lsh were
     # code-touched in round 4 (codes storage + list_col_matrix) and are
     # re-certified by the pytest recall gates + the local contract
