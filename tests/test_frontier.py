@@ -208,3 +208,57 @@ def test_canonical_fast_path_identity():
         if m:
             hits += 1
     assert hits > 2000  # the plain fixture shapes all took the fast lane
+
+
+def test_robots_rfc9309_matching():
+    """RFC 9309 §2.2.2: Allow/Disallow longest-match precedence, ``*``
+    wildcards, trailing ``$`` end-anchor, Allow wins length ties."""
+    r = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Allow: /public/\n"
+    )
+    assert not r.allowed("/private/x")
+    assert r.allowed("/public/page")     # longer Allow carves exception
+    assert not r.allowed("/publicity")   # /public/ does not match this
+
+    # wildcard disallow
+    r = parse_robots("User-agent: *\nDisallow: /*.pdf\n")
+    assert not r.allowed("/docs/file.pdf")
+    assert not r.allowed("/a.pdfx")      # no anchor: prefix-of-path match
+    assert r.allowed("/docs/file.html")
+
+    # $ end-anchor
+    r = parse_robots("User-agent: *\nDisallow: /*.php$\n")
+    assert not r.allowed("/index.php")
+    assert r.allowed("/index.php5")
+
+    # Allow wins the exact-length tie (RFC example family)
+    r = parse_robots("User-agent: *\nAllow: /page\nDisallow: /page\n")
+    assert r.allowed("/page")
+
+    # longest rule wins regardless of order
+    r = parse_robots(
+        "User-agent: *\nAllow: /folder/\nDisallow: /folder/private/\n"
+    )
+    assert r.allowed("/folder/a")
+    assert not r.allowed("/folder/private/a")
+
+    # interior $ is a literal octet; only the trailing $ anchors
+    r = parse_robots("User-agent: *\nDisallow: /a$b\n")
+    assert not r.allowed("/a$b/c")
+    assert r.allowed("/ab")
+
+    # Allow alone can never forbid; empty values are no-rules
+    r = parse_robots("User-agent: *\nAllow: /only\nDisallow:\n")
+    assert r.allowed("/anything")
+
+
+def test_robots_plain_prefix_unchanged():
+    """The fixtures' prefix-only rules must behave exactly as before the
+    RFC upgrade (crawl-order oracle parity depends on it)."""
+    r = parse_robots("User-agent: *\nDisallow: /shop/\nDisallow: /admin\n")
+    assert not r.allowed("/shop/item")
+    assert not r.allowed("/admin")
+    assert not r.allowed("/administrator")  # prefix semantics
+    assert r.allowed("/blog/post")
