@@ -34,8 +34,18 @@ def parse_sitemap(xml_bytes: bytes) -> Tuple[List[dict], List[str]]:
     """Returns (url_entries, child_sitemap_urls).
 
     url_entries: dicts with url / lastmod (str or None) / priority
-    (float, default 0.5 per the sitemaps.org spec).  Malformed XML raises
-    ValueError (callers decide whether a bad sitemap is fatal)."""
+    (float, default 0.5 per the sitemaps.org spec).  Gzipped payloads
+    (sitemap.xml.gz — the dominant real-web form; the spec allows it and
+    Google's own sitemaps ship gzipped) are sniffed by magic bytes and
+    inflated transparently.  Malformed XML raises ValueError (callers
+    decide whether a bad sitemap is fatal)."""
+    if xml_bytes[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            xml_bytes = gzip.decompress(xml_bytes)
+        except OSError as exc:
+            raise ValueError(f"bad gzip sitemap: {exc}") from exc
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:

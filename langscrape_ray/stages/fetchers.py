@@ -66,6 +66,7 @@ class HttpFetcher:
         ua_fallback: str = DEFAULT_UA_FALLBACK,
         emit_via: bool = False,
         max_redirects: int = 5,
+        revalidate: bool = False,
     ):
         self.connect_to = connect_to
         self.timeout_s = timeout_s
@@ -75,6 +76,7 @@ class HttpFetcher:
         self.ua_fallback = ua_fallback
         self.emit_via = emit_via
         self.max_redirects = max_redirects
+        self.revalidate = revalidate
         # persistent per-(host, port) connections — session reuse across
         # batches for the actor's whole lifetime
         self._conns: Dict[Tuple[str, int], object] = {}
@@ -113,23 +115,23 @@ class HttpFetcher:
 
     # -- single fetch with retry -----------------------------------------
     def _request_once(
-        self, url: str, ua: str
-    ) -> Tuple[int, bytes, Optional[str], Optional[str]]:
+        self, url: str, ua: str, cond: Optional[dict] = None
+    ) -> Tuple[int, bytes, Optional[str], Optional[str], Optional[str],
+               Optional[str]]:
         sp = urlsplit(url)
         key = self._key(sp)
         path = sp.path or "/"
         if sp.query:
             path += "?" + sp.query
         conn = self._conn(key)
-        conn.request(
-            "GET",
-            path,
-            headers={
-                "Host": sp.hostname or "",
-                "User-Agent": ua,
-                "Accept-Encoding": "gzip, deflate",
-            },
-        )
+        headers = {
+            "Host": sp.hostname or "",
+            "User-Agent": ua,
+            "Accept-Encoding": "gzip, deflate",
+        }
+        if cond:
+            headers.update(cond)
+        conn.request("GET", path, headers=headers)
         resp = conn.getresponse()
         body = resp.read()  # drain so the connection stays reusable
         enc = (resp.getheader("Content-Encoding") or "").lower()
@@ -140,16 +142,18 @@ class HttpFetcher:
             body,
             resp.getheader("Date"),
             resp.getheader("Location"),
+            resp.getheader("ETag"),
+            resp.getheader("Last-Modified"),
         )
 
     def _fetch_no_redirect(
-        self, url: str, ua: str
-    ) -> Optional[Tuple[int, bytes, Optional[str], Optional[str]]]:
+        self, url: str, ua: str, cond: Optional[dict] = None
+    ):
         """Status/exception-aware retry loop; None = definitive miss."""
         key = self._key(urlsplit(url))
         for attempt in range(self.retries + 1):
             try:
-                got = self._request_once(url, ua)
+                got = self._request_once(url, ua, cond)
             except Exception:  # timeout / stale keep-alive / reset
                 self._drop_conn(key)
                 continue
@@ -159,29 +163,39 @@ class HttpFetcher:
             return got  # 2xx, 3xx (caller handles), and final 4xx
         return None
 
-    def _fetch(self, url: str, ua: str) -> Optional[Tuple[bytes, Optional[str]]]:
-        """Retry + bounded redirect-following; None = definitive miss."""
+    _NOT_MODIFIED = object()  # sentinel: server said 304
+
+    def _fetch(self, url: str, ua: str, cond: Optional[dict] = None):
+        """Retry + bounded redirect-following; None = definitive miss;
+        the _NOT_MODIFIED sentinel (with the Date header) for a 304.
+        Hits return (body, date, etag, last_modified)."""
         cur = url
         for _hop in range(self.max_redirects + 1):
-            got = self._fetch_no_redirect(cur, ua)
+            got = self._fetch_no_redirect(cur, ua, cond)
             if got is None:
                 return None
-            status, body, date, location = got
+            status, body, date, location, etag, lm = got
             if status in (301, 302, 303, 307, 308) and location:
                 from urllib.parse import urljoin
 
                 cur = urljoin(cur, location)
                 continue
+            if status == 304 and cond:
+                return (self._NOT_MODIFIED, date)
             if 200 <= status < 300:
-                return body, date
+                return body, date, etag, lm
             return None  # 4xx and other finals: definitive miss
         return None  # redirect loop / chain too long
 
-    def fetch_one(self, url: str) -> Optional[Tuple[bytes, Optional[str], str]]:
-        """(body, date_header, via) or None.  The M3 branch lives here:
+    def fetch_one(self, url: str, cond: Optional[dict] = None):
+        """(body, date_header, via, etag, last_modified) or the
+        (_NOT_MODIFIED, date) pair or None.  The M3 branch lives here:
         primary fetch, then ONE fallback pass when the body is too short
-        (reference: rendered DOM under the length gate -> requests GET)."""
-        got = self._fetch(url, self.ua_primary)
+        (reference: rendered DOM under the length gate -> requests GET);
+        a 304 short-circuits the gate — no body is the correct answer."""
+        got = self._fetch(url, self.ua_primary, cond)
+        if got is not None and got[0] is self._NOT_MODIFIED:
+            return got
         via = "primary"
         if got is None or len(got[0]) < self.min_html_len:
             fb = self._fetch(url, self.ua_fallback)
@@ -189,29 +203,78 @@ class HttpFetcher:
                 got, via = fb, "fallback"
         if got is None:
             return None
-        return got[0], got[1], via
+        body, date = got[0], got[1]
+        etag = got[2] if len(got) > 2 else None
+        lm = got[3] if len(got) > 3 else None
+        return body, date, via, etag, lm
 
     # -- batch interface ----------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls: List[str] = batch["url"].to_pylist()
+        conds: List[Optional[dict]] = [None] * len(urls)
+        if self.revalidate:
+            etags = (
+                batch["etag"].to_pylist()
+                if "etag" in batch.column_names else [""] * len(urls)
+            )
+            lms = (
+                batch["last_modified"].to_pylist()
+                if "last_modified" in batch.column_names
+                else [""] * len(urls)
+            )
+            for i in range(len(urls)):
+                c = {}
+                if etags[i]:
+                    c["If-None-Match"] = etags[i]
+                if lms[i]:
+                    c["If-Modified-Since"] = lms[i]
+                conds[i] = c or None
         keep: List[int] = []
         htmls: List[bytes] = []
         stamps: List[int] = []
         vias: List[str] = []
+        out_etag: List[str] = []
+        out_lm: List[str] = []
+        not_mod: List[int] = []
         for i, url in enumerate(urls):
-            got = self.fetch_one(url)
+            got = self.fetch_one(url, conds[i])
             if got is None:
                 continue
-            body, date, via = got
+            if got[0] is self._NOT_MODIFIED:
+                keep.append(i)
+                htmls.append(b"")
+                stamps.append(_parse_http_date_us(got[1]))
+                vias.append("not_modified")
+                out_etag.append(etags[i] if self.revalidate else "")
+                out_lm.append(lms[i] if self.revalidate else "")
+                not_mod.append(1)
+                continue
+            body, date, via, etag, lm = got
             keep.append(i)
             htmls.append(body)
             stamps.append(_parse_http_date_us(date))
             vias.append(via)
+            out_etag.append(etag or "")
+            out_lm.append(lm or "")
+            not_mod.append(0)
         out = batch.take(pa.array(keep, pa.int64()))
+        if self.revalidate:  # replace the input validator columns
+            out = out.drop_columns(
+                [c for c in ("etag", "last_modified")
+                 if c in out.column_names]
+            )
         out = out.append_column("html", pa.array(htmls, pa.binary()))
         out = out.append_column(
             "warc_ts", pa.array(stamps, pa.timestamp("us"))
         )
+        if self.revalidate:
+            out = out.append_column("etag", pa.array(out_etag, pa.string()))
+            out = out.append_column(
+                "last_modified", pa.array(out_lm, pa.string())
+            )
+            out = out.append_column(
+                "not_modified", pa.array(not_mod, pa.int64())
+            )
         if self.emit_via:
             out = out.append_column("fetch_via", pa.array(vias, pa.string()))
         return out

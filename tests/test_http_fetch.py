@@ -46,6 +46,7 @@ class _WorldServer:
         self.short_for_browser = set()
         self.redirects = {}          # (host, path) -> Location value
         self.gzip_paths = set()      # (host, path) served gzip-encoded
+        self.etags = {}              # (host, path) -> ETag value
         self.robots = {}             # host -> robots.txt text
         self.n_connections = 0
         self.n_requests = 0
@@ -107,7 +108,17 @@ class _WorldServer:
                 if key in outer.short_for_browser and "browser" in ua:
                     html = b"<html></html>"  # under the M3 length gate
                 self._page_date = ts  # emitted via date_time_string below
+                etag = outer.etags.get(key)
+                if (etag is not None
+                        and self.headers.get("If-None-Match") == etag):
+                    self.send_response(304)
+                    self.send_header("ETag", etag)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 self.send_response(200)
+                if etag is not None:
+                    self.send_header("ETag", etag)
                 self.send_header("Content-Type", "text/html")
                 if key in outer.gzip_paths:
                     import gzip as _gz
@@ -237,7 +248,7 @@ def test_m3_too_short_fallback(world_server, small_world):
     f = HttpFetcher(
         connect_to=("127.0.0.1", world_server.port), min_html_len=64,
     )
-    body, _date, via = f.fetch_one(url)
+    body, _date, via = f.fetch_one(url)[:3]
     assert via == "fallback"
     assert body == dict(
         zip(pages["url"].to_pylist(), pages["html"].to_pylist())
@@ -395,3 +406,60 @@ def test_browser_fetcher_loud_gate_without_runtime():
 
     with pytest.raises(NotImplementedError, match="Playwright|render_fn"):
         BrowserFetcher()
+
+
+def test_conditional_revalidation(world_server, small_world):
+    """ETag revalidation cycle: first crawl captures validators, the
+    recrawl sends If-None-Match and gets 304 rows (not_modified=1,
+    empty body, NO body transfer) for unchanged pages, a fresh 200 with
+    new validators for changed ones — the bandwidth path the adaptive-
+    recrawl scheduler (X57) drives at scale."""
+    pages, _s, _r = small_world
+    urls = pages["url"].to_pylist()[:3]
+    keys = []
+    for u in urls:
+        sp = urlsplit(u)
+        keys.append((sp.hostname, sp.path or "/"))
+    world_server.etags[keys[0]] = 'W/"v1-a"'
+    world_server.etags[keys[1]] = 'W/"v1-b"'
+    # keys[2]: no ETag — always refetched in full
+
+    f = HttpFetcher(
+        connect_to=("127.0.0.1", world_server.port), revalidate=True,
+    )
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "etag": pa.array([""] * 3, pa.string()),
+            "last_modified": pa.array([""] * 3, pa.string()),
+        }
+    )
+    first = f(batch)
+    assert first["not_modified"].to_pylist() == [0, 0, 0]
+    etags1 = first["etag"].to_pylist()
+    assert etags1[0] == 'W/"v1-a"' and etags1[1] == 'W/"v1-b"'
+    assert etags1[2] == ""
+    want = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    assert first["html"].to_pylist() == [want[u] for u in urls]
+
+    # recrawl: send the captured validators back
+    recrawl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "etag": pa.array(etags1, pa.string()),
+            "last_modified": pa.array([""] * 3, pa.string()),
+        }
+    )
+    second = f(recrawl)
+    assert second["not_modified"].to_pylist() == [1, 1, 0]
+    htmls2 = second["html"].to_pylist()
+    assert htmls2[0] == b"" and htmls2[1] == b""   # no body transferred
+    assert htmls2[2] == want[urls[2]]              # full refetch
+    assert second["etag"].to_pylist()[0] == 'W/"v1-a"'  # validator kept
+
+    # content changed on the server: new ETag -> full 200 + new validator
+    world_server.etags[keys[0]] = 'W/"v2-a"'
+    third = f(recrawl)
+    assert third["not_modified"].to_pylist() == [0, 1, 0]
+    assert third["html"].to_pylist()[0] == want[urls[0]]
+    assert third["etag"].to_pylist()[0] == 'W/"v2-a"'

@@ -153,3 +153,28 @@ def test_sitemaps_from_robots_chain():
         "https://a.ex/sm.xml",
         "https://b.ex/sm.xml",
     ]
+
+
+def test_parse_gzipped_sitemap():
+    """sitemap.xml.gz magic-byte sniff: the same document parses
+    identically raw and gzipped; corrupt gzip raises the parser's
+    ValueError (not a raw OSError)."""
+    import gzip
+
+    import pytest as _pytest
+
+    from langscrape_ray.sources.sitemap import parse_sitemap
+
+    xml = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>http://h0.example/a</loc><priority>0.8</priority></url>"
+        b"<url><loc>http://h0.example/b</loc></url>"
+        b"</urlset>"
+    )
+    raw_urls, raw_children = parse_sitemap(xml)
+    gz_urls, gz_children = parse_sitemap(gzip.compress(xml))
+    assert gz_urls == raw_urls and gz_children == raw_children
+    assert len(gz_urls) == 2 and gz_urls[0]["priority"] == 0.8
+    with _pytest.raises(ValueError):
+        parse_sitemap(b"\x1f\x8b" + b"garbage-not-gzip")
