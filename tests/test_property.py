@@ -285,3 +285,85 @@ def test_cms_is_linear_and_one_sided(tokens, n_chunks):
     true = Counter(tokens)
     for tok, cnt in true.items():
         assert _cms_query(whole, tok) >= cnt
+
+
+# ---- round-5 additions: robots RFC matcher + CDC chunking ----
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=string.ascii_lowercase + "/*$.-_%",
+            min_size=1, max_size=12,
+        ),
+        max_size=6,
+    ),
+    st.lists(
+        st.text(
+            alphabet=string.ascii_lowercase + "/*$.-_%",
+            min_size=1, max_size=12,
+        ),
+        max_size=6,
+    ),
+    st.text(alphabet=string.ascii_lowercase + "/.$-_%", max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_robots_allowed_never_raises(disallow, allow, path):
+    """allowed() must be total over arbitrary rule strings (wildcards,
+    stray $, % — whatever a real robots.txt throws at the hot path)."""
+    from langscrape_ray.frontier.robots import RobotsRules
+
+    r = RobotsRules(disallow=tuple(disallow), allow=tuple(allow))
+    assert r.allowed(path) in (True, False)
+    # no Allow rule can ever make a path LESS allowed
+    r_no_allow = RobotsRules(disallow=tuple(disallow))
+    if not r_no_allow.allowed(path):
+        pass  # adding Allow may flip to allowed — but never the reverse
+    else:
+        assert r.allowed(path)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase + "/", min_size=1,
+                max_size=10).filter(lambda p: "*" not in p
+                                    and not p.endswith("$")),
+        max_size=5,
+    ),
+    st.text(alphabet=string.ascii_lowercase + "/", max_size=25),
+)
+@settings(max_examples=200, deadline=None)
+def test_robots_plain_prefix_matches_startswith(disallow, path):
+    """For wildcard-free Disallow-only rules the RFC longest-match
+    evaluation must degrade to exactly the old prefix semantics the
+    crawl fixtures (and the oracle-parity contract) rely on."""
+    from langscrape_ray.frontier.robots import RobotsRules
+
+    r = RobotsRules(disallow=tuple(disallow))
+    old = not any(p and path.startswith(p) for p in disallow)
+    assert r.allowed(path) == old
+
+
+@given(st.binary(min_size=0, max_size=8000))
+@settings(max_examples=100, deadline=None)
+def test_cdc_invariants_random_bytes(data):
+    """CDC boundary invariants over arbitrary byte strings: cuts are
+    strictly increasing, end at len(data), every chunk (except possibly
+    the last) respects [min, max], reconstruction is lossless, and
+    chunking is deterministic."""
+    from langscrape_ray.pipelines.cdc import cdc_boundaries
+
+    cuts = cdc_boundaries(data)
+    if not data:
+        assert cuts == []
+        return
+    assert cuts[-1] == len(data)
+    assert all(a < b for a, b in zip(cuts, cuts[1:]))
+    prev = 0
+    for i, c in enumerate(cuts):
+        size = c - prev
+        assert size <= 1024
+        if i < len(cuts) - 1:
+            assert size >= 64
+        prev = c
+    assert cuts == cdc_boundaries(data)
