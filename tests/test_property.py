@@ -317,9 +317,7 @@ def test_robots_allowed_never_raises(disallow, allow, path):
     assert r.allowed(path) in (True, False)
     # no Allow rule can ever make a path LESS allowed
     r_no_allow = RobotsRules(disallow=tuple(disallow))
-    if not r_no_allow.allowed(path):
-        pass  # adding Allow may flip to allowed — but never the reverse
-    else:
+    if r_no_allow.allowed(path):
         assert r.allowed(path)
 
 
